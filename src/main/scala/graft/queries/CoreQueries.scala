@@ -1,0 +1,397 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Core relational operators from SURVEY.md §2.1–§2.7: scans, projections,
+  * filters, joins (equi/semi/anti), aggregations, windows, sorts/top-k,
+  * set operations. Each query has an equivalent DuckDB oracle in
+  * [[oracle]].
+  *
+  * Float determinism convention: any SUM/AVG over doubles goes through an
+  * exact DECIMAL accumulator and is cast back to DOUBLE at the end —
+  * per-row double arithmetic is IEEE-identical across engines, decimal
+  * summation is associative, and the final cast is a single deterministic
+  * op, so Spark (parallel sum) and DuckDB (serial sum) hash-match.
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: org.apache.spark.sql.Column, p: Int = 24, s: Int = 6) =
+    c.cast(DecimalType(p, s))
+
+  val defs: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // §2.1 scan + §2.2 projection/filter — pushdown-friendly select
+    "q_scan_project" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01") &&
+          col("l_discount") > lit(0.05))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    }),
+
+    // §2.2 predicates: coalesce/nullif/case/cast family (declared-safe set)
+    "q_filter_pred" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")),
+            lit("OTHER")).as("segment"),
+          when(col("c_acctbal") < 0, lit("neg"))
+            .when(col("c_acctbal") < 5000, lit("mid"))
+            .otherwise(lit("high")).as("bal_band"),
+          col("c_acctbal").cast(DecimalType(12, 2)).as("bal_dec"))
+        .filter(col("c_acctbal") =!= 0.0)
+    }),
+
+    // ------------------------------------------------------------------
+    // §2.4 aggregation — TPC-H Q1 flavor (decimal-exact sums)
+    "q1_agg" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")))).cast(DoubleType).as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // §2.4 GROUP BY + HAVING (reference catalog_reader.py:233-261)
+    "q_group_having" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"), 24, 2)).cast(DoubleType).as("spend"))
+        .filter(col("n_orders") >= 3)
+    }),
+
+    // §2.4 DISTINCT (reference incremental.sql:140-143)
+    "q_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+    }),
+
+    // §2.4 conditional aggregation SUM(CASE WHEN ...) (savings.py:262-271)
+    "q_conditional_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          (sum(when(col("o_orderstatus") === "F",
+            dec(col("o_totalprice"), 24, 2))).cast(DoubleType) /
+            count(when(col("o_orderstatus") === "F", lit(1))))
+            .as("avg_f_price"))
+    }),
+
+    // §2.4 LISTAGG / STRING_AGG (transpiler.py:187-197) — deterministic
+    // via sorted collect
+    "q_listagg" -> ((s, dir) => {
+      Tables.load(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"))
+    }),
+
+    // §2.4 ROLLUP (memory_guard.py:124-126 heavy-class ops, exposed)
+    "q_rollup" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"), 24, 2)).cast(DoubleType).as("sum_price"))
+    }),
+
+    // §2.4 CUBE
+    "q_cube" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ------------------------------------------------------------------
+    // §2.3 joins — multi-join local flagship (test_auto_router.py:213-225).
+    // nation/region are tiny dims → broadcast; orders⋈customer shuffles on
+    // the key, aggregation reuses the shuffle.
+    "q_join_multi" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .filter(o("o_orderdate") >= lit("1996-01-01"))
+        .groupBy(n("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"), 24, 2)).cast(DoubleType).as("revenue"))
+    }),
+
+    // §2.3 semi-join (EXISTS — incremental.sql:166-181 delete set)
+    "q_semi_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // §2.3 anti-join (NOT EXISTS — snapshot.sql:195-206 hard-delete close)
+    "q_anti_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
+    // §2.3 left join + null-probe (snapshot.sql:175-190 new/changed rows)
+    "q_left_join_null" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000.0)
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
+        .filter(c("c_custkey").isNull)
+        .select(o("o_orderkey"), o("o_custkey"))
+    }),
+
+    // ------------------------------------------------------------------
+    // §2.5 windows — the flagship dedup pattern
+    // (test_auto_router.py:192-211); deterministic via orderkey tie-break
+    "q_window_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+    }),
+
+    // §2.5 rank / dense_rank / ntile (auto_router.py:141 declared-safe)
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("rnk") <= 10)
+    }),
+
+    // §2.5 lead/lag/first_value/last_value (auto_router.py:142)
+    "q_window_leadlag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first_value(col("o_orderkey")).over(w).as("first_order"))
+    }),
+
+    // §2.5 running aggregate with explicit frame
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(dec(col("o_totalprice"), 24, 2)).over(w).cast(DoubleType)
+            .as("running_spend"))
+    }),
+
+    // ------------------------------------------------------------------
+    // §2.6 top-k (savings.py:276-291) — deterministic via key tie-break
+    "q_topk" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(25)
+    }),
+
+    // §2.6 dev-sampling LIMIT (impl.py:403-415) — ordered for determinism
+    "q_dev_sample" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .limit(10000)
+    }),
+
+    // ------------------------------------------------------------------
+    // §2.7 set operations
+    "q_union_all" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 300000.0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val ur = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      hi.unionByName(ur)
+    }),
+
+    "q_intersect" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 200000.0).select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      a.intersect(b)
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer").select(col("c_nationkey"))
+      val s2 = Tables.load(s, dir, "supplier").select(col("s_nationkey"))
+        .withColumnRenamed("s_nationkey", "c_nationkey")
+      c.except(s2)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_band,
+        |  CAST(c_acctbal AS DECIMAL(12,2)) AS bal_dec
+        |FROM customer WHERE c_acctbal <> 0.0""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_group_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(24,2)) END) AS DOUBLE) /
+        |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS avg_f_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_join_multi" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_left_join_null" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000.0) c
+        |  ON o_custkey = c_custkey
+        |WHERE c_custkey IS NULL""".stripMargin,
+
+    "q_window_dedup" ->
+      """WITH ranked AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT c_custkey, c_mktsegment, rnk, drnk, quartile FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+        |    NTILE(4) OVER w AS quartile
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey)) t
+        |WHERE rnk <= 10""".stripMargin,
+
+    "q_window_leadlag" ->
+      """SELECT o_orderkey, o_custkey,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "q_dev_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 10000""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 300000.0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS c_nationkey FROM supplier""".stripMargin
+  )
+}

@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet result (written by graft.Verify),
+runs the matching oracle SQL from oracle_sql.json in DuckDB over the same
+parquet tables, and compares: column names (sorted), row count, and a hash
+of all values with columns sorted by name and rows sorted.
+
+NOT part of the shipped library — developer tooling only.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.dataset as pads
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def table_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    return lines
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    results = {}
+    names = sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir())
+    for name in names:
+        try:
+            tbl = pads.dataset(str(Path(out_dir, name))).to_table()
+            scols = [c.lower() for c in tbl.column_names]
+            srows = [tuple(col[i].as_py() for col in tbl.columns)
+                     for i in range(tbl.num_rows)]
+        except Exception as e:
+            results[name] = f"SPARK-READ-FAIL {e}"
+            continue
+        if name not in oracle:
+            results[name] = f"rows-only rows={len(srows)}"
+            continue
+        try:
+            cur = con.execute(oracle[name])
+            ocols = [d[0].lower() for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE-FAIL {str(e)[:200]}"
+            continue
+        if sorted(scols) != sorted(ocols):
+            results[name] = f"SCHEMA-MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}"
+            continue
+        if len(srows) != len(orows):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(srows)} oracle={len(orows)}"
+            continue
+        sk = table_key(scols, srows)
+        ok = table_key(ocols, orows)
+        if sk == ok:
+            results[name] = f"OK rows={len(srows)}"
+        else:
+            diffs = [(a, b) for a, b in zip(sk, ok) if a != b][:3]
+            results[name] = "HASH-MISMATCH " + " ;; ".join(
+                f"spark[{a[:160]}] oracle[{b[:160]}]" for a, b in diffs)
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    n_ro = sum(1 for v in results.values() if v.startswith("rows-only"))
+    for k in sorted(results):
+        print(f"{k:28s} {results[k]}")
+    print(f"\n{n_ok} OK, {n_ro} rows-only, "
+          f"{len(results) - n_ok - n_ro} FAIL of {len(results)}")
+    sys.exit(0 if n_ok + n_ro == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
