@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, FunctionQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ import graft.queries.CoreQueries
 object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
       Map[String, String])] = Seq(
-    (CoreQueries.defs, CoreQueries.oracle)
+    (CoreQueries.defs, CoreQueries.oracle),
+    (FunctionQueries.defs, FunctionQueries.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
 /** Test-table loader over the driver-generated parquet dirs
   * (`/root/testdata/sf*`, see TESTDATA.md). One parquet file per table.
@@ -16,7 +17,17 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+      // timestamp type, so read the raw int64 and truncate to micros
+      // (the generator writes micro-resolution values, so truncation is
+      // lossless and matches DuckDB's value).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view named after the table, so SQL-text
     * entry points (`spark.sql`) resolve the same names the DuckDB oracle

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Accessor for the `private[sql]` Column↔Expression conversions in
+  * Spark 4's classic API (`org.apache.spark.sql.classic.ExpressionUtils`).
+  * Needed to register dialect functions as native expression builders
+  * (graft.functions.Registry) without any UDF indirection. */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
