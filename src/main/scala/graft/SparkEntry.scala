@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, FunctionQueries}
+import graft.queries.{CoreQueries, FunctionQueries, MaterializeQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
       Map[String, String])] = Seq(
     (CoreQueries.defs, CoreQueries.oracle),
-    (FunctionQueries.defs, FunctionQueries.oracle)
+    (FunctionQueries.defs, FunctionQueries.oracle),
+    (MaterializeQueries.defs, MaterializeQueries.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,43 @@
+package graft.materialize
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Incremental-materialization strategies as pure DataFrame programs —
+  * the relational core of the reference's incremental macros
+  * (reference `macros/materializations/incremental.sql:110-190`). The
+  * storage layer ([[Materializer]]) wires these to table rewrites; the
+  * programs themselves are side-effect-free so they can be oracle-checked
+  * directly.
+  *
+  * Scale notes: `merge`/`deleteInsert` shuffle both sides on the unique
+  * key — at 100 TB the target table should be bucketed/partitioned on the
+  * same key so only matching partitions rewrite (the partition variant
+  * does exactly that and is preferred when a partition column exists).
+  * Spark plans the anti-join as broadcast automatically when the staging
+  * side is small, which is the common incremental case.
+  */
+object Incremental {
+
+  /** `append`: INSERT INTO target SELECT * FROM staging
+    * (incremental.sql:110-128). */
+  def append(target: DataFrame, staging: DataFrame): DataFrame =
+    target.unionByName(staging)
+
+  /** `delete+insert` / `merge` on unique keys. The reference implements
+    * BOTH as delete-matching-then-insert (merge is "implemented as
+    * DELETE+INSERT" — incremental.sql:161-190): rows in the target whose
+    * key appears in staging are replaced wholesale. */
+  def merge(target: DataFrame, staging: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(staging, keys, "left_anti").unionByName(staging)
+
+  /** `delete+insert` partition variant: DELETE WHERE partition IN
+    * (SELECT DISTINCT partition FROM staging) then insert
+    * (incremental.sql:137-154). With a partitioned target table this is a
+    * metadata-only dynamic partition overwrite — no anti-join shuffle. */
+  def deleteInsertByPartition(target: DataFrame, staging: DataFrame,
+      partitionCol: String): DataFrame = {
+    val parts = staging.select(col(partitionCol)).distinct()
+    target.join(parts, Seq(partitionCol), "left_anti").unionByName(staging)
+  }
+}

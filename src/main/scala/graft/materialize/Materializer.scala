@@ -1,0 +1,102 @@
+package graft.materialize
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.model.{Dag, ModelNode}
+import graft.warehouse.Warehouse
+
+/** Executes a model DAG against a [[Warehouse]] — the engine-side
+  * equivalent of the reference's materialization macros + adapter executor
+  * (reference `impl.py:222-303` and the materialization SQL macros).
+  *
+  * Immutable-storage translation of the reference's mutating SQL:
+  * DELETE/UPDATE/MERGE become the pure DataFrame programs in
+  * [[Incremental]] / [[Snapshot]] followed by a table rewrite; `append`
+  * is a real Parquet append (no rewrite). Each write can be verified by
+  * row-count reconciliation (the reference's correctness primitive,
+  * `sync_manager.py:101-114`) via [[graft.sync.SyncManager]].
+  */
+final class Materializer(wh: Warehouse, targetSchema: String = "main") {
+
+  /** Run every node in dependency order; returns the materialized
+    * DataFrames by model name. */
+  def run(nodes: Seq[ModelNode], now: Column = null): Map[String, DataFrame] =
+    Dag.topoOrder(nodes).map(n => n.name -> materialize(n, Option(now))).toMap
+
+  def schemaOf(n: ModelNode): String =
+    Dag.schemaName(targetSchema, n.config.customSchema)
+
+  def materialize(n: ModelNode, now: Option[Column] = None): DataFrame = {
+    val spark = wh.spark
+    val df = n.build(spark)
+    val schema = schemaOf(n)
+    n.config.materialized match {
+      case "view" =>
+        wh.createView(df, schema, n.name)
+
+      case "table" =>
+        wh.createTableAs(df, schema, n.name,
+          n.config.partitionBy.toSeq)
+
+      case "incremental" =>
+        if (!wh.tableExists(schema, n.name)) // first run = CTAS
+          wh.createTableAs(df, schema, n.name, n.config.partitionBy.toSeq)
+        else n.config.incrementalStrategy match {
+          case "append" =>
+            wh.append(df, schema, n.name)
+          case "delete+insert" | "merge" =>
+            val target = wh.read(schema, n.name)
+            val merged = n.config.partitionBy match {
+              case Some(p) if n.config.uniqueKey.isEmpty =>
+                Incremental.deleteInsertByPartition(target, df, p)
+              case _ =>
+                require(n.config.uniqueKey.nonEmpty,
+                  s"${n.name}: delete+insert/merge needs unique_key or partition_by")
+                Incremental.merge(target, df, n.config.uniqueKey)
+            }
+            rewrite(merged, schema, n.name, n.config.partitionBy.toSeq)
+          case other =>
+            throw new IllegalArgumentException(
+              s"${n.name}: unknown incremental strategy '$other'")
+        }
+
+      case "snapshot" =>
+        val nowCol = now.getOrElse(throw new IllegalArgumentException(
+          s"${n.name}: snapshots need an explicit now (no wall-clock reads)"))
+        val strategy = snapshotStrategy(n)
+        val next =
+          if (!wh.tableExists(schema, n.name))
+            Snapshot.firstRun(df, n.config.uniqueKey, strategy, nowCol)
+          else Snapshot.update(wh.read(schema, n.name), df,
+            n.config.uniqueKey, strategy, nowCol,
+            hardDelete = n.config.invalidateHardDeletes)
+        rewrite(next, schema, n.name, Nil)
+
+      case other =>
+        throw new IllegalArgumentException(
+          s"${n.name}: unknown materialization '$other'")
+    }
+    wh.read(schema, n.name)
+  }
+
+  private def snapshotStrategy(n: ModelNode): Snapshot.Strategy =
+    (n.config.snapshotUpdatedAt, n.config.snapshotCheckCols) match {
+      case (Some(u), _) => Snapshot.TimestampStrategy(u)
+      case (None, cols) if cols.nonEmpty => Snapshot.CheckStrategy(cols)
+      case _ => throw new IllegalArgumentException(
+        s"${n.name}: snapshot needs snapshotUpdatedAt or snapshotCheckCols")
+    }
+
+  /** Rewrite-in-place: materialize the merged plan to a temp location
+    * first (the target's own files feed the plan — overwriting directly
+    * would corrupt the read), then swap. Mirrors the reference's
+    * tmp-table-then-swap (incremental.sql:110-123). */
+  private def rewrite(df: DataFrame, schema: String, name: String,
+      partitionBy: Seq[String]): Unit = {
+    val tmp = name + "__tmp"
+    wh.createTableAs(df, schema, tmp, partitionBy)
+    wh.createTableAs(wh.read(schema, tmp), schema, name, partitionBy)
+    wh.drop(schema, tmp)
+  }
+}

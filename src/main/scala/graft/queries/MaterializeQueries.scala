@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.materialize.{Incremental, Snapshot}
+
+/** The materialization semantics of SURVEY.md §2.11 — incremental
+  * append / delete+insert / merge and SCD2 snapshots — run as the same
+  * pure DataFrame programs the [[graft.materialize.Materializer]] wires
+  * to storage, on deterministic slices of the test tables, with full SQL
+  * oracles. */
+object MaterializeQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic "existing target" slice: orders before 1998. */
+  private def target(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+
+  /** Deterministic "new batch" slice: orders of H2-1997 onward, with
+    * re-priced rows (so merge visibly replaces). */
+  private def staging(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-07-01"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * 2.0).cast(DecimalType(18, 2)).as("price"))
+
+  private val targetSql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin
+  private val stagingSql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(o_totalprice * 2.0 AS DECIMAL(18,2)) AS price
+      |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01'""".stripMargin
+
+  // ------------------------------------------------------------ snapshot
+  private val T1 = "2024-01-01 00:00:00"
+  private val T2 = "2024-02-01 00:00:00"
+  private val NOW2 = "2024-02-15 00:00:00"
+
+  /** Snapshot source v1: every customer, pinned updated_at. */
+  private def custV1(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        col("c_acctbal").cast(DecimalType(12, 2)).as("bal"),
+        lit(T1).cast(TimestampType).as("updated_at"))
+
+  /** v2: nationkey<5 rows changed, custkey%97==0 rows hard-deleted,
+    * 20 brand-new keys appended. */
+  private def custV2(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val changedOrSame = c.filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        when(col("c_nationkey") < 5,
+          (col("c_acctbal") + 100.0).cast(DecimalType(12, 2)))
+          .otherwise(col("c_acctbal").cast(DecimalType(12, 2))).as("bal"),
+        when(col("c_nationkey") < 5, lit(T2)).otherwise(lit(T1))
+          .cast(TimestampType).as("updated_at"))
+    val fresh = c.filter(col("c_custkey") < 20)
+      .select((col("c_custkey") + 1000000).as("c_custkey"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal").cast(DecimalType(12, 2)).as("bal"),
+        lit(T2).cast(TimestampType).as("updated_at"))
+    changedOrSame.unionByName(fresh)
+  }
+
+  private val custV1Sql =
+    s"""SELECT c_custkey, c_mktsegment AS segment,
+       |  CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+       |  TIMESTAMP '$T1' AS updated_at
+       |FROM customer""".stripMargin
+  private val custV2Sql =
+    s"""SELECT c_custkey, c_mktsegment AS segment,
+       |  CASE WHEN c_nationkey < 5 THEN CAST(c_acctbal + 100.0 AS DECIMAL(12,2))
+       |       ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS bal,
+       |  CASE WHEN c_nationkey < 5 THEN TIMESTAMP '$T2'
+       |       ELSE TIMESTAMP '$T1' END AS updated_at
+       |FROM customer WHERE c_custkey % 97 <> 0
+       |UNION ALL
+       |SELECT c_custkey + 1000000 AS c_custkey, c_mktsegment AS segment,
+       |  CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+       |  TIMESTAMP '$T2' AS updated_at
+       |FROM customer WHERE c_custkey < 20""".stripMargin
+
+  /** The audit projection of [[Snapshot.stage]] in SQL. */
+  private def stageSql(src: String): String =
+    s"""SELECT *,
+       |  md5(concat_ws('-', CAST(c_custkey AS VARCHAR),
+       |    CAST(updated_at AS VARCHAR))) AS dbt_scd_id,
+       |  updated_at AS dbt_updated_at,
+       |  updated_at AS dbt_valid_from,
+       |  CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+       |FROM ($src)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    // incremental/append (incremental.sql:110-128)
+    "m_incr_append" -> ((s, dir) => {
+      val t = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val n = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      Incremental.append(t, n)
+    }),
+
+    // incremental/merge == delete+insert on unique key
+    // (incremental.sql:161-190)
+    "m_incr_merge" -> ((s, dir) =>
+      Incremental.merge(target(s, dir), staging(s, dir), Seq("o_orderkey"))),
+
+    // incremental/delete+insert partition variant (incremental.sql:137-154)
+    "m_incr_delete_insert_part" -> ((s, dir) => {
+      val t = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      val n = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01"))
+        .select(col("o_orderkey"), (col("o_totalprice") * 2.0).as("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      Incremental.deleteInsertByPartition(t, n, "ym")
+    }),
+
+    // snapshot first run (snapshot.sql:120-131)
+    "m_snapshot_first" -> ((s, dir) =>
+      Snapshot.firstRun(custV1(s, dir), Seq("c_custkey"),
+        Snapshot.TimestampStrategy("updated_at"),
+        lit(T1).cast(TimestampType))),
+
+    // snapshot update: changed + hard-deleted + new keys, SCD2 history
+    // (snapshot.sql:133-232)
+    "m_snapshot_scd2" -> ((s, dir) => {
+      val first = Snapshot.firstRun(custV1(s, dir), Seq("c_custkey"),
+        Snapshot.TimestampStrategy("updated_at"), lit(T1).cast(TimestampType))
+      Snapshot.update(first, custV2(s, dir), Seq("c_custkey"),
+        Snapshot.TimestampStrategy("updated_at"),
+        lit(NOW2).cast(TimestampType), hardDelete = true)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m_incr_append" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "m_incr_merge" ->
+      s"""WITH t AS ($targetSql), s AS ($stagingSql)
+         |SELECT * FROM t WHERE NOT EXISTS
+         |  (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
+         |UNION ALL SELECT * FROM s""".stripMargin,
+
+    "m_incr_delete_insert_part" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS ym FROM orders),
+        |  s AS (SELECT o_orderkey, o_totalprice * 2.0 AS o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS ym FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        |SELECT * FROM t WHERE ym NOT IN (SELECT DISTINCT ym FROM s)
+        |UNION ALL SELECT * FROM s""".stripMargin,
+
+    "m_snapshot_first" -> stageSql(custV1Sql),
+
+    "m_snapshot_scd2" ->
+      s"""WITH t0 AS (${stageSql(custV1Sql)}),
+         |  s2 AS (${stageSql(custV2Sql)}),
+         |  closed AS (
+         |    SELECT t.c_custkey, t.segment, t.bal, t.updated_at,
+         |      t.dbt_scd_id, t.dbt_updated_at, t.dbt_valid_from,
+         |      CASE WHEN s.dbt_scd_id IS NOT NULL
+         |             AND s.dbt_scd_id <> t.dbt_scd_id THEN s.dbt_valid_from
+         |           WHEN s.dbt_scd_id IS NULL THEN TIMESTAMP '$NOW2'
+         |           ELSE t.dbt_valid_to END AS dbt_valid_to
+         |    FROM t0 t LEFT JOIN s2 s ON t.c_custkey = s.c_custkey),
+         |  ins AS (
+         |    SELECT s.* FROM s2 s LEFT JOIN t0 t ON s.c_custkey = t.c_custkey
+         |    WHERE t.dbt_scd_id IS NULL OR t.dbt_scd_id <> s.dbt_scd_id)
+         |SELECT * FROM closed UNION ALL SELECT * FROM ins""".stripMargin
+  )
+}

@@ -238,10 +238,13 @@ object SnowflakeSql {
     * leaving Spark's own 2-arg `dateadd(start, days)` /
     * `datediff(end, start)` untouched. */
   private def rewriteDateFns(sql: String): String = {
-    val re = "(?i)\\b(dateadd|datediff|timestampadd|timestampdiff)\\s*\\(\\s*'?([A-Za-z]+)'?\\s*,".r
+    val re = "(?i)\\b(dateadd|datediff|timestampadd|timestampdiff)\\s*\\(\\s*('?)([A-Za-z]+)'?\\s*,".r
     re.replaceAllIn(sql, m => {
-      val unit = m.group(2).toLowerCase
-      if (units.contains(unit)) {
+      val unit = m.group(3).toLowerCase
+      val quoted = m.group(2) == "'"
+      // a bare single letter (e.g. `dateadd(d, 5)`) is far more likely a
+      // column than the Snowflake 'd' unit — require quotes for those
+      if (units.contains(unit) && (quoted || unit.length > 1)) {
         val fn = if (m.group(1).toLowerCase.endsWith("add")) "graft_dateadd"
         else "graft_datediff"
         s"$fn('$unit',"
@@ -253,7 +256,7 @@ object SnowflakeSql {
 
   /** If the query has a top-level QUALIFY, return (inner SQL with hoisted
     * window columns, outer predicate, hoisted alias names). */
-  private[transpile] def splitQualify(sql: String)
+  private[graft] def splitQualify(sql: String)
       : Option[(String, String, Seq[String])] = {
     val qIdx = findTopLevel(sql, "qualify")
     if (qIdx < 0) return None

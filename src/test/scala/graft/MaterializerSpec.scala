@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.materialize.Materializer
+import graft.model.{Dag, ModelConfig, ModelNode}
+import graft.warehouse.Warehouse
+
+class MaterializerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshWh(): Warehouse =
+    new Warehouse(spark, Files.createTempDirectory("graft_wh").toString)
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("table materialization writes and reads back") {
+    val wh = freshWh()
+    val m = new Materializer(wh)
+    val node = ModelNode("nations", ModelConfig("table"), Nil)(
+      s => Tables.load(s, sf, "nation"))
+    m.materialize(node)
+    assert(wh.read("main", "nations").count() == 25)
+    assert(wh.tableExists("main", "nations"))
+  }
+
+  test("view materialization registers without writing files") {
+    val wh = freshWh()
+    val m = new Materializer(wh)
+    val node = ModelNode("v_regions", ModelConfig("view"), Nil)(
+      s => Tables.load(s, sf, "region"))
+    m.materialize(node)
+    assert(wh.viewExists("main", "v_regions"))
+    assert(!wh.tableExists("main", "v_regions"))
+    assert(wh.read("main", "v_regions").count() == 5)
+  }
+
+  test("incremental append accumulates; merge replaces by key") {
+    val wh = freshWh()
+    val m = new Materializer(wh)
+    val appendNode = ModelNode("inc_a",
+      ModelConfig("incremental", incrementalStrategy = "append"), Nil)(
+      s => Tables.load(s, sf, "region"))
+    m.materialize(appendNode) // first run: CTAS
+    m.materialize(appendNode) // append
+    assert(wh.read("main", "inc_a").count() == 10)
+
+    val base = ModelNode("inc_m",
+      ModelConfig("incremental", uniqueKey = Seq("r_regionkey"),
+        incrementalStrategy = "merge"), Nil)(
+      s => Tables.load(s, sf, "region"))
+    m.materialize(base)
+    val relabel = base.copy(build =
+      s => Tables.load(s, sf, "region").withColumn("r_name", lit("XX")))
+    m.materialize(relabel)
+    val out = wh.read("main", "inc_m")
+    assert(out.count() == 5) // replaced, not duplicated
+    assert(out.filter(col("r_name") === "XX").count() == 5)
+  }
+
+  test("snapshot runs twice and versions changed rows") {
+    val wh = freshWh()
+    val m = new Materializer(wh)
+    val t1 = lit("2024-01-01 00:00:00").cast(TimestampType)
+    val t2 = lit("2024-02-01 00:00:00").cast(TimestampType)
+    def src(mutate: Boolean) = ModelNode("snap",
+      ModelConfig("snapshot", uniqueKey = Seq("r_regionkey"),
+        snapshotUpdatedAt = Some("updated_at"),
+        invalidateHardDeletes = true), Nil)(
+      s => {
+        val r = Tables.load(s, sf, "region")
+        if (!mutate) r.withColumn("updated_at", t1)
+        else r.filter(col("r_regionkey") =!= 4)
+          .withColumn("r_name",
+            when(col("r_regionkey") === 0, lit("RENAMED"))
+              .otherwise(col("r_name")))
+          .withColumn("updated_at",
+            when(col("r_regionkey") === 0, t2).otherwise(t1))
+      })
+    m.materialize(src(mutate = false), Some(t1))
+    m.materialize(src(mutate = true), Some(t2))
+    val out = wh.read("main", "snap")
+    // 5 original versions + 1 new version of key 0
+    assert(out.count() == 6)
+    // key 0: old version closed at t2, new open version RENAMED
+    val k0 = out.filter(col("r_regionkey") === 0)
+    assert(k0.count() == 2)
+    assert(k0.filter(col("dbt_valid_to").isNull)
+      .select("r_name").head().getString(0) == "RENAMED")
+    // key 4 was hard-deleted: closed, no open version
+    val k4 = out.filter(col("r_regionkey") === 4)
+    assert(k4.count() == 1 && k4.filter(col("dbt_valid_to").isNull).count() == 0)
+    // untouched keys stay open
+    assert(out.filter(col("dbt_valid_to").isNull).count() == 4)
+  }
+
+  test("DAG topo-orders dependencies and detects cycles") {
+    val a = ModelNode("a", ModelConfig(), Nil)(_ => null)
+    val b = ModelNode("b", ModelConfig(), Seq("model.graft.a"))(_ => null)
+    val c = ModelNode("c", ModelConfig(), Seq("model.graft.b", "model.graft.a"))(_ => null)
+    assert(Dag.topoOrder(Seq(c, b, a)).map(_.name) == Seq("a", "b", "c"))
+    val x = ModelNode("x", ModelConfig(), Seq("model.graft.y"))(_ => null)
+    val y = ModelNode("y", ModelConfig(), Seq("model.graft.x"))(_ => null)
+    assertThrows[IllegalStateException](Dag.topoOrder(Seq(x, y)))
+  }
+
+  test("schema name generation matches reference adapters.sql:9-16") {
+    assert(Dag.schemaName("analytics", None) == "analytics")
+    assert(Dag.schemaName("analytics", Some("staging")) == "analytics_staging")
+  }
+
+  test("partition-scoped incremental rewrites only staged partitions") {
+    val wh = freshWh()
+    val m = new Materializer(wh)
+    def build(tag: String, monthGe: String) = ModelNode("inc_p",
+      ModelConfig("incremental", incrementalStrategy = "delete+insert",
+        partitionBy = Some("ym")), Nil)(
+      s => Tables.load(s, sf, "orders")
+        .filter(date_format(col("o_orderdate"), "yyyy-MM") >= monthGe)
+        .select(col("o_orderkey"), lit(tag).as("tag"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym")))
+    m.materialize(build("v1", "1995-01"))
+    val before = wh.read("main", "inc_p").count()
+    m.materialize(build("v2", "2001-01"))
+    val out = wh.read("main", "inc_p")
+    assert(out.count() == before) // same keys, partitions replaced
+    assert(out.filter(col("ym") >= "2001-01")
+      .filter(col("tag") =!= "v2").count() == 0)
+    assert(out.filter(col("ym") < "2001-01")
+      .filter(col("tag") =!= "v1").count() == 0)
+  }
+}
