@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, FunctionQueries, MaterializeQueries}
+import graft.queries.{CoreQueries, DataOpsQueries, FunctionQueries,
+  MaterializeQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +17,8 @@ object SparkEntry {
       Map[String, String])] = Seq(
     (CoreQueries.defs, CoreQueries.oracle),
     (FunctionQueries.defs, FunctionQueries.oracle),
-    (MaterializeQueries.defs, MaterializeQueries.oracle)
+    (MaterializeQueries.defs, MaterializeQueries.oracle),
+    (DataOpsQueries.defs, DataOpsQueries.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

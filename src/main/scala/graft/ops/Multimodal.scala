@@ -1,0 +1,114 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads plus typed metadata, with decode / feature-extract / resize /
+  * frame-sample stages as typed `mapPartitions` programs (the Scala
+  * analog of `mapInPandas` batch UDFs).
+  *
+  * The DECODE STEP IS A STUB: the image/audio codecs are not present in
+  * this container, so [[decodeStub]] produces a deterministic fake
+  * decode (dimensions/duration derived from the payload hash). The
+  * Spark-side plumbing — schema, batch iteration shape, partitioning,
+  * feature schema — is real and tested (OpsSpec); swapping
+  * [[decodeStub]] for a codec call is the only change needed for real
+  * media.
+  *
+  * Scale notes: payloads never leave their partition (no shuffle in
+  * decode/extract); `repartition(n)` upstream sizes partitions so one
+  * batch of payloads fits in executor memory — the knob that matters
+  * when payload rows are MBs, not bytes.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      media_id: Long,
+      media_type: String, // image | audio | video
+      payload: Array[Byte],
+      source: String)
+
+  final case class DecodedMedia(
+      media_id: Long,
+      media_type: String,
+      byte_len: Long,
+      sha256: String,
+      width: Int, // stub-decoded
+      height: Int,
+      duration_ms: Long)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      byte_len: Long,
+      sha256: String,
+      feature: Array[Float]) // stub embedding
+
+  /** STUB decode — deterministic fake: dimensions/duration derived from
+    * the payload digest. Replace with a codec call for real media. */
+  def decodeStub(id: Long, mediaType: String,
+      payload: Array[Byte]): DecodedMedia = {
+    val digest = MessageDigest.getInstance("SHA-256").digest(payload)
+    val hex = digest.map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    DecodedMedia(id, mediaType, payload.length.toLong, hex,
+      width = (h % 1920).toInt + 1, height = ((h >> 8) % 1080).toInt + 1,
+      duration_ms = if (mediaType == "image") 0L else (h % 600000))
+  }
+
+  /** Batch decode over partitions — the mapPartitions shape keeps one
+    * codec context per partition, not per row. */
+  def decode(rows: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // per-partition init would open the codec once, here a no-op
+      it.map(r => decodeStub(r.media_id, r.media_type, r.payload))
+    }
+  }
+
+  /** STUB feature extraction: an 8-dim embedding from the digest bytes —
+    * the batch shape (iterator-in/iterator-out) is what a real model
+    * inference stage uses. */
+  def extractFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val d = decodeStub(r.media_id, r.media_type, r.payload)
+        val f = (0 until 8).map { i =>
+          Integer.parseInt(d.sha256.substring(i * 2, i * 2 + 2), 16)
+            .toFloat / 255f
+        }.toArray
+        MediaFeatures(r.media_id, r.media_type, d.byte_len, d.sha256, f)
+      }
+    }
+  }
+
+  /** Frame sampling stub for video rows: every `everyMs` milliseconds of
+    * the stub duration — the row-explode shape of real frame sampling. */
+  def sampleFrames(decoded: Dataset[DecodedMedia],
+      everyMs: Long = 60000): DataFrame = {
+    import decoded.sparkSession.implicits._
+    decoded.filter(_.media_type == "video")
+      .flatMap { d =>
+        (0L until math.max(d.duration_ms, 1L) by everyMs).map(ts =>
+          (d.media_id, ts, d.sha256.take(16) + f"@$ts%08d"))
+      }
+      .toDF("media_id", "frame_ts_ms", "frame_ref")
+  }
+
+  /** Build a synthetic media table from the documents table (binary
+    * payload = utf-8 text bytes) — the test-data stand-in for real blob
+    * columns. */
+  def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "utf-8").as("payload"),
+      col("source"))
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import TextOps.h32
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — north-star similarity-search operators.
+  *
+  *   - [[bruteForceTopK]]: exact baseline — queries × corpus scored with
+  *     a codegen'd fold, top-k per query via window. The query side is
+  *     broadcast (it is small by construction), so the corpus is scanned
+  *     once with no shuffle of the big side.
+  *   - [[lshTopK]]: the scale path — random-hyperplane LSH buckets;
+  *     candidates only form inside a query's bucket, turning the N×M
+  *     cross product into per-bucket joins. Hyperplanes are derived
+  *     deterministically from [[TextOps.h32]], so results are
+  *     reproducible across engines and runs (no wall-clock, no RNG
+  *     state).
+  */
+object Similarity {
+
+  /** Cosine similarity of two double arrays — sequential fold keeps the
+    * summation order engine-deterministic. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
+    dot / (na * nb)
+  }
+
+  private def asDouble(vec: Column): Column =
+    transform(vec, x => x.cast(DoubleType))
+
+  /** Exact top-k neighbors for each query vector. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for
+    * (table, plane, dim): uniform in [-1, 1] from the md5-derived hash. */
+  private def planeComponent(table: Int, p: Int, d: Column): Column =
+    (h32(concat(lit(s"$table:$p/"), d.cast(StringType))) % 2001
+      - 1000).cast(DoubleType) / 1000.0
+
+  /** Sign-bucket of a vector under `numPlanes` hyperplanes of hash table
+    * `table`. */
+  def lshBuckets(vec: Column, numPlanes: Int, table: Int = 0): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x * planeComponent(table, p, d)),
+        lit(0.0), _ + _)
+      when(dot >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    bits.foldLeft(lit(0L))((acc, b) => acc * 2 + b)
+  }
+
+  /** Per-table (table_idx, bucket) pairs as an array column — one entry
+    * per hash table, for the standard multi-table LSH recall boost. */
+  private def tableBuckets(vec: Column, numPlanes: Int,
+      numTables: Int): Column =
+    array((0 until numTables).map(t =>
+      struct(lit(t).as("t"), lshBuckets(vec, numPlanes, t).as("b"))): _*)
+
+  /** ANN top-k: candidates share the query's bucket in ANY of
+    * `numTables` hash tables (multi-table LSH — each extra table trades
+    * compute for recall; random high-dim corpora need several). Recall
+    * vs [[bruteForceTopK]] is validated in OpsSpec. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numPlanes: Int = 8, numTables: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(tableBuckets(col("qv"), numPlanes, numTables)).as("tb"))
+      .select(col("query_id"), col("qv"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cv"))
+      .select(col("cand_id"), col("cv"),
+        explode(tableBuckets(col("cv"), numPlanes, numTables)).as("tb"))
+      .select(col("cand_id"), col("cv"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = c.join(broadcast(q), Seq("t", "b"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
+      .distinct() // a pair may collide in several tables
+    val scored = cand.select(col("query_id"), col("cand_id"),
+      cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

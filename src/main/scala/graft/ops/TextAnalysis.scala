@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import TextOps._
+
+/** Text-analysis operators for corpus curation — language ID, quality
+  * scoring, token counting, fingerprinting (north-star text-analysis
+  * block). All pure column programs: one narrow pass over the corpus,
+  * no shuffles at all, so they stream at scan speed on any corpus size.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language function-word lexicons for the n-gram/stopword
+    * language-ID heuristic. */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zai"))
+
+  private def lexHits(toks: Column, lex: Seq[String]): Column =
+    aggregate(toks, lit(0),
+      (acc, t) => acc + when(t.isInCollection(lex), 1).otherwise(0))
+
+  /** Predicted language = argmax lexicon hits, alphabetical tie-break
+    * (deterministic); null-ish text predicts the first language. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = lexicons.map { case (lang, lex) =>
+      struct(lexHits(toks, lex).as("hits"), lit(lang).as("lang"))
+    }
+    // max over (hits, lang-reversed) — alphabetically first wins ties
+    val best = scored.reduce((a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
+    best.getField("lang")
+  }
+
+  def langIdScores(text: Column): Column = {
+    val toks = tokens(text)
+    struct(lexicons.map { case (lang, lex) =>
+      lexHits(toks, lex).as(s"hits_$lang")
+    }: _*)
+  }
+
+  /** Quality facets + a composite score in [0,1]: length band, stopword
+    * presence, punctuation restraint, word-length sanity — the
+    * length/punct/stopword-ratio heuristics of corpus filtering. */
+  def qualityFacets(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nToks = size(toks)
+    val meanLen = when(nToks > 0,
+      aggregate(toks, lit(0), (acc, t) => acc + length(t))
+        .cast(DoubleType) / nToks).otherwise(lit(0.0))
+    val punct = length(regexp_replace(text, "[^.!?,;:]", ""))
+    val punctRatio = when(nChars > 0,
+      punct.cast(DoubleType) / nChars).otherwise(lit(0.0))
+    val stopHits = lexHits(toks, lexicons.toMap.apply("en"))
+    val stopRatio = when(nToks > 0,
+      stopHits.cast(DoubleType) / nToks).otherwise(lit(0.0))
+    struct(nChars.as("n_chars"), nToks.as("n_tokens"),
+      meanLen.as("mean_token_len"), punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"))
+  }
+
+  def qualityScore(text: Column): Column = {
+    val f = qualityFacets(text)
+    val lengthOk = when(f.getField("n_tokens").between(10, 10000), 1.0)
+      .otherwise(0.0)
+    val wordLenOk = when(f.getField("mean_token_len").between(2.0, 12.0), 1.0)
+      .otherwise(0.0)
+    val punctOk = when(f.getField("punct_ratio") <= 0.2, 1.0).otherwise(0.0)
+    (lengthOk * 0.4 + wordLenOk * 0.3 + punctOk * 0.3)
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish split (letter runs,
+    * single digits, single punctuation) — the common pre-tokenizer
+    * shape. */
+  def tokenCounts(text: Column): Column =
+    struct(
+      size(filter(split(text, "\\s+"), t => t =!= "")).as("ws_tokens"),
+      regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+        .as("bpe_ish_tokens"))
+
+  /** Document fingerprint: full-content md5 + min-hash of char-5-gram
+    * shingles (a 1-hash MinHash — the rolling-hash winnowing
+    * fingerprint's cheap cousin, robust to whitespace). */
+  def fingerprint(text: Column): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    struct(
+      md5(norm).as("content_md5"),
+      array_min(transform(charShingles(text, 5), s => h32(s)))
+        .as("shingle_minhash"))
+  }
+
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("tokens", tokenCounts(col(textCol)))
+      .withColumn("fp", fingerprint(col(textCol)))
+}

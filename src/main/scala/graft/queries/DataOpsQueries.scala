@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** The north-star LLM-data-pipeline operators (BASELINE.json) as
+  * oracle-checked queries over `documents` / `embeddings`:
+  * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+  * cosine), similarity search (brute-force + LSH ANN), text analysis
+  * (language ID, quality, token counts, fingerprints), and the
+  * multimodal binary-column pipeline (stub decode, real plumbing).
+  */
+object DataOpsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Shared DuckDB fragments mirroring graft.ops.TextOps exactly
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private def h32Sql(arg: String) =
+    s"('0x' || substr(md5($arg), 1, 8))::BIGINT"
+  private val shingleSql = // distinct word 3-grams over toks column t
+    """CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+      |  generate_series(1, len(t) - 2),
+      |  i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+      |ELSE [] END""".stripMargin
+
+  /** documents plus synthesized exact duplicates (doc_id+10000). */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+  private val docsWithDupsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 10000, text FROM documents
+      |WHERE doc_id % 50 = 0""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    // -------------------------------------------------------- dedup
+    "d_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docsWithDups(s, dir))),
+
+    "d_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.load(s, dir, "documents"),
+        shingleLen = 3, numHashes = 16, bands = 8, threshold = 0.5)),
+
+    "d_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashTable(Tables.load(s, dir, "documents"))),
+
+    "d_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+        blockCol = "lang", threshold = 0.5)),
+
+    "d_dedup_embed" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val dup = e.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+          col("label"))
+      Dedup.embeddingCosineDups(e.unionByName(dup.select(e.columns.map(col): _*)),
+        blockCol = "label", threshold = 0.99)
+    }),
+
+    // -------------------------------------------- similarity search
+    "s_ann_bruteforce" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 5)
+    }),
+
+    // LSH ANN: rows-only check here; recall vs brute force in OpsSpec
+    "s_ann_lsh" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.lshTopK(e.filter(col("vec_id") < 50), e, k = 5,
+        numPlanes = 6, numTables = 8)
+    }),
+
+    // ------------------------------------------------ text analysis
+    "t_lang_id" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"), col("lang"),
+        TextAnalysis.langIdScores(col("text")).as("sc"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .select(col("doc_id"), col("lang"), col("sc.*"), col("lang_pred"))
+    }),
+
+    "t_quality" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.qualityFacets(col("text")).as("f"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .select(col("doc_id"), col("f.*"), col("quality"))
+    }),
+
+    "t_token_count" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCounts(col("text")).as("t"))
+        .select(col("doc_id"), col("t.*"))),
+
+    "t_fingerprint" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), col("fp.*"))),
+
+    // --------------------------------------------------- multimodal
+    "mm_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s,
+        Tables.load(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("media_type"), col("byte_len"),
+          col("sha256"))
+    }),
+
+    "mm_frames" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s,
+        Tables.load(s, dir, "documents"))
+      Multimodal.sampleFrames(Multimodal.decode(media))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d_dedup_exact" ->
+      s"""WITH all_docs AS ($docsWithDupsSql)
+         |SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+         |FROM all_docs
+         |GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))""".stripMargin,
+
+    "d_dedup_minhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shingleSql AS s FROM toks),
+         |sig AS (
+         |  SELECT doc_id, s,
+         |    list_transform(generate_series(0, 15), p ->
+         |      list_aggregate(list_transform(s, x ->
+         |        ${h32Sql("p::VARCHAR || ':' || x")}), 'min')) AS sg
+         |  FROM sh WHERE len(s) > 0),
+         |banded AS (
+         |  SELECT doc_id, s, bi,
+         |    md5(array_to_string(list_transform(
+         |      list_slice(sg, bi * 2 + 1, bi * 2 + 2), v -> v::VARCHAR),
+         |      ',')) AS bh
+         |  FROM sig, unnest(generate_series(0, 7)) u(bi)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.s, b.s))::DOUBLE /
+         |      len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM banded a JOIN banded b
+         |    ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+
+    "d_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(list_transform(generate_series(0, 31), i ->
+         |    CASE WHEN list_aggregate(list_transform(t, tk ->
+         |      CASE WHEN (${h32Sql("tk")} >> i) & 1 = 1 THEN 1 ELSE -1 END),
+         |      'sum') > 0 THEN 1::BIGINT ELSE 0::BIGINT END),
+         |    (a, b) -> a * 2 + b) AS simhash
+         |FROM toks""".stripMargin,
+
+    "d_dedup_ngram" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, lang, $shingleSql AS s FROM toks
+         |       WHERE len($shingleSql) > 0)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.s, b.s))::DOUBLE /
+         |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
+
+    "d_dedup_embed" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, label,
+        |    list_transform(embedding, x -> x * 1.001::FLOAT)
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |d AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM base)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(generate_series(1, len(a.v)),
+        |    i -> a.v[i] * b.v[i]), (x, y) -> x + y) /
+        |  (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y)) *
+        |   sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+        |  AS cosine
+        |FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(generate_series(1, len(a.v)),
+        |    i -> a.v[i] * b.v[i]), (x, y) -> x + y) /
+        |  (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y)) *
+        |   sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+        |  >= 0.99""".stripMargin,
+
+    "s_ann_bruteforce" ->
+      """WITH d AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    list_reduce(list_transform(generate_series(1, len(q.v)),
+        |      i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+        |    (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y)) *
+        |     sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y)))
+        |    AS cosine
+        |  FROM d q JOIN d c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, cand_id, cosine, rnk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, cand_id) AS rnk FROM scored) t
+        |WHERE rnk <= 5""".stripMargin,
+
+    "t_lang_id" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
+         |    ('der','die','und','das','ist','nicht','ein') THEN 1 ELSE 0 END), 'sum'), 0) AS hits_de,
+         |  COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
+         |    ('the','a','and','of','to','in','is') THEN 1 ELSE 0 END), 'sum'), 0) AS hits_en,
+         |  COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
+         |    ('el','la','de','que','y','en','los') THEN 1 ELSE 0 END), 'sum'), 0) AS hits_es,
+         |  COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
+         |    ('le','la','de','et','les','des','un') THEN 1 ELSE 0 END), 'sum'), 0) AS hits_fr,
+         |  COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
+         |    ('de','le','shi','bu','wo','you','zai') THEN 1 ELSE 0 END), 'sum'), 0) AS hits_zh
+         |  FROM toks)
+         |SELECT doc_id, lang, hits_de, hits_en, hits_es, hits_fr, hits_zh,
+         |  CASE
+         |    WHEN hits_de >= hits_en AND hits_de >= hits_es
+         |     AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+         |    WHEN hits_en >= hits_es AND hits_en >= hits_fr
+         |     AND hits_en >= hits_zh THEN 'en'
+         |    WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+         |    WHEN hits_fr >= hits_zh THEN 'fr'
+         |    ELSE 'zh' END AS lang_pred
+         |FROM sc""".stripMargin,
+
+    "t_quality" ->
+      s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+         |f AS (SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len(t) AS n_tokens,
+         |  CASE WHEN len(t) > 0 THEN
+         |    COALESCE(list_aggregate(list_transform(t, x -> length(x)), 'sum'), 0)::DOUBLE / len(t)
+         |  ELSE 0.0 END AS mean_token_len,
+         |  CASE WHEN length(text) > 0 THEN
+         |    length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE / length(text)
+         |  ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(t) > 0 THEN
+         |    COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
+         |      ('the','a','and','of','to','in','is') THEN 1 ELSE 0 END), 'sum'), 0)::DOUBLE / len(t)
+         |  ELSE 0.0 END AS stopword_ratio
+         |  FROM toks)
+         |SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
+         |  stopword_ratio,
+         |  CAST((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+         |  (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.3 +
+         |  (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.3 AS DOUBLE) AS quality
+         |FROM f""".stripMargin,
+
+    "t_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |    AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+        |    AS bpe_ish_tokens
+        |FROM documents""".stripMargin,
+
+    "t_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id,
+         |  regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+         |  FROM documents)
+         |SELECT doc_id, md5(norm) AS content_md5,
+         |  CASE WHEN length(norm) >= 5 THEN
+         |    list_aggregate(list_transform(
+         |      list_distinct(list_transform(generate_series(1, length(norm) - 4),
+         |        i -> substr(norm, i, 5))),
+         |      s -> ${h32Sql("s")}), 'min')
+         |  ELSE NULL END AS shingle_minhash
+         |FROM n""".stripMargin,
+
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS media_type,
+        |  octet_length(text::BLOB) AS byte_len,
+        |  sha256(text) AS sha256
+        |FROM documents""".stripMargin,
+
+    "mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, sha256(text) AS sh,
+        |    ('0x' || substr(sha256(text), 1, 8))::BIGINT % 600000 AS dur
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, ts AS frame_ts_ms,
+        |  substr(sh, 1, 16) || '@' || lpad(ts::VARCHAR, 8, '0') AS frame_ref
+        |FROM m, unnest(generate_series(0, greatest(dur, 1) - 1, 60000)) u(ts)""".stripMargin
+  )
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("minhash-LSH finds the planted near-duplicate pairs") {
+    val pairs = Dedup.minhashLsh(Tables.load(spark, sf, "documents"),
+      threshold = 0.5).collect()
+    // calibration run found 6 true pairs at jaccard >= 0.5 in sf0.01;
+    // LSH with 8 bands x 2 rows catches >= 90% of j >= 0.5 pairs
+    assert(pairs.length >= 4, s"got ${pairs.length} pairs")
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("LSH ANN recall vs brute force is reasonable") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, e, k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, e, k = 5, numPlanes = 5,
+      numTables = 12).select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // random 64-dim embeddings are LSH's worst case; multi-table
+    // bucketing buys recall back (numTables is the knob)
+    assert(recall > 0.4, s"recall=$recall")
+    assert(approx.nonEmpty)
+  }
+
+  test("LSH buckets partition the corpus (no all-in-one-bucket collapse)") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val buckets = e.select(Similarity.lshBuckets(
+      transform(col("embedding"), x => x.cast("double")), 6).as("b"))
+      .groupBy("b").count().collect()
+    assert(buckets.length > 8, s"only ${buckets.length} buckets")
+    assert(buckets.map(_.getLong(1)).max < 500)
+  }
+
+  test("multimodal pipeline: decode stub, features, frame sampling") {
+    val media = Multimodal.syntheticMedia(spark,
+      Tables.load(spark, sf, "documents"))
+    val decoded = Multimodal.decode(media)
+    assert(decoded.count() == 500)
+    val d0 = decoded.filter(_.media_id == 0L).head()
+    assert(d0.sha256.length == 64 && d0.byte_len > 0)
+    assert(d0.width >= 1 && d0.width <= 1920)
+    // images have no duration
+    assert(decoded.filter(_.media_type == "image")
+      .filter(_.duration_ms != 0L).count() == 0)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.head().feature.length == 8)
+    assert(feats.head().feature.forall(f => f >= 0f && f <= 1f))
+    // decode is deterministic: same ids -> same sha
+    val again = Multimodal.decode(media).filter(_.media_id == 0L).head()
+    assert(again.sha256 == d0.sha256)
+    val frames = Multimodal.sampleFrames(decoded)
+    assert(frames.count() > 0)
+    assert(frames.filter(col("frame_ts_ms") % 60000 =!= 0).count() == 0)
+  }
+
+  test("simhash of similar docs is closer than dissimilar (hamming)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and once"),
+      (3L, "completely different words about spark partitions and shuffles")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.simhashTable(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+  }
+}
