@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, DataOpsQueries, FunctionQueries,
-  MaterializeQueries}
+import graft.queries.{CoreQueries, DataOpsQueries, EventQueries,
+  FunctionQueries, MaterializeQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
     (CoreQueries.defs, CoreQueries.oracle),
     (FunctionQueries.defs, FunctionQueries.oracle),
     (MaterializeQueries.defs, MaterializeQueries.oracle),
-    (DataOpsQueries.defs, DataOpsQueries.oracle)
+    (DataOpsQueries.defs, DataOpsQueries.oracle),
+    (EventQueries.defs, EventQueries.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

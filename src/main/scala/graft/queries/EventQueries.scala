@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Event-stream batch analytics over the `events` table — the
+  * sessionization / windowed-aggregation patterns SURVEY.md §2.9 notes
+  * as the natural batch extension (the reference itself has no
+  * streaming). The streaming twins live in
+  * [[graft.streaming.StreamOps]]; these batch forms are the
+  * oracle-checkable semantics.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // gap-based sessionization: a session breaks after 30 idle minutes
+    "e_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val evs = Tables.load(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+              1800L * 1000000,
+            1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      evs.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("session_value"))
+    }),
+
+    // tumbling hourly windows per event type
+    "e_tumbling_hour" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("total_value"))),
+
+    // funnel: users whose first signup precedes a later purchase
+    "e_funnel" -> ((s, dir) => {
+      val evs = Tables.load(s, dir, "events")
+      val signups = evs.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val purchases = evs.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(max(col("ts")).as("last_purchase_ts"),
+          count(lit(1)).as("n_purchases"))
+      signups.join(purchases, Seq("user_id"))
+        .filter(col("last_purchase_ts") > col("signup_ts"))
+    }),
+
+    // JSON props extraction + top event per user by value (dedup window)
+    "e_top_event" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.load(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k")
+          .cast(IntegerType))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("k"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |se AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM se GROUP BY user_id, session_id""".stripMargin,
+
+    "e_tumbling_hour" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "e_funnel" ->
+      """WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT user_id, MAX(ts) AS last_purchase_ts,
+        |  COUNT(*) AS n_purchases FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT s.user_id, signup_ts, last_purchase_ts, n_purchases
+        |FROM s JOIN p ON s.user_id = p.user_id
+        |WHERE last_purchase_ts > signup_ts""".stripMargin,
+
+    "e_top_event" ->
+      """SELECT user_id, event_id, event_type, value,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id) AS rn FROM events) t
+        |WHERE rn = 1""".stripMargin
+  )
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event operators
+  * ([[graft.queries.EventQueries]]) — the streaming extension SURVEY.md
+  * §2.9 sequences after reference parity (the reference only *detects*
+  * stream syntax to route it away; we execute it).
+  *
+  * All transforms take/return streaming DataFrames so callers wire any
+  * source (`readStream.parquet/kafka/...`) and sink; tests drive them
+  * with a MemoryStream and a memory sink. Watermarks bound state: the
+  * windowed aggregation drops state for windows older than the
+  * watermark, and the sessionizer times out per-key state — both
+  * requirements for unbounded runs on a real cluster.
+  */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionUpdate(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, total_value: Double)
+
+  final case class SessionState(startUs: Long, endUs: Long, n: Long,
+      total: Double)
+
+  /** Watermarked tumbling-window counts/sums per event type. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Gap-based streaming sessionization via per-user state: a session
+    * closes after `gapSeconds` idle (event-time on the arriving batch)
+    * or — when `idleTimeout` is set — on processing-time timeout,
+    * emitting one [[SessionUpdate]] per closed session.
+    *
+    * `idleTimeout=false` disables the wall-clock timer (sessions then
+    * only close when a later event arrives): use it in replay/test
+    * harnesses, where a pending timer makes the micro-batch engine spin
+    * empty batches until the timer fires. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+      idleTimeout: Boolean = true): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, evs: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionUpdate] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(SessionUpdate(userId, s.startUs, s.endUs, s.n, s.total))
+      }
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[SessionUpdate]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000
+        cur match {
+          case Some(s) =>
+            if (us - s.endUs > gapSeconds * 1000000) {
+              closed ::= SessionUpdate(userId, s.startUs, s.endUs, s.n, s.total)
+              cur = Some(SessionState(us, us, 1L, e.value))
+            } else cur = Some(SessionState(s.startUs, math.max(s.endUs, us),
+              s.n + 1, s.total + e.value))
+          case None => cur = Some(SessionState(us, us, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        if (idleTimeout) state.setTimeoutDuration(gapSeconds * 1000)
+      }
+      closed.reverseIterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update)
+  }
+}

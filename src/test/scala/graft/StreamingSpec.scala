@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(m: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+
+  test("watermarked tumbling window aggregates a replayed batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0))
+    val q = StreamOps.tumblingCounts(in.toDF(), "1 hour", "2 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling").start()
+    q.processAllAvailable()
+    val rows = spark.table("tumbling")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows == Set(
+      ("2024-01-01 00:00:00", "click", 2L),
+      ("2024-01-01 01:00:00", "view", 1L)))
+  }
+
+  test("stateful sessionizer closes sessions across the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDS(), gapSeconds = 1800,
+      idleTimeout = false)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    // user 1: two events 10 min apart (one session), then one 40 min
+    // later -> first session closes when the late event arrives
+    in.addData(Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(3, ts(55), 1, "click", 4.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions").as[StreamOps.SessionUpdate]
+      .collect()
+    q.stop()
+    assert(closed.length == 1)
+    assert(closed.head.n_events == 2 && closed.head.total_value == 3.0)
+    assert(closed.head.session_start_us == ts(0).getTime * 1000)
+  }
+}
