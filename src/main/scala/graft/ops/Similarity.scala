@@ -53,18 +53,26 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for
-    * (table, plane, dim): uniform in [-1, 1] from the md5-derived hash. */
-  private def planeComponent(table: Int, p: Int, d: Column): Column =
-    (h32(concat(lit(s"$table:$p/"), d.cast(StringType))) % 2001
-      - 1000).cast(DoubleType) / 1000.0
+    * (table, plane, dim): uniform in [-1, 1] from an md5-derived hash.
+    * Computed ONCE on the driver (planes depend only on indices, never
+    * on data) and shipped as literal arrays — zero per-row hashing. */
+  private def planeComponent(table: Int, p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$table:$p/$d".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000).toDouble / 1000.0
+  }
 
   /** Sign-bucket of a vector under `numPlanes` hyperplanes of hash table
-    * `table`. */
-  def lshBuckets(vec: Column, numPlanes: Int, table: Int = 0): Column = {
+    * `table`. Supports any dimension up to `maxDim` (literal plane
+    * vectors are truncated to the data's length by zip_with). */
+  def lshBuckets(vec: Column, numPlanes: Int, table: Int = 0,
+      maxDim: Int = 64): Column = {
     val bits = (0 until numPlanes).map { p =>
+      val plane = array((0 until maxDim)
+        .map(d => lit(planeComponent(table, p, d))): _*)
       val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x * planeComponent(table, p, d)),
+        zip_with(vec, slice(plane, lit(1), size(vec)), (x, c) => x * c),
         lit(0.0), _ + _)
       when(dot >= 0, lit(1L)).otherwise(lit(0L))
     }

@@ -46,14 +46,14 @@ object DataOpsQueries {
 
     "d_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.load(s, dir, "documents"),
-        shingleLen = 3, numHashes = 16, bands = 8, threshold = 0.5)),
+        shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.5)),
 
     "d_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashTable(Tables.load(s, dir, "documents"))),
 
     "d_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
-        blockCol = "lang", threshold = 0.5)),
+        blockCols = Seq("lang", "source"), threshold = 0.5)),
 
     "d_dedup_embed" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -134,19 +134,21 @@ object DataOpsQueries {
       s"""WITH toks AS (
          |  SELECT doc_id, $toksSql AS t FROM documents),
          |sh AS (
-         |  SELECT doc_id, $shingleSql AS s FROM toks),
+         |  SELECT doc_id, list_distinct(list_transform($shingleSql,
+         |    g -> ${h32Sql("g")})) AS s FROM toks),
          |sig AS (
          |  SELECT doc_id, s,
          |    list_transform(generate_series(0, 15), p ->
-         |      list_aggregate(list_transform(s, x ->
-         |        ${h32Sql("p::VARCHAR || ':' || x")}), 'min')) AS sg
+         |      list_aggregate(list_transform(s, h ->
+         |        (h * (p * 2 + 1) + p * 12345 + 7) % 4294967311),
+         |        'min')) AS sg
          |  FROM sh WHERE len(s) > 0),
          |banded AS (
          |  SELECT doc_id, s, bi,
          |    md5(array_to_string(list_transform(
-         |      list_slice(sg, bi * 2 + 1, bi * 2 + 2), v -> v::VARCHAR),
+         |      list_slice(sg, bi * 4 + 1, bi * 4 + 4), v -> v::VARCHAR),
          |      ',')) AS bh
-         |  FROM sig, unnest(generate_series(0, 7)) u(bi)),
+         |  FROM sig, unnest(generate_series(0, 3)) u(bi)),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |    len(list_intersect(a.s, b.s))::DOUBLE /
@@ -167,13 +169,18 @@ object DataOpsQueries {
 
     "d_dedup_ngram" ->
       s"""WITH toks AS (
-         |  SELECT doc_id, lang, $toksSql AS t FROM documents),
-         |sh AS (SELECT doc_id, lang, $shingleSql AS s FROM toks
+         |  SELECT doc_id, lang, source, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, lang, source,
+         |       list_distinct(list_transform($shingleSql,
+         |         g -> ${h32Sql("g")})) AS s FROM toks
          |       WHERE len($shingleSql) > 0)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  len(list_intersect(a.s, b.s))::DOUBLE /
          |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+         |  AND a.doc_id < b.doc_id
+         |  AND least(len(a.s), len(b.s))::DOUBLE /
+         |    greatest(len(a.s), len(b.s)) >= 0.5
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
          |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
 
