@@ -96,9 +96,11 @@ final class TrafficController(
       gate = Some("DEFAULT"))
   }
 
-  /** Transpile + parse dry-run (the sqlglot `can_transpile` analog). */
+  /** Transpile + parse dry-run (the sqlglot `can_transpile` analog).
+    * Empty SQL (DataFrame-defined models have no SQL text) is trivially
+    * transpilable, matching the reference's empty-input behavior. */
   def canTranspile(spark: SparkSession, sql: String): Boolean =
-    Try {
+    sql.trim.isEmpty || Try {
       val t = SnowflakeSql.transpile(sql)
       SnowflakeSql.splitQualify(t) match {
         case Some((inner, _, _)) =>

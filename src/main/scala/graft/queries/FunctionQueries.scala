@@ -145,6 +145,24 @@ object FunctionQueries {
         .agg(listaggSorted(col("s_name"), "|").as("suppliers"))
     }),
 
+    // CONVERT_TIMEZONE (connections.py:596-607 fallback classifier case)
+    "q_fn_convert_tz" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          Dialect.convertTimezone("UTC", "America/New_York",
+            col("o_orderdate").cast(TimestampNTZType)).as("ny_time"),
+          Dialect.convertTimezone("UTC", "Asia/Tokyo",
+            col("o_orderdate").cast(TimestampNTZType)).as("tokyo_time"))
+    }),
+
+    // HLL distinct (SURVEY §2.4) — approximate, rows-only check
+    "q_approx_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+    }),
+
     // ----------------------------------------------------------------
     // Snowflake SQL text front-end (graft.transpile.SnowflakeSql)
 
@@ -287,6 +305,12 @@ object FunctionQueries {
       """SELECT s_nationkey,
         |  string_agg(s_name, '|' ORDER BY s_name) AS suppliers
         |FROM supplier GROUP BY s_nationkey""".stripMargin,
+
+    "q_fn_convert_tz" ->
+      """SELECT o_orderkey,
+        |  timezone('America/New_York', timezone('UTC', o_orderdate)) AS ny_time,
+        |  timezone('Asia/Tokyo', timezone('UTC', o_orderdate)) AS tokyo_time
+        |FROM orders""".stripMargin,
 
     "q_sql_qualify" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
