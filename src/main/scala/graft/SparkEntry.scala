@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{CoreQueries, DataOpsQueries, EventQueries,
-  FunctionQueries, MaterializeQueries}
+  ExtraQueries, FunctionQueries, MaterializeQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
     (FunctionQueries.defs, FunctionQueries.oracle),
     (MaterializeQueries.defs, MaterializeQueries.oracle),
     (DataOpsQueries.defs, DataOpsQueries.oracle),
-    (EventQueries.defs, EventQueries.oracle)
+    (EventQueries.defs, EventQueries.oracle),
+    (ExtraQueries.defs, ExtraQueries.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Coverage beyond the reference's emitted surface but inside its
+  * declared-safe promise (SURVEY.md §2.4/§2.8): array algebra, exact
+  * statistical aggregates (decimal-exact, engine-deterministic),
+  * GROUPING SETS with grouping(), and date-spine generation.
+  */
+object ExtraQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: org.apache.spark.sql.Column) =
+    c.cast(DecimalType(28, 6))
+
+  val defs: Map[String, Q] = Map(
+    // array algebra — sorted on both engines (element order of
+    // set-algebra results is engine-specific)
+    "q_fn_arrays" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "nation")
+      n.select(col("n_nationkey"),
+        array_sort(array_union(
+          array(col("n_nationkey"), col("n_regionkey")),
+          array(col("n_regionkey"), col("n_regionkey") * 2))).as("a_union"),
+        array_sort(array_intersect(
+          sequence(lit(0), col("n_nationkey")),
+          sequence(col("n_regionkey"), lit(12)))).as("a_intersect"),
+        array_sort(array_except(
+          sequence(lit(0), col("n_regionkey") + 2),
+          array(col("n_regionkey")))).as("a_except"),
+        array_contains(sequence(lit(0), lit(10)), col("n_nationkey"))
+          .as("a_contains"),
+        array_position(sequence(lit(0), lit(24)), col("n_nationkey"))
+          .as("a_pos"),
+        slice(sequence(lit(0), lit(24)), 3, 4).as("a_slice"),
+        size(sequence(lit(0), col("n_nationkey"))).as("a_size"))
+    }),
+
+    // exact statistical aggregates via decimal moments: stddev/var/corr
+    // computed from exact sums so parallel partitioning cannot change
+    // the result
+    "q_fn_stats" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val grouped = li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).as("s_q"),
+          sum(dec(col("l_quantity") * col("l_quantity"))).as("s_qq"),
+          sum(dec(col("l_discount"))).as("s_d"),
+          sum(dec(col("l_discount") * col("l_discount"))).as("s_dd"),
+          sum(dec(col("l_quantity") * col("l_discount"))).as("s_qd"),
+          median(col("l_quantity")).as("median_qty"))
+      grouped.select(col("l_returnflag"), col("n"), col("median_qty"),
+        ((col("s_qq").cast(DoubleType) -
+          col("s_q").cast(DoubleType) * col("s_q").cast(DoubleType) / col("n"))
+          / (col("n") - 1)).as("var_qty"),
+        sqrt((col("s_qq").cast(DoubleType) -
+          col("s_q").cast(DoubleType) * col("s_q").cast(DoubleType) / col("n"))
+          / (col("n") - 1)).as("stddev_qty"),
+        ((col("n") * col("s_qd").cast(DoubleType) -
+          col("s_q").cast(DoubleType) * col("s_d").cast(DoubleType)) /
+          (sqrt(col("n") * col("s_qq").cast(DoubleType) -
+            col("s_q").cast(DoubleType) * col("s_q").cast(DoubleType)) *
+            sqrt(col("n") * col("s_dd").cast(DoubleType) -
+              col("s_d").cast(DoubleType) * col("s_d").cast(DoubleType))))
+          .as("corr_q_d"))
+    }),
+
+    // GROUPING SETS + grouping() markers (SURVEY §2.4 heavy ops)
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  grouping(o_orderstatus) AS g_status,
+          |  grouping(o_orderpriority) AS g_prio,
+          |  COUNT(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
+    // native codegen'd expression: min rolling hash fingerprint
+    // (graft.functions.MinRollingHash — O(n) one-pass vs O(n·k)
+    // window materialization)
+    "t_fingerprint_rolling" -> ((s, dir) => {
+      val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.MinRollingHash.minRollingHash(norm, 8).as("fp"))
+    }),
+
+    // date spine (sequence + explode — the dbt date_spine util shape)
+    "q_date_spine" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_order"),
+          max(col("o_orderdate")).as("last_order"))
+        .filter(col("o_custkey") < 50)
+      o.select(col("o_custkey"),
+        explode(sequence(date_trunc("month", col("first_order")),
+          date_trunc("month", col("last_order")),
+          expr("INTERVAL 1 MONTH"))).as("month_start"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_arrays" ->
+      """SELECT n_nationkey,
+        |  list_sort(list_distinct(list_concat(
+        |    [n_nationkey, n_regionkey],
+        |    [n_regionkey, n_regionkey * 2]))) AS a_union,
+        |  list_sort(list_intersect(
+        |    generate_series(0, n_nationkey),
+        |    generate_series(n_regionkey, 12))) AS a_intersect,
+        |  list_sort(list_distinct(list_filter(
+        |    generate_series(0, n_regionkey + 2),
+        |    x -> x <> n_regionkey))) AS a_except,
+        |  list_contains(generate_series(0, 10), n_nationkey) AS a_contains,
+        |  COALESCE(list_position(generate_series(0, 24), n_nationkey), 0)
+        |    AS a_pos,
+        |  list_slice(generate_series(0, 24), 3, 6) AS a_slice,
+        |  len(generate_series(0, n_nationkey)) AS a_size
+        |FROM nation""".stripMargin,
+
+    "q_fn_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(28,6))) AS s_q,
+        |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS s_qq,
+        |    SUM(CAST(l_discount AS DECIMAL(28,6))) AS s_d,
+        |    SUM(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS s_dd,
+        |    SUM(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS s_qd,
+        |    median(l_quantity) AS median_qty
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, median_qty,
+        |  (CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE) / n)
+        |    / (n - 1) AS var_qty,
+        |  sqrt((CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE) / n)
+        |    / (n - 1)) AS stddev_qty,
+        |  (n * CAST(s_qd AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE)) /
+        |    (sqrt(n * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE)) *
+        |     sqrt(n * CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+        |    AS corr_q_d
+        |FROM m""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "t_fingerprint_rolling" ->
+      """WITH n AS (SELECT doc_id,
+        |  regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |SELECT doc_id, CASE WHEN length(norm) >= 8 THEN
+        |  list_aggregate(list_transform(generate_series(1, length(norm) - 7),
+        |    i -> list_reduce(list_transform(string_split(substr(norm, i, 8), ''),
+        |      c -> ord(c)::BIGINT), (a, b) -> (a * 257 + b) % 1000000007)),
+        |    'min')
+        |  ELSE NULL END AS fp
+        |FROM n""".stripMargin,
+
+    "q_date_spine" ->
+      """WITH b AS (
+        |  SELECT o_custkey, MIN(o_orderdate) AS first_order,
+        |    MAX(o_orderdate) AS last_order
+        |  FROM orders GROUP BY o_custkey HAVING o_custkey < 50)
+        |SELECT o_custkey, CAST(unnest(generate_series(
+        |  CAST(date_trunc('month', first_order) AS TIMESTAMP),
+        |  CAST(date_trunc('month', last_order) AS TIMESTAMP),
+        |  INTERVAL 1 MONTH)) AS TIMESTAMP) AS month_start
+        |FROM b""".stripMargin
+  )
+}

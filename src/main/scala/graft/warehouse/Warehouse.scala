@@ -58,6 +58,26 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def createView(df: DataFrame, schema: String, name: String): Unit =
     views((schema, name)) = df
 
+  /** Bucketed table: pre-shuffled on `bucketCols` so equi-joins and
+    * aggregations on those columns skip the exchange entirely — the
+    * co-located-join strategy for repeatedly-joined big tables.
+    * Registered in the session catalog (bucket metadata lives there);
+    * read back with [[readBucketed]]. */
+  def createBucketedTable(df: DataFrame, schema: String, name: String,
+      bucketCols: Seq[String], numBuckets: Int): Unit = {
+    createSchema(schema)
+    val catalogName = s"graft_${schema}_$name"
+    spark.sql(s"DROP TABLE IF EXISTS $catalogName")
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", tablePath(schema, name))
+      .saveAsTable(catalogName)
+  }
+
+  def readBucketed(schema: String, name: String): DataFrame =
+    spark.table(s"graft_${schema}_$name")
+
   def drop(schema: String, name: String): Unit = {
     views.remove((schema, name))
     val p = Paths.get(tablePath(schema, name))
