@@ -20,24 +20,30 @@ import org.apache.spark.sql.functions.col
 object Incremental {
 
   /** `append`: INSERT INTO target SELECT * FROM staging
-    * (incremental.sql:110-128). */
-  def append(target: DataFrame, staging: DataFrame): DataFrame =
-    target.unionByName(staging)
+    * (incremental.sql:110-128). `evolveSchema` is dbt's
+    * on_schema_change='append_new_columns': new staging columns join the
+    * table, old rows null-filled. */
+  def append(target: DataFrame, staging: DataFrame,
+      evolveSchema: Boolean = false): DataFrame =
+    target.unionByName(staging, allowMissingColumns = evolveSchema)
 
   /** `delete+insert` / `merge` on unique keys. The reference implements
     * BOTH as delete-matching-then-insert (merge is "implemented as
     * DELETE+INSERT" — incremental.sql:161-190): rows in the target whose
     * key appears in staging are replaced wholesale. */
-  def merge(target: DataFrame, staging: DataFrame, keys: Seq[String]): DataFrame =
-    target.join(staging, keys, "left_anti").unionByName(staging)
+  def merge(target: DataFrame, staging: DataFrame, keys: Seq[String],
+      evolveSchema: Boolean = false): DataFrame =
+    target.join(staging, keys, "left_anti")
+      .unionByName(staging, allowMissingColumns = evolveSchema)
 
   /** `delete+insert` partition variant: DELETE WHERE partition IN
     * (SELECT DISTINCT partition FROM staging) then insert
     * (incremental.sql:137-154). With a partitioned target table this is a
     * metadata-only dynamic partition overwrite — no anti-join shuffle. */
   def deleteInsertByPartition(target: DataFrame, staging: DataFrame,
-      partitionCol: String): DataFrame = {
+      partitionCol: String, evolveSchema: Boolean = false): DataFrame = {
     val parts = staging.select(col(partitionCol)).distinct()
-    target.join(parts, Seq(partitionCol), "left_anti").unionByName(staging)
+    target.join(parts, Seq(partitionCol), "left_anti")
+      .unionByName(staging, allowMissingColumns = evolveSchema)
   }
 }

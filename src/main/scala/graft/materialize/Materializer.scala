@@ -44,16 +44,21 @@ final class Materializer(wh: Warehouse, targetSchema: String = "main") {
           wh.createTableAs(df, schema, n.name, n.config.partitionBy.toSeq)
         else n.config.incrementalStrategy match {
           case "append" =>
-            wh.append(df, schema, n.name)
+            val evolve = n.config.onSchemaChange == "append_new_columns"
+            if (evolve)
+              rewrite(Incremental.append(wh.read(schema, n.name), df,
+                evolveSchema = true), schema, n.name, n.config.partitionBy.toSeq)
+            else wh.append(df, schema, n.name)
           case "delete+insert" | "merge" =>
+            val evolve = n.config.onSchemaChange == "append_new_columns"
             val target = wh.read(schema, n.name)
             val merged = n.config.partitionBy match {
               case Some(p) if n.config.uniqueKey.isEmpty =>
-                Incremental.deleteInsertByPartition(target, df, p)
+                Incremental.deleteInsertByPartition(target, df, p, evolve)
               case _ =>
                 require(n.config.uniqueKey.nonEmpty,
                   s"${n.name}: delete+insert/merge needs unique_key or partition_by")
-                Incremental.merge(target, df, n.config.uniqueKey)
+                Incremental.merge(target, df, n.config.uniqueKey, evolve)
             }
             rewrite(merged, schema, n.name, n.config.partitionBy.toSeq)
           case other =>

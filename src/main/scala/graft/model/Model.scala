@@ -15,6 +15,8 @@ final case class ModelConfig(
     toxicTypes: Seq[String] = Nil,
     devSampleSize: Int = 10000,
     customSchema: Option[String] = None,
+    // incremental: dbt on_schema_change ("ignore" | "append_new_columns")
+    onSchemaChange: String = "ignore",
     // snapshot-only: timestamp strategy column, or check-strategy columns
     snapshotUpdatedAt: Option[String] = None,
     snapshotCheckCols: Seq[String] = Nil,

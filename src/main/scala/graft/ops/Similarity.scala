@@ -86,6 +86,59 @@ object Similarity {
     array((0 until numTables).map(t =>
       struct(lit(t).as("t"), lshBuckets(vec, numPlanes, t).as("b"))): _*)
 
+  /** IVF (inverted-file) ANN: k-means cells over the corpus, search
+    * only the `nProbe` cells nearest each query. Centroid seeding is
+    * deterministic (lowest-id vectors) and refinement runs a fixed
+    * number of Lloyd iterations as DataFrame programs — the centroid
+    * table stays tiny and broadcast, the corpus is scanned once per
+    * iteration, and the final search joins on `cell` so candidates
+    * never cross cells. The standard trade: `nCentroids` up for
+    * speed, `nProbe` up for recall. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iterations: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cv"))
+    // deterministic seed: the nCentroids lowest-id vectors
+    var centroids = c.orderBy(col("cand_id")).limit(nCentroids)
+      .select(col("cand_id").as("cell"), col("cv").as("centroid"))
+
+    def nearestCells(points: DataFrame, vec: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("__pid")).orderBy(
+        col("__dist").desc, col("cell"))
+      points.withColumn("__pid", col(points.columns.head))
+        .crossJoin(broadcast(centroids))
+        .withColumn("__dist", cosine(col(vec), col("centroid")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n)
+        .drop("__dist", "__rn", "centroid", "__pid")
+    }
+
+    (1 to iterations).foreach { _ =>
+      val assigned = nearestCells(c, "cv", 1)
+      // element-wise centroid mean via dim explode
+      centroids = assigned
+        .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"),
+          transform(col("dm"), e => e.getField("m")).as("centroid"))
+    }
+
+    val cells = nearestCells(c, "cv", 1)
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val probed = nearestCells(q, "qv", nProbe)
+    val scored = cells.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** ANN top-k: candidates share the query's bucket in ANY of
     * `numTables` hash tables (multi-table LSH — each extra table trades
     * compute for recall; random high-dim corpora need several). Recall

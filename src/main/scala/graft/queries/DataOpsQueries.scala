@@ -78,6 +78,13 @@ object DataOpsQueries {
         numPlanes = 6, numTables = 8)
     }),
 
+    // IVF ANN: rows-only check; recall vs brute force in OpsSpec
+    "s_ann_ivf" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 50), e, k = 5,
+        nCentroids = 16, nProbe = 4)
+    }),
+
     // ------------------------------------------------ text analysis
     "t_lang_id" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")

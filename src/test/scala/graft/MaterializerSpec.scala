@@ -139,4 +139,22 @@ class MaterializerSpec extends AnyFunSuite {
     assert(out.filter(col("ym") < "2001-01")
       .filter(col("tag") =!= "v1").count() == 0)
   }
+
+  test("on_schema_change=append_new_columns evolves incremental tables") {
+    val wh = freshWh()
+    val m = new Materializer(wh)
+    val node = ModelNode("inc_evo",
+      ModelConfig("incremental", uniqueKey = Seq("r_regionkey"),
+        incrementalStrategy = "merge",
+        onSchemaChange = "append_new_columns"), Nil)(
+      s => Tables.load(s, sf, "region"))
+    m.materialize(node)
+    val widened = node.copy(build =
+      s => Tables.load(s, sf, "region").withColumn("extra", lit(42)))
+    m.materialize(widened)
+    val out = wh.read("main", "inc_evo")
+    assert(out.columns.contains("extra"))
+    assert(out.count() == 5)
+    assert(out.filter(col("extra") === 42).count() == 5) // all replaced
+  }
 }

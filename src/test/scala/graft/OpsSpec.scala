@@ -84,4 +84,19 @@ class OpsSpec extends AnyFunSuite {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
   }
+
+  test("IVF ANN recall vs brute force") {
+    import graft.ops.Similarity
+    val e = Tables.load(spark, sf, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, e, k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, e, k = 5,
+      nCentroids = 16, nProbe = 6)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall > 0.4, s"ivf recall=$recall")
+  }
 }
