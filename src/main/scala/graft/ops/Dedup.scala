@@ -158,12 +158,17 @@ object Dedup {
       threshold: Double = 0.99): DataFrame = {
     val withVec = embs.select(col(blockCol), col(idCol),
       transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
-    val a = withVec.select(col(blockCol), col(idCol).as("id_a"), col("v").as("va"))
-    val b = withVec.select(col(blockCol), col(idCol).as("id_b"), col("v").as("vb"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .repartition(col(idCol)) // barrier: one norm fold per vector
+    val a = withVec.select(col(blockCol), col(idCol).as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = withVec.select(col(blockCol), col(idCol).as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("va"), col("vb")).as("cosine"))
+        Similarity.cosinePrenormed(col("va"), col("vb"), col("na"),
+          col("nb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -25,12 +25,21 @@ object Similarity {
 
   /** Cosine similarity of two double arrays — sequential fold keeps the
     * summation order engine-deterministic. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
-    dot / (na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Dot product as a sequential fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+
+  /** Cosine with pre-computed norms: inside pairwise stages the norm
+    * fold runs once per VECTOR instead of twice per PAIR — the dominant
+    * saving when candidates ≫ vectors. */
+  def cosinePrenormed(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   private def asDouble(vec: Column): Column =
     transform(vec, x => x.cast(DoubleType))
@@ -40,12 +49,17 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .repartition(col("query_id")) // barrier: norm folds once per vector
     val c = corpus.select(col(idCol).as("cand_id"),
       asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .repartition(col("cand_id"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        cosine(col("qv"), col("cv")).as("cosine"))
+        cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn"))
+          .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w))

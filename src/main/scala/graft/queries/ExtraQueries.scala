@@ -82,6 +82,37 @@ object ExtraQueries {
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
     }),
 
+    // PIVOT: one column per status with decimal-exact sums
+    "q_pivot" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(24, 2)))
+          .cast(DoubleType))
+    }),
+
+    // UNPIVOT (melt): wide → long
+    "q_unpivot" -> ((s, dir) => {
+      Tables.load(s, dir, "part")
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size").cast(DoubleType).as("p_size"),
+            col("p_retailprice")),
+          "attribute", "value")
+    }),
+
+    // extended declared-safe string surface
+    "q_fn_strings2" -> ((s, dir) => {
+      Tables.load(s, dir, "part")
+        .select(col("p_partkey"),
+          initcap(col("p_name")).as("title"),
+          lpad(col("p_brand"), 12, "_").as("padded"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("xlated"),
+          reverse(col("p_name")).as("rev"),
+          repeat(lit("ab"), 3).as("rep"),
+          substring(col("p_name"), 1, 3).as("left3"),
+          locate("a", col("p_name")).as("pos_a"))
+    }),
+
     // native codegen'd expression: min rolling hash fingerprint
     // (graft.functions.MinRollingHash — O(n) one-pass vs O(n·k)
     // window materialization)
@@ -153,6 +184,35 @@ object ExtraQueries {
         |  COUNT(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(24,2)) END) AS DOUBLE) AS F,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(24,2)) END) AS DOUBLE) AS O,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(24,2)) END) AS DOUBLE) AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS attribute,
+        |  CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part""".stripMargin,
+
+    "q_fn_strings2" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(string_split(p_name, ' '),
+        |    w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ')
+        |    AS title,
+        |  lpad(p_brand, 12, '_') AS padded,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS xlated,
+        |  reverse(p_name) AS rev,
+        |  repeat('ab', 3) AS rep,
+        |  substring(p_name, 1, 3) AS left3,
+        |  CAST(strpos(p_name, 'a') AS INT) AS pos_a
+        |FROM part""".stripMargin,
 
     "t_fingerprint_rolling" ->
       """WITH n AS (SELECT doc_id,
