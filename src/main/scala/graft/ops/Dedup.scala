@@ -74,15 +74,19 @@ object Dedup {
       textCol: String = "text", shingleLen: Int = 3, numHashes: Int = 16,
       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = docs
+    // The repartitions are CollapseProject barriers, not distribution
+    // choices: shingle/signature/band expressions are higher-order
+    // functions (no whole-stage codegen), and letting the optimizer
+    // inline them into every downstream reference re-evaluates the
+    // expensive pass per reference (token hashes 3×, the 16 minhash
+    // passes 4×). The exchanges pin each to one evaluation per row.
+    val th = docs
       .select(col(idCol),
-        hashedShingles(wordShingles(tokens(col(textCol)), shingleLen)).as("sh"))
+        transform(tokens(col(textCol)), t => h32(t)).as("th"))
+      .repartition(col(idCol))
+    val sh = th
+      .select(col(idCol), hashedWordShingles(col("th"), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
-    // The repartition is a CollapseProject barrier, not a distribution
-    // choice: signature/band expressions are higher-order functions
-    // (no whole-stage codegen), and letting the optimizer inline `sig`
-    // into each of the `bands` slices re-evaluates the 16 minhash
-    // passes per band. The exchange pins them to one evaluation per row.
     val sigDf = sh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .repartition(col(idCol))
@@ -144,8 +148,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select((col(idCol) +: blockCols.map(col)) :+
-      hashedShingles(wordShingles(tokens(col(textCol)), n)).as("sh"): _*)
+    val th = docs.select((col(idCol) +: blockCols.map(col)) :+
+      transform(tokens(col(textCol)), t => h32(t)).as("th"): _*)
+      .repartition(col(idCol)) // barrier — see minhashLsh
+    val sh = th.select((col(idCol) +: blockCols.map(col)) :+
+      hashedWordShingles(col("th"), n).as("sh"): _*)
       .filter(size(col("sh")) > 0)
     bucketPairs(sh, blockCols, idCol, threshold)
   }

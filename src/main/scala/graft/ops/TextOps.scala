@@ -42,6 +42,22 @@ object TextOps {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** Distinct hashed word n-grams combined ARITHMETICALLY from per-token
+    * hashes: one md5 per token (not per shingle, and no n-word string
+    * building) — `c₁ = h₁; cₖ₊₁ = (cₖ·1000003 + hₖ₊₁) mod 3037000493`.
+    * `tokenHashes` must be a MATERIALIZED column (behind an exchange),
+    * because the shifted slices reference it n times. */
+  def hashedWordShingles(tokenHashes: Column, n: Int): Column = {
+    val len = size(tokenHashes) - (n - 1)
+    val combined = (1 until n).foldLeft(slice(tokenHashes, lit(1), len)) {
+      (acc, k) =>
+        zip_with(acc, slice(tokenHashes, lit(1 + k), len),
+          (a, b) => (a * 1000003L + b) % 3037000493L)
+    }
+    when(size(tokenHashes) >= n, array_distinct(combined))
+      .otherwise(array().cast(ArrayType(LongType)))
+  }
+
   /** Jaccard similarity of two distinct-element arrays — one double
     * division, so engine-exact. */
   def jaccard(a: Column, b: Column): Column =

@@ -140,9 +140,15 @@ object DataOpsQueries {
     "d_dedup_minhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $toksSql AS t FROM documents),
+         |th AS (
+         |  SELECT doc_id, list_transform(t, x -> ${h32Sql("x")}) AS h
+         |  FROM toks),
          |sh AS (
-         |  SELECT doc_id, list_distinct(list_transform($shingleSql,
-         |    g -> ${h32Sql("g")})) AS s FROM toks),
+         |  SELECT doc_id, CASE WHEN len(h) >= 3 THEN
+         |    list_distinct(list_transform(generate_series(1, len(h) - 2),
+         |      i -> ((h[i] * 1000003 + h[i+1]) % 3037000493 * 1000003
+         |        + h[i+2]) % 3037000493))
+         |  ELSE [] END AS s FROM th),
          |sig AS (
          |  SELECT doc_id, s,
          |    list_transform(generate_series(0, 15), p ->
@@ -177,10 +183,14 @@ object DataOpsQueries {
     "d_dedup_ngram" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang, source, $toksSql AS t FROM documents),
+         |th AS (
+         |  SELECT doc_id, lang, source,
+         |    list_transform(t, x -> ${h32Sql("x")}) AS h FROM toks),
          |sh AS (SELECT doc_id, lang, source,
-         |       list_distinct(list_transform($shingleSql,
-         |         g -> ${h32Sql("g")})) AS s FROM toks
-         |       WHERE len($shingleSql) > 0)
+         |    list_distinct(list_transform(generate_series(1, len(h) - 2),
+         |      i -> ((h[i] * 1000003 + h[i+1]) % 3037000493 * 1000003
+         |        + h[i+2]) % 3037000493)) AS s
+         |  FROM th WHERE len(h) >= 3 AND len(list_distinct(h)) > 0)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  len(list_intersect(a.s, b.s))::DOUBLE /
          |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
