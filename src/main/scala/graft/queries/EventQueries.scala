@@ -59,6 +59,29 @@ object EventQueries {
         .filter(col("last_purchase_ts") > col("signup_ts"))
     }),
 
+    // AS-OF join: for each purchase, the user's most recent click at or
+    // before it — composed from a window with IGNORE NULLS (the
+    // Spark-native expression of ASOF; no custom physical operator
+    // needed, one shuffle on user_id). Oracle uses DuckDB's native
+    // ASOF JOIN, so the two formulations check each other.
+    "e_asof_join" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("last_click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("last_click_id").isNotNull)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("last_click_id"),
+          col("last_click_ts"))
+    }),
+
     // JSON props extraction + top event per user by value (dedup window)
     "e_top_event" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -106,6 +129,14 @@ object EventQueries {
         |SELECT s.user_id, signup_ts, last_purchase_ts, n_purchases
         |FROM s JOIN p ON s.user_id = p.user_id
         |WHERE last_purchase_ts > signup_ts""".stripMargin,
+
+    "e_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  p.ts AS purchase_ts, c.event_id AS last_click_id,
+        |  c.ts AS last_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     "e_top_event" ->
       """SELECT user_id, event_id, event_type, value,
