@@ -59,6 +59,21 @@ object EventQueries {
         .filter(col("last_purchase_ts") > col("signup_ts"))
     }),
 
+    // RANGE join: same-user event pairs within 60 seconds, via
+    // tolerance-width time buckets (graft.ops.RangeJoin) — an equi-join
+    // shuffle instead of the nested-loop a raw interval predicate costs
+    "e_range_join" -> ((s, dir) => {
+      val evs = Tables.load(s, dir, "events")
+      val a = evs.select(col("user_id"), col("event_id").as("id_a"),
+        col("ts").as("ts_a"))
+      val b = evs.select(col("user_id"), col("event_id").as("id_b"),
+        col("ts").as("ts_b"))
+      graft.ops.RangeJoin.within(a, b, Seq("user_id"), "ts_a", "ts_b", 60)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("user_id"), col("id_a"), col("id_b"),
+          (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("dt_us"))
+    }),
+
     // AS-OF join: for each purchase, the user's most recent click at or
     // before it — composed from a window with IGNORE NULLS (the
     // Spark-native expression of ASOF; no custom physical operator
@@ -129,6 +144,13 @@ object EventQueries {
         |SELECT s.user_id, signup_ts, last_purchase_ts, n_purchases
         |FROM s JOIN p ON s.user_id = p.user_id
         |WHERE last_purchase_ts > signup_ts""".stripMargin,
+
+    "e_range_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000""".stripMargin,
 
     "e_asof_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
