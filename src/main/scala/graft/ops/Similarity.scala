@@ -70,6 +70,10 @@ object Similarity {
     * (table, plane, dim): uniform in [-1, 1] from an md5-derived hash.
     * Computed ONCE on the driver (planes depend only on indices, never
     * on data) and shipped as literal arrays — zero per-row hashing. */
+  /** Public so oracle SQL can embed the same exact 3-decimal literals. */
+  def planeValue(table: Int, p: Int, d: Int): Double =
+    planeComponent(table, p, d)
+
   private def planeComponent(table: Int, p: Int, d: Int): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$table:$p/$d".getBytes("UTF-8"))

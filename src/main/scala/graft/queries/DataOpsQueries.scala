@@ -130,6 +130,53 @@ object DataOpsQueries {
     })
   )
 
+  /** Full DuckDB replica of the multi-table LSH ANN (s_ann_lsh): the
+    * hyperplanes are deterministic exact-3-decimal constants
+    * ([[graft.ops.Similarity.planeValue]]), so the oracle embeds them as
+    * literal arrays and recomputes buckets, candidates, and top-k
+    * independently — turning the approximate operator into a
+    * hash-checked one. */
+  private def lshOracleSql: String = {
+    val numTables = 8
+    val numPlanes = 6
+    val dims = 64
+    def planeLit(t: Int, p: Int): String =
+      (0 until dims).map(d => graft.ops.Similarity.planeValue(t, p, d))
+        .mkString("[", ", ", "]")
+    def bucketExpr(t: Int): String =
+      (0 until numPlanes).map { p =>
+        s"""(CASE WHEN list_reduce(list_transform(
+           |  generate_series(1, len(v)), i -> v[i] * (${planeLit(t, p)})[i]),
+           |  (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END)""".stripMargin
+      }.reduceLeft((acc, b) => s"($acc * 2 + $b)")
+    val bucketCase = (0 until numTables)
+      .map(t => s"WHEN ${t} THEN ${bucketExpr(t)}")
+      .mkString("CASE u.t ", " ", " END")
+    s"""WITH d AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, v, u.t, $bucketCase AS bucket
+       |  FROM d, unnest(generate_series(0, ${numTables - 1})) u(t)),
+       |q AS (SELECT vec_id AS query_id, t, bucket FROM b WHERE vec_id < 50),
+       |c AS (SELECT vec_id AS cand_id, t, bucket FROM b),
+       |cand AS (
+       |  SELECT DISTINCT query_id, cand_id FROM q
+       |  JOIN c USING (t, bucket) WHERE query_id <> cand_id),
+       |scored AS (
+       |  SELECT query_id, cand_id,
+       |    list_reduce(list_transform(generate_series(1, len(dq.v)),
+       |      i -> dq.v[i] * dc.v[i]), (x, y) -> x + y) /
+       |    (sqrt(list_reduce(list_transform(dq.v, x -> x * x), (x, y) -> x + y)) *
+       |     sqrt(list_reduce(list_transform(dc.v, x -> x * x), (x, y) -> x + y)))
+       |    AS cosine
+       |  FROM cand JOIN d dq ON dq.vec_id = query_id
+       |  JOIN d dc ON dc.vec_id = cand_id)
+       |SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id) AS rnk FROM scored) t
+       |WHERE rnk <= 5""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "d_dedup_exact" ->
       s"""WITH all_docs AS ($docsWithDupsSql)
@@ -222,6 +269,8 @@ object DataOpsQueries {
         |  (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y)) *
         |   sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
         |  >= 0.99""".stripMargin,
+
+    "s_ann_lsh" -> lshOracleSql,
 
     "s_ann_bruteforce" ->
       """WITH d AS (SELECT vec_id,
