@@ -8,7 +8,7 @@ import graft.materialize.Materializer
 import graft.model.{Dag, ModelNode}
 import graft.planner._
 import graft.sync.SyncManager
-import graft.telemetry.{HealthCheck, SavingsTracker}
+import graft.telemetry.{HealthCheck, ModelRun, RunSummary, SavingsTracker}
 import graft.transpile.SnowflakeSql
 import graft.warehouse.Warehouse
 
@@ -41,6 +41,7 @@ final class GraftSession(
   val cache = new SourceCache(spark, s"$warehouseRoot/_graft/cache")
   val sync = new SyncManager()
   val savings = new SavingsTracker()
+  val runSummary = new RunSummary(s"$warehouseRoot/_graft/run_summary.json")
 
   /** Snowflake-dialect SQL entry point. */
   def sql(text: String): DataFrame = SnowflakeSql.run(spark, text)
@@ -72,12 +73,17 @@ final class GraftSession(
         val rows = out.count()
         val dur = (System.nanoTime() - t0) / 1e9
         state.markSuccess(node.uniqueId, venue)
-        savings.logExecution(node.name,
-          if (venue == Venue.Local) "local" else "cloud", dur)
+        val venueName = if (venue == Venue.Local) "local" else "cloud"
+        savings.logExecution(node.name, venueName, dur)
+        runSummary.record(ModelRun(node.name, venueName, dur, rows, "success"))
+        runSummary.persist()
         RunResult(node.name, decision, dur, rows)
       } catch {
         case e: Throwable =>
           state.markCrash(node.uniqueId)
+          runSummary.record(ModelRun(node.name, "local",
+            (System.nanoTime() - t0) / 1e9, 0L, "error"))
+          runSummary.persist()
           throw e
       }
     }

@@ -108,4 +108,23 @@ class SessionSpec extends AnyFunSuite {
       at.contains("location = 's3://bucket/path'") &&
       !at.contains("OR REPLACE"))
   }
+
+  test("run summary records sessions and persists JSON") {
+    val root = Files.createTempDirectory("graft_rs").toString
+    val gs = new GraftSession(spark, root)
+    val node = ModelNode("regions", ModelConfig("table"), Nil)(
+      s => Tables.load(s, sf, "region"))
+    gs.run(Seq(node))
+    assert(gs.runSummary.render.contains("1 models (1 ok, 0 failed)"))
+    assert(gs.runSummary.render.contains("5 rows produced"))
+    // persisted JSON readable by a fresh reader
+    val reader = new graft.telemetry.RunSummary(
+      s"$root/_graft/run_summary.json")
+    assert(reader.loadModelCount() == 1)
+    // failures recorded too
+    val bad = ModelNode("boom", ModelConfig("table"), Nil)(
+      _ => throw new RuntimeException("x"))
+    assertThrows[RuntimeException](gs.run(Seq(bad)))
+    assert(gs.runSummary.render.contains("1 failed"))
+  }
 }
