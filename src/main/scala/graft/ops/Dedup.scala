@@ -72,7 +72,8 @@ object Dedup {
     * p ≈ 1-(1-j⁴)⁴ ≥ 0.97. */
   def minhashLsh(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleLen: Int = 3, numHashes: Int = 16,
-      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 4, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     // The repartitions are CollapseProject barriers, not distribution
     // choices: shingle/signature/band expressions are higher-order
@@ -94,7 +95,8 @@ object Dedup {
       .select(col(idCol), col("sh"),
         posexplode(lshBands(col("sig"), bands, rowsPerBand))
           .as(Seq("band_idx", "band_hash")))
-    bucketPairs(banded, Seq("band_idx", "band_hash"), idCol, threshold)
+    bucketPairs(banded, Seq("band_idx", "band_hash"), idCol, threshold,
+      maxBucket)
       .distinct()
   }
 
@@ -102,13 +104,26 @@ object Dedup {
     * single shuffle: group → collect members → explode the in-bucket
     * pair triangle. One pass over the bucketed rows — no self-join, so
     * the (expensive, non-codegen) shingle arrays are materialized once.
-    * Bucket size bounds the per-row work; giant buckets mean boilerplate
-    * clusters and deserve capping/salting at scale. */
+    *
+    * Giant buckets (boilerplate clusters) are CAPPED: members are ranked
+    * by id within the bucket and only the lowest `maxBucket` enter the
+    * pair triangle, so one task's work is bounded by maxBucket²
+    * regardless of key skew — a single all-identical cluster at 100 TB
+    * cannot produce a B² straggler task. The row_number window and the
+    * groupBy hash on the same keys, so they share one exchange. Dropped
+    * volume is auditable via [[oversizedBuckets]]; pairs inside a
+    * boilerplate cluster beyond the cap carry no curation signal. */
   private def bucketPairs(bucketed: DataFrame, bucketCols: Seq[String],
-      idCol: String, threshold: Double): DataFrame = {
+      idCol: String, threshold: Double, maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))
+    val capped = bucketed
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxBucket)
+      .drop("__rk")
     val m = array_sort(collect_list(struct(col(idCol).as("id"),
       col("sh").as("sh"))))
-    val buckets = bucketed.groupBy(bucketCols.map(col): _*)
+    val buckets = capped.groupBy(bucketCols.map(col): _*)
       .agg(m.as("m")).filter(size(col("m")) > 1)
     val pairs = buckets.select(explode(flatten(
       transform(sequence(lit(0), size(col("m")) - 2), i =>
@@ -123,6 +138,16 @@ object Dedup {
       col("p.jaccard").as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Audit of the [[bucketPairs]] cap: buckets whose member count
+    * exceeds `maxBucket`, with how many members the pair triangle
+    * dropped — the skip-with-counter ledger for curation reports. */
+  def oversizedBuckets(bucketed: DataFrame, bucketCols: Seq[String],
+      maxBucket: Int): DataFrame =
+    bucketed.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("members"))
+      .filter(col("members") > maxBucket)
+      .withColumn("dropped_members", col("members") - maxBucket)
 
   /** 32-bit SimHash signature per document: bit i is the sign of the
     * token-hash bit votes. */
@@ -147,14 +172,15 @@ object Dedup {
     * hopeless pairs. */
   def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
       idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
     val th = docs.select((col(idCol) +: blockCols.map(col)) :+
       transform(tokens(col(textCol)), t => h32(t)).as("th"): _*)
       .repartition(col(idCol)) // barrier — see minhashLsh
     val sh = th.select((col(idCol) +: blockCols.map(col)) :+
       hashedWordShingles(col("th"), n).as("sh"): _*)
       .filter(size(col("sh")) > 0)
-    bucketPairs(sh, blockCols, idCol, threshold)
+    bucketPairs(sh, blockCols, idCol, threshold, maxBucket)
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking column

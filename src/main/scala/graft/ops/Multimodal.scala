@@ -69,21 +69,22 @@ object Multimodal {
     }
   }
 
-  /** STUB feature extraction: an 8-dim embedding from the digest bytes —
-    * the batch shape (iterator-in/iterator-out) is what a real model
-    * inference stage uses. */
+  /** STUB feature extraction: an 8-dim embedding from the digest bytes.
+    * Fully columnar — `sha2`/`length`/`conv` are codegen'd built-ins, so
+    * this is one narrow whole-stage-codegen pass with no serialization
+    * boundary. Only a real model-inference stage (the decode stub's
+    * replacement) would drop to `mapPartitions`. */
   def extractFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import rows.sparkSession.implicits._
-    rows.mapPartitions { it =>
-      it.map { r =>
-        val d = decodeStub(r.media_id, r.media_type, r.payload)
-        val f = (0 until 8).map { i =>
-          Integer.parseInt(d.sha256.substring(i * 2, i * 2 + 2), 16)
-            .toFloat / 255f
-        }.toArray
-        MediaFeatures(r.media_id, r.media_type, d.byte_len, d.sha256, f)
-      }
-    }
+    rows.toDF()
+      .withColumn("sha256", sha2(col("payload"), 256))
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .withColumn("feature", transform(sequence(lit(0), lit(7)), i =>
+        (conv(col("sha256").substr(i * 2 + 1, lit(2)), 16, 10).cast("int") /
+          lit(255f)).cast("float")))
+      .select(col("media_id"), col("media_type"), col("byte_len"),
+        col("sha256"), col("feature"))
+      .as[MediaFeatures]
   }
 
   /** Frame sampling stub for video rows: every `everyMs` milliseconds of

@@ -121,23 +121,36 @@ object Similarity {
     var centroids = c.orderBy(col("cand_id")).limit(nCentroids)
       .select(col("cand_id").as("cell"), col("cv").as("centroid"))
 
+    // Nearest cells as a per-row argmin over the broadcast centroid
+    // array: sort (−cosine, cell) structs and take the first n. No
+    // window, so the corpus is never shuffled — each Lloyd iteration
+    // is one narrow map pass.
     def nearestCells(points: DataFrame, vec: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("__pid")).orderBy(
-        col("__dist").desc, col("cell"))
-      points.withColumn("__pid", col(points.columns.head))
-        .crossJoin(broadcast(centroids))
-        .withColumn("__dist", cosine(col(vec), col("centroid")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= n)
-        .drop("__dist", "__rn", "centroid", "__pid")
+      val centArr = centroids.agg(collect_list(struct(col("cell"),
+        col("centroid"), norm(col("centroid")).as("cn"))).as("cents"))
+      points
+        .crossJoin(broadcast(centArr))
+        .withColumn("__pn", norm(col(vec)))
+        .withColumn("__near", slice(array_sort(transform(col("cents"),
+          ct => struct(
+            (-(dot(col(vec), ct.getField("centroid")) /
+              (col("__pn") * ct.getField("cn")))).as("negsim"),
+            ct.getField("cell").as("cell")))), 1, n))
+        .select(points.columns.map(col) :+
+          explode(transform(col("__near"), r => r.getField("cell")))
+            .as("cell"): _*)
     }
 
     (1 to iterations).foreach { _ =>
       val assigned = nearestCells(c, "cv", 1)
-      // element-wise centroid mean via dim explode
+      // element-wise centroid mean via dim explode; exact DECIMAL
+      // accumulator so the mean is partitioning-independent and
+      // engine-reproducible (see the float determinism convention)
       centroids = assigned
         .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"), col("dim"))
+        .agg((sum(col("x").cast(DecimalType(38, 18))).cast(DoubleType) /
+          count(lit(1))).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell"),

@@ -46,7 +46,8 @@ object CoreQueries {
           when(col("c_acctbal") < 0, lit("neg"))
             .when(col("c_acctbal") < 5000, lit("mid"))
             .otherwise(lit("high")).as("bal_band"),
-          col("c_acctbal").cast(DecimalType(12, 2)).as("bal_dec"))
+          col("c_acctbal").cast(DecimalType(12, 2)).cast(DoubleType)
+            .as("bal_dec"))
         .filter(col("c_acctbal") =!= 0.0)
     }),
 
@@ -266,7 +267,7 @@ object CoreQueries {
         |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment,
         |  CASE WHEN c_acctbal < 0 THEN 'neg'
         |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_band,
-        |  CAST(c_acctbal AS DECIMAL(12,2)) AS bal_dec
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_dec
         |FROM customer WHERE c_acctbal <> 0.0""".stripMargin,
 
     "q1_agg" ->
@@ -291,8 +292,8 @@ object CoreQueries {
 
     "q_conditional_agg" ->
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
         |    THEN CAST(o_totalprice AS DECIMAL(24,2)) END) AS DOUBLE) /
         |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS avg_f_price

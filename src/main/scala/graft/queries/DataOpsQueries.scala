@@ -78,7 +78,9 @@ object DataOpsQueries {
         numPlanes = 6, numTables = 8)
     }),
 
-    // IVF ANN: rows-only check; recall vs brute force in OpsSpec
+    // IVF ANN: fully hash-checked — deterministic seeds + decimal-exact
+    // Lloyd means make the whole pipeline DuckDB-expressible (below);
+    // recall vs brute force additionally in OpsSpec
     "s_ann_ivf" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       Similarity.ivfTopK(e.filter(col("vec_id") < 50), e, k = 5,
@@ -177,7 +179,55 @@ object DataOpsQueries {
        |WHERE rnk <= 5""".stripMargin
   }
 
+  /** Full DuckDB replica of the IVF ANN (s_ann_ivf): centroid seeding is
+    * deterministic (lowest-id vectors), Lloyd means run through exact
+    * DECIMAL accumulators, and every cosine is a sequential fold — so
+    * the oracle re-runs k-means + probe + search independently and the
+    * two engines hash-match. */
+  private def ivfOracleSql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), " +
+        s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def nrm(a: String) =
+      s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+    def cos(a: String, b: String) = s"(${dot(a, b)} / (${nrm(a)} * ${nrm(b)}))"
+    def assign(points: String, cents: String, pid: String, vec: String,
+        n: Int) =
+      s"""SELECT $pid, $vec, cell FROM (
+         |  SELECT p.$pid, p.$vec, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY p.$pid
+         |      ORDER BY ${cos(s"p.$vec", "c.centroid")} DESC, c.cell) AS rn
+         |  FROM $points p CROSS JOIN $cents c) t WHERE rn <= $n""".stripMargin
+    def lloyd(assigned: String) =
+      s"""SELECT cell, list(m ORDER BY dim) AS centroid FROM (
+         |  SELECT cell, dim, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+         |    / COUNT(*) AS m
+         |  FROM (SELECT cell, UNNEST(cv) AS x,
+         |    UNNEST(generate_series(1, len(cv))) AS dim FROM $assigned)
+         |  GROUP BY cell, dim) GROUP BY cell""".stripMargin
+    s"""WITH d AS (SELECT vec_id AS cand_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings),
+       |c0 AS (SELECT cand_id AS cell, cv AS centroid FROM d
+       |  ORDER BY cand_id LIMIT 16),
+       |a1 AS (${assign("d", "c0", "cand_id", "cv", 1)}),
+       |c1 AS (${lloyd("a1")}),
+       |a2 AS (${assign("d", "c1", "cand_id", "cv", 1)}),
+       |c2 AS (${lloyd("a2")}),
+       |cells AS (${assign("d", "c2", "cand_id", "cv", 1)}),
+       |q AS (SELECT cand_id AS query_id, cv AS qv FROM d WHERE cand_id < 50),
+       |probed AS (${assign("q", "c2", "query_id", "qv", 4)}),
+       |scored AS (
+       |  SELECT query_id, cand_id, ${cos("qv", "cv")} AS cosine
+       |  FROM cells JOIN probed USING (cell)
+       |  WHERE query_id <> cand_id)
+       |SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id) AS rnk FROM scored) t
+       |WHERE rnk <= 5""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "s_ann_ivf" -> ivfOracleSql,
     "d_dedup_exact" ->
       s"""WITH all_docs AS ($docsWithDupsSql)
          |SELECT min(doc_id) AS doc_id, count(*) AS dup_count
@@ -291,16 +341,16 @@ object DataOpsQueries {
     "t_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
          |sc AS (SELECT doc_id, lang,
-         |  COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
-         |    ('der','die','und','das','ist','nicht','ein') THEN 1 ELSE 0 END), 'sum'), 0) AS hits_de,
-         |  COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
-         |    ('the','a','and','of','to','in','is') THEN 1 ELSE 0 END), 'sum'), 0) AS hits_en,
-         |  COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
-         |    ('el','la','de','que','y','en','los') THEN 1 ELSE 0 END), 'sum'), 0) AS hits_es,
-         |  COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
-         |    ('le','la','de','et','les','des','un') THEN 1 ELSE 0 END), 'sum'), 0) AS hits_fr,
-         |  COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
-         |    ('de','le','shi','bu','wo','you','zai') THEN 1 ELSE 0 END), 'sum'), 0) AS hits_zh
+         |  CAST(COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
+         |    ('der','die','und','das','ist','nicht','ein') THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT) AS hits_de,
+         |  CAST(COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
+         |    ('the','a','and','of','to','in','is') THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT) AS hits_en,
+         |  CAST(COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
+         |    ('el','la','de','que','y','en','los') THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT) AS hits_es,
+         |  CAST(COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
+         |    ('le','la','de','et','les','des','un') THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT) AS hits_fr,
+         |  CAST(COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
+         |    ('de','le','shi','bu','wo','you','zai') THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT) AS hits_zh
          |  FROM toks)
          |SELECT doc_id, lang, hits_de, hits_en, hits_es, hits_fr, hits_zh,
          |  CASE

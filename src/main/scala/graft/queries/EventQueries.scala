@@ -20,7 +20,10 @@ object EventQueries {
   val defs: Map[String, Q] = Map(
     // gap-based sessionization: a session breaks after 30 idle minutes
     "e_sessionize" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      // event_id tie-break: lag/running-sum assignment must be
+      // deterministic across engines even with duplicate timestamps
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
       val evs = Tables.load(s, dir, "events")
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_session",
@@ -114,15 +117,18 @@ object EventQueries {
   val oracle: Map[String, String] = Map(
     "e_sessionize" ->
       """WITH g AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN LAG(ts) OVER w IS NULL
         |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
         |    THEN 1 ELSE 0 END AS new_session
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |se AS (
         |  SELECT user_id, ts, value,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
         |  FROM g)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,

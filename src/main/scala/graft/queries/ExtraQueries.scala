@@ -19,24 +19,28 @@ object ExtraQueries {
 
   val defs: Map[String, Q] = Map(
     // array algebra — sorted on both engines (element order of
-    // set-algebra results is engine-specific)
+    // set-algebra results is engine-specific), then serialized to a
+    // comma-joined string: array-typed result columns are unsortable in
+    // the driver's pandas row canonicalization
     "q_fn_arrays" -> ((s, dir) => {
       val n = Tables.load(s, dir, "nation")
+      def asStr(c: org.apache.spark.sql.Column) =
+        array_join(c.cast(ArrayType(StringType)), ",")
       n.select(col("n_nationkey"),
-        array_sort(array_union(
+        asStr(array_sort(array_union(
           array(col("n_nationkey"), col("n_regionkey")),
-          array(col("n_regionkey"), col("n_regionkey") * 2))).as("a_union"),
-        array_sort(array_intersect(
+          array(col("n_regionkey"), col("n_regionkey") * 2)))).as("a_union"),
+        asStr(array_sort(array_intersect(
           sequence(lit(0), col("n_nationkey")),
-          sequence(col("n_regionkey"), lit(12)))).as("a_intersect"),
-        array_sort(array_except(
+          sequence(col("n_regionkey"), lit(12))))).as("a_intersect"),
+        asStr(array_sort(array_except(
           sequence(lit(0), col("n_regionkey") + 2),
-          array(col("n_regionkey")))).as("a_except"),
+          array(col("n_regionkey"))))).as("a_except"),
         array_contains(sequence(lit(0), lit(10)), col("n_nationkey"))
           .as("a_contains"),
         array_position(sequence(lit(0), lit(24)), col("n_nationkey"))
           .as("a_pos"),
-        slice(sequence(lit(0), lit(24)), 3, 4).as("a_slice"),
+        asStr(slice(sequence(lit(0), lit(24)), 3, 4)).as("a_slice"),
         size(sequence(lit(0), col("n_nationkey"))).as("a_size"))
     }),
 
@@ -140,19 +144,20 @@ object ExtraQueries {
   val oracle: Map[String, String] = Map(
     "q_fn_arrays" ->
       """SELECT n_nationkey,
-        |  list_sort(list_distinct(list_concat(
+        |  array_to_string(list_sort(list_distinct(list_concat(
         |    [n_nationkey, n_regionkey],
-        |    [n_regionkey, n_regionkey * 2]))) AS a_union,
-        |  list_sort(list_intersect(
+        |    [n_regionkey, n_regionkey * 2]))), ',') AS a_union,
+        |  array_to_string(list_sort(list_intersect(
         |    generate_series(0, n_nationkey),
-        |    generate_series(n_regionkey, 12))) AS a_intersect,
-        |  list_sort(list_distinct(list_filter(
+        |    generate_series(n_regionkey, 12))), ',') AS a_intersect,
+        |  array_to_string(list_sort(list_distinct(list_filter(
         |    generate_series(0, n_regionkey + 2),
-        |    x -> x <> n_regionkey))) AS a_except,
+        |    x -> x <> n_regionkey))), ',') AS a_except,
         |  list_contains(generate_series(0, 10), n_nationkey) AS a_contains,
         |  COALESCE(list_position(generate_series(0, 24), n_nationkey), 0)
         |    AS a_pos,
-        |  list_slice(generate_series(0, 24), 3, 6) AS a_slice,
+        |  array_to_string(list_slice(generate_series(0, 24), 3, 6), ',')
+        |    AS a_slice,
         |  len(generate_series(0, n_nationkey)) AS a_size
         |FROM nation""".stripMargin,
 

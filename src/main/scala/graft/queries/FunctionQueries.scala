@@ -40,8 +40,9 @@ object FunctionQueries {
       Tables.load(s, dir, "part")
         .select(
           col("p_partkey"),
-          tryToNumber(col("p_brand")).as("bad_num"),
-          tryToNumber(regexp_extract(col("p_brand"), "\\d+", 0)).as("brand_num"),
+          tryToNumber(col("p_brand")).cast(DoubleType).as("bad_num"),
+          tryToNumber(regexp_extract(col("p_brand"), "\\d+", 0))
+            .cast(DoubleType).as("brand_num"),
           tryToDouble(col("p_size").cast(StringType)).as("size_dbl"),
           tryToDate(lit("2024-03-15")).as("good_date"),
           tryToDate(col("p_type")).as("bad_date"),
@@ -210,7 +211,7 @@ object FunctionQueries {
         """SELECT o_orderkey,
           |  IFF(o_totalprice > 200000, 'big', 'small') AS size_tag,
           |  OBJECT_CONSTRUCT('id', o_orderkey, 'st', o_orderstatus) AS obj,
-          |  TRY_TO_NUMBER(o_orderpriority) AS bad_num,
+          |  CAST(TRY_TO_NUMBER(o_orderpriority) AS DOUBLE) AS bad_num,
           |  DATEADD(week, 2, o_orderdate) AS plus2w,
           |  DATEDIFF('month', o_orderdate, TIMESTAMP '2001-12-31') AS m_left
           |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)
@@ -230,8 +231,9 @@ object FunctionQueries {
 
     "q_fn_trycast" ->
       """SELECT p_partkey,
-        |  TRY_CAST(p_brand AS DECIMAL(38,0)) AS bad_num,
-        |  TRY_CAST(regexp_extract(p_brand, '\d+') AS DECIMAL(38,0)) AS brand_num,
+        |  CAST(TRY_CAST(p_brand AS DECIMAL(38,0)) AS DOUBLE) AS bad_num,
+        |  CAST(TRY_CAST(regexp_extract(p_brand, '\d+') AS DECIMAL(38,0))
+        |    AS DOUBLE) AS brand_num,
         |  TRY_CAST(CAST(p_size AS VARCHAR) AS DOUBLE) AS size_dbl,
         |  TRY_CAST('2024-03-15' AS DATE) AS good_date,
         |  TRY_CAST(p_type AS DATE) AS bad_date,
@@ -337,7 +339,7 @@ object FunctionQueries {
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_tag,
         |  to_json(struct_pack(id := o_orderkey, st := o_orderstatus)) AS obj,
-        |  TRY_CAST(o_orderpriority AS DECIMAL(38,0)) AS bad_num,
+        |  CAST(TRY_CAST(o_orderpriority AS DECIMAL(38,0)) AS DOUBLE) AS bad_num,
         |  o_orderdate + INTERVAL 14 DAY AS plus2w,
         |  date_diff('month', o_orderdate, TIMESTAMP '2001-12-31') AS m_left
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin

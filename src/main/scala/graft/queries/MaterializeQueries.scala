@@ -112,8 +112,12 @@ object MaterializeQueries {
 
     // incremental/merge == delete+insert on unique key
     // (incremental.sql:161-190)
+    // final projection re-casts the DECIMAL payload to DOUBLE: raw
+    // DECIMAL result columns canonicalize differently across engines in
+    // the driver's pandas-based hasher (Decimal('1.50') vs float 1.5)
     "m_incr_merge" -> ((s, dir) =>
-      Incremental.merge(target(s, dir), staging(s, dir), Seq("o_orderkey"))),
+      Incremental.merge(target(s, dir), staging(s, dir), Seq("o_orderkey"))
+        .withColumn("price", col("price").cast(DoubleType))),
 
     // incremental/delete+insert partition variant (incremental.sql:137-154)
     "m_incr_delete_insert_part" -> ((s, dir) => {
@@ -131,7 +135,8 @@ object MaterializeQueries {
     "m_snapshot_first" -> ((s, dir) =>
       Snapshot.firstRun(custV1(s, dir), Seq("c_custkey"),
         Snapshot.TimestampStrategy("updated_at"),
-        lit(T1).cast(TimestampType))),
+        lit(T1).cast(TimestampType))
+        .withColumn("bal", col("bal").cast(DoubleType))),
 
     // snapshot update: changed + hard-deleted + new keys, SCD2 history
     // (snapshot.sql:133-232)
@@ -141,6 +146,7 @@ object MaterializeQueries {
       Snapshot.update(first, custV2(s, dir), Seq("c_custkey"),
         Snapshot.TimestampStrategy("updated_at"),
         lit(NOW2).cast(TimestampType), hardDelete = true)
+        .withColumn("bal", col("bal").cast(DoubleType))
     })
   )
 
@@ -153,10 +159,12 @@ object MaterializeQueries {
         |WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin,
 
     "m_incr_merge" ->
-      s"""WITH t AS ($targetSql), s AS ($stagingSql)
-         |SELECT * FROM t WHERE NOT EXISTS
+      s"""WITH t AS ($targetSql), s AS ($stagingSql),
+         |m AS (SELECT * FROM t WHERE NOT EXISTS
          |  (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
-         |UNION ALL SELECT * FROM s""".stripMargin,
+         |UNION ALL SELECT * FROM s)
+         |SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+         |FROM m""".stripMargin,
 
     "m_incr_delete_insert_part" ->
       """WITH t AS (SELECT o_orderkey, o_totalprice,
@@ -167,7 +175,10 @@ object MaterializeQueries {
         |SELECT * FROM t WHERE ym NOT IN (SELECT DISTINCT ym FROM s)
         |UNION ALL SELECT * FROM s""".stripMargin,
 
-    "m_snapshot_first" -> stageSql(custV1Sql),
+    "m_snapshot_first" ->
+      s"""SELECT c_custkey, segment, CAST(bal AS DOUBLE) AS bal, updated_at,
+         |  dbt_scd_id, dbt_updated_at, dbt_valid_from, dbt_valid_to
+         |FROM (${stageSql(custV1Sql)})""".stripMargin,
 
     "m_snapshot_scd2" ->
       s"""WITH t0 AS (${stageSql(custV1Sql)}),
@@ -183,6 +194,8 @@ object MaterializeQueries {
          |  ins AS (
          |    SELECT s.* FROM s2 s LEFT JOIN t0 t ON s.c_custkey = t.c_custkey
          |    WHERE t.dbt_scd_id IS NULL OR t.dbt_scd_id <> s.dbt_scd_id)
-         |SELECT * FROM closed UNION ALL SELECT * FROM ins""".stripMargin
+         |SELECT c_custkey, segment, CAST(bal AS DOUBLE) AS bal, updated_at,
+         |  dbt_scd_id, dbt_updated_at, dbt_valid_from, dbt_valid_to
+         |FROM (SELECT * FROM closed UNION ALL SELECT * FROM ins)""".stripMargin
   )
 }

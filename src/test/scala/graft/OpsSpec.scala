@@ -85,6 +85,35 @@ class OpsSpec extends AnyFunSuite {
     assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
   }
 
+  test("bucket cap bounds the pair triangle on a planted giant bucket") {
+    import spark.implicits._
+    // 40 near-identical docs (one boilerplate cluster) + 2 normal dups:
+    // with maxBucket=5, the cluster contributes pairs among its 5
+    // lowest ids only (C(5,2)=10 per band at most), while the normal
+    // pair is unaffected.
+    val boiler = (0 until 40).map(i =>
+      (100L + i, "spark shuffle partition exchange broadcast join " +
+        s"codegen stage task executor row $i"))
+    val normal = Seq(
+      (1L, "one perfectly ordinary document about gardens and tea"),
+      (2L, "one perfectly ordinary document about gardens and coffee"))
+    val docs = (boiler ++ normal).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(docs, blockCols = Seq.empty,
+      threshold = 0.3, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every boilerplate pair is within the 5 lowest cluster ids
+    val clusterPairs = capped.filter(_._1 >= 100L)
+    assert(clusterPairs.nonEmpty)
+    assert(clusterPairs.forall { case (a, b) => a <= 104L && b <= 104L },
+      s"pair beyond cap: $clusterPairs")
+    // the normal near-dup pair survives untouched
+    assert(capped.contains((1L, 2L)))
+    // audit: the oversized bucket is reported with its drop count
+    val over = Dedup.oversizedBuckets(
+      docs.withColumn("all", lit(1)), Seq("all"), maxBucket = 5).collect()
+    assert(over.length == 1 && over.head.getAs[Long]("dropped_members") == 37L)
+  }
+
   test("IVF ANN recall vs brute force") {
     import graft.ops.Similarity
     val e = Tables.load(spark, sf, "embeddings")
