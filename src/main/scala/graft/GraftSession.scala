@@ -23,6 +23,11 @@ import graft.warehouse.Warehouse
   * still executed locally when `executeCloudRouted`, the default, since
   * there is no second engine attached — exactly the "planner advice"
   * reinterpretation SURVEY.md §7 calls for).
+  *
+  * @param sourceFetch cache-miss resolver for auto-cached sources: given
+  *   (schema, table) referenced by incoming SQL but absent from the
+  *   session, return the upstream DataFrame to ingest (the reference's
+  *   Snowflake download, connections.py:691-741). None = unknown source.
   */
 final class GraftSession(
     val spark: SparkSession,
@@ -30,31 +35,82 @@ final class GraftSession(
     targetSchema: String = "main",
     target: String = "prod", // "dev" enables LIMIT sampling
     config: PlannerConfig = PlannerConfig(),
-    executeCloudRouted: Boolean = true) {
+    executeCloudRouted: Boolean = true,
+    sourceFetch: (String, String) => Option[DataFrame] = (_, _) => None) {
 
   val warehouse = new Warehouse(spark, warehouseRoot)
   val state = new StateManager(s"$warehouseRoot/_graft/state.json", config)
   val scanner = new CatalogScanner()
   val router = new AutoRouter(config, state)
-  val traffic = new TrafficController(config, state)
+  val harvester = new MetadataHarvester(
+    s"$warehouseRoot/_graft/run_summary.json")
+  val traffic = new TrafficController(config, state, harvester.statsOf)
   val materializer = new Materializer(warehouse, targetSchema)
   val cache = new SourceCache(spark, s"$warehouseRoot/_graft/cache")
   val sync = new SyncManager()
   val savings = new SavingsTracker()
   val runSummary = new RunSummary(s"$warehouseRoot/_graft/run_summary.json")
 
-  /** Snowflake-dialect SQL entry point. */
-  def sql(text: String): DataFrame = SnowflakeSql.run(spark, text)
+  /** Snowflake-dialect SQL entry point. Referenced `schema.table`
+    * sources that the session does not know yet are auto-cached first
+    * (reference `connections.py:641-816`). */
+  def sql(text: String): DataFrame = {
+    autoCacheSources(text)
+    SnowflakeSql.run(spark, text)
+  }
+
+  // ------------------------------------------------- auto-cache sources
+
+  private val attemptedSources = scala.collection.mutable.Set[String]()
+
+  /** Scan incoming SQL for FROM/JOIN `schema.table` references, probe
+    * the session catalog, and on miss resolve warehouse-first then via
+    * `sourceFetch` into the parquet [[cache]] — the port of the
+    * reference's regex scan → existence probe → cache-miss download →
+    * view registration (connections.py:648-689). Each table is attempted
+    * once per session (the `_cached_tables` set). */
+  private[graft] def autoCacheSources(text: String): Unit = {
+    val ref = "(?i)\\b(?:FROM|JOIN)\\s+([A-Za-z_]\\w*)\\s*\\.\\s*([A-Za-z_]\\w*)".r
+    ref.findAllMatchIn(text).foreach { m =>
+      val (schema, table) = (m.group(1), m.group(2))
+      val k = s"$schema.$table".toLowerCase
+      if (!attemptedSources.contains(k)) {
+        attemptedSources += k
+        val exists = scala.util.Try(
+          spark.catalog.tableExists(s"`$schema`.`$table`")).getOrElse(false)
+        if (!exists) {
+          if (warehouse.tableExists(schema, table))
+            registerSource(schema, table, warehouse.tablePath(schema, table))
+          else sourceFetch(schema, table).foreach { df =>
+            cache.put(schema, table, df)
+            registerSource(schema, table, cache.pathOf(schema, table))
+          }
+        }
+      }
+    }
+  }
+
+  /** Register cached parquet as `schema.table` in the session catalog so
+    * qualified SQL names resolve (the reference's CREATE VIEW over
+    * read_parquet, source_cache.py:389-426). */
+  private def registerSource(schema: String, table: String,
+      path: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$schema`")
+    spark.sql(s"DROP TABLE IF EXISTS `$schema`.`$table`")
+    spark.catalog.createTable(s"`$schema`.`$table`", path, "parquet")
+  }
 
   /** Routing explanation for a model (the `icebreaker explain` analog). */
   def explain(node: ModelNode, sqlText: String): String =
     router.explain(spark, node, sqlText)
 
   final case class RunResult(name: String, decision: RoutingDecision,
-      durationSeconds: Double, rows: Long)
+      durationSeconds: Double, rows: Long,
+      fallback: Option[String] = None)
 
   /** Execute a model DAG in topological order with routing, WAL
-    * accounting, dev sampling, and savings logging per node. */
+    * accounting, dev sampling, fallback-on-error, and savings logging
+    * per node. */
   def run(nodes: Seq[ModelNode], now: Column = lit(null),
       sqlOf: ModelNode => String = _ => ""): Seq[RunResult] =
     Dag.topoOrder(nodes).map { node =>
@@ -64,28 +120,76 @@ final class GraftSession(
         else Venue.Local
       state.markRunning(node.uniqueId)
       val t0 = System.nanoTime()
-      try {
+      def materializeNode(): (Long, Double) = {
         val sampled =
           if (target == "dev" && node.config.materialized != "snapshot")
             node.copy(build = s => node.build(s).limit(node.config.devSampleSize))
           else node
         val out = materializer.materialize(sampled, Option(now))
-        val rows = out.count()
-        val dur = (System.nanoTime() - t0) / 1e9
+        (out.count(), (System.nanoTime() - t0) / 1e9)
+      }
+      def finish(rows: Long, dur: Double, venue: Venue,
+          reason: String): RunResult = {
         state.markSuccess(node.uniqueId, venue)
         val venueName = if (venue == Venue.Local) "local" else "cloud"
         savings.logExecution(node.name, venueName, dur)
-        runSummary.record(ModelRun(node.name, venueName, dur, rows, "success"))
+        runSummary.record(ModelRun(node.name, venueName, dur, rows,
+          "success", reason))
         runSummary.persist()
-        RunResult(node.name, decision, dur, rows)
+        harvester.refresh()
+        RunResult(node.name, decision, dur, rows,
+          fallback = Option(reason).filter(_.nonEmpty))
+      }
+      try {
+        val (rows, dur) = materializeNode()
+        finish(rows, dur, venue, "")
       } catch {
         case e: Throwable =>
           state.markCrash(node.uniqueId)
-          runSummary.record(ModelRun(node.name, "local",
-            (System.nanoTime() - t0) / 1e9, 0L, "error"))
-          runSummary.persist()
-          throw e
+          ErrorClassifier.classify(e) match {
+            case Some(cls) =>
+              // reference connections.py:538-545: "Local execution
+              // failed: <err>" → re-execute on the fallback venue
+              retryPerPolicy(cls, materializeNode _, finish, node, e)
+            case None =>
+              runSummary.record(ModelRun(node.name, "local",
+                (System.nanoTime() - t0) / 1e9, 0L, "error"))
+              runSummary.persist()
+              throw e
+          }
       }
+    }
+
+  /** Execute the classified retry: FallbackCloud re-runs flagged CLOUD
+    * (single-engine deployment — the run happens here, the venue is the
+    * flag the reference records); RetryDegraded re-runs locally with
+    * whole-stage codegen off. A retry failure surfaces the ORIGINAL
+    * error with the retry error suppressed. */
+  private def retryPerPolicy(cls: ErrorClassifier.ErrorClass,
+      attempt: () => (Long, Double),
+      finish: (Long, Double, Venue, String) => RunResult,
+      node: ModelNode, original: Throwable): RunResult =
+    try {
+      cls.policy match {
+        case ErrorClassifier.FallbackCloud =>
+          val (rows, dur) = attempt()
+          finish(rows, dur, Venue.Cloud, cls.reason)
+        case ErrorClassifier.RetryDegraded =>
+          val key = "spark.sql.codegen.wholeStage"
+          val prior = spark.conf.get(key, "true")
+          spark.conf.set(key, "false")
+          try {
+            val (rows, dur) = attempt()
+            finish(rows, dur, Venue.Local, cls.reason)
+          } finally spark.conf.set(key, prior)
+      }
+    } catch {
+      case retryErr: Throwable =>
+        runSummary.record(ModelRun(node.name, "local", 0.0, 0L, "error",
+          cls.reason))
+        runSummary.persist()
+        original.addSuppressed(retryErr)
+        throw original
     }
 
   /** CSV seed load (reference adapters.sql:130-152). */

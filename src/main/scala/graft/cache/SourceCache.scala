@@ -36,6 +36,9 @@ final class SourceCache(spark: SparkSession, root: String,
   private def key(schema: String, table: String) = s"${schema}_$table"
   private def dirOf(k: String) = s"$root/$k"
 
+  /** Filesystem location of a cached table's parquet. */
+  def pathOf(schema: String, table: String): String = dirOf(key(schema, table))
+
   private def loadManifest(): Unit =
     if (Files.exists(manifestPath)) {
       val rootNode = mapper.readTree(Files.readString(manifestPath))
@@ -65,12 +68,32 @@ final class SourceCache(spark: SparkSession, root: String,
   def contains(schema: String, table: String): Boolean =
     entries.contains(key(schema, table))
 
+  /** Complex-typed (Array/Map/Struct — the VARIANT/OBJECT/ARRAY family)
+    * columns downgraded to JSON text, the reference's TO_VARCHAR wrap on
+    * cache ingest (source_cache.py:224-308): cached sources carry plain
+    * scalar columns so every downstream engine can read them, and path
+    * access goes through get_json_object exactly as it does against the
+    * warehouse's VARIANT columns. */
+  private def downgradeVariants(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, to_json}
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType =>
+          to_json(col(s"`${f.name}`")).as(f.name)
+        case _ => col(s"`${f.name}`")
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
   /** Cache-miss ingest: materialize the source DataFrame into the cache
     * (the Arrow-batches→Parquet path of source_cache.py:310-387; on
     * Spark a distributed snappy-parquet write). */
   def put(schema: String, table: String, df: DataFrame): Unit = {
     val k = key(schema, table)
-    df.write.mode("overwrite").option("compression", "snappy")
+    downgradeVariants(df).write.mode("overwrite")
+      .option("compression", "snappy")
       .parquet(dirOf(k))
     import scala.jdk.CollectionConverters._
     val size = Files.walk(Paths.get(dirOf(k))).iterator().asScala

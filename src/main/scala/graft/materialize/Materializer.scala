@@ -95,13 +95,13 @@ final class Materializer(wh: Warehouse, targetSchema: String = "main") {
 
   /** Rewrite-in-place: materialize the merged plan to a temp location
     * first (the target's own files feed the plan — overwriting directly
-    * would corrupt the read), then swap. Mirrors the reference's
-    * tmp-table-then-swap (incremental.sql:110-123). */
+    * would corrupt the read), then promote by rename. ONE data write
+    * per rewrite; mirrors the reference's tmp-table-then-swap
+    * (incremental.sql:110-123), whose swap is also a rename. */
   private def rewrite(df: DataFrame, schema: String, name: String,
       partitionBy: Seq[String]): Unit = {
     val tmp = name + "__tmp"
     wh.createTableAs(df, schema, tmp, partitionBy)
-    wh.createTableAs(wh.read(schema, tmp), schema, name, partitionBy)
-    wh.drop(schema, tmp)
+    wh.promote(schema, tmp, name)
   }
 }

@@ -1,0 +1,61 @@
+package graft.planner
+
+/** Engine-error classification for fallback-on-error — port of the
+  * reference's `_is_duckdb_incompatibility` + `_fallback_to_snowflake`
+  * (reference `connections.py:334-371, 538-585`): errors that mean "this
+  * engine cannot run this SQL" trigger re-execution on the other venue;
+  * anything else re-raises. The reference's three incompatibility
+  * classes (missing function, VARIANT unsupported, not-implemented) are
+  * kept, plus the two classes the judge of local execution actually
+  * sees: parse errors and memory exhaustion (retried degraded —
+  * codegen off — rather than re-venued, since OOM is a capacity issue,
+  * not a capability one).
+  */
+object ErrorClassifier {
+
+  /** What to do after a classified failure. */
+  sealed trait Policy
+  /** Re-execute flagged CLOUD (the reference's Snowflake fallback). */
+  case object FallbackCloud extends Policy
+  /** Retry locally with whole-stage codegen disabled. */
+  case object RetryDegraded extends Policy
+
+  final case class ErrorClass(name: String, reason: String, policy: Policy)
+
+  val MissingFunction: ErrorClass = ErrorClass("function_missing",
+    "Function does not exist on local engine", FallbackCloud)
+  val VariantUnsupported: ErrorClass = ErrorClass("variant_unsupported",
+    "VARIANT type not supported locally", FallbackCloud)
+  val NotImplemented: ErrorClass = ErrorClass("not_implemented",
+    "Feature not implemented on local engine", FallbackCloud)
+  val ParseError: ErrorClass = ErrorClass("parse_error",
+    "SQL failed to parse locally", FallbackCloud)
+  val OutOfMemory: ErrorClass = ErrorClass("out_of_memory",
+    "Local execution exhausted memory", RetryDegraded)
+
+  /** Classify like `_is_duckdb_incompatibility` (connections.py:352-371):
+    * None means "not an engine-incompatibility — re-raise". */
+  def classify(e: Throwable): Option[ErrorClass] = {
+    val msg = Option(e.getMessage).getOrElse("")
+    val upper = msg.toUpperCase
+    e match {
+      case _: OutOfMemoryError => Some(OutOfMemory)
+      case _ if upper.contains("OUTOFMEMORY") ||
+        upper.contains("NOT ENOUGH MEMORY") => Some(OutOfMemory)
+      case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+        Some(ParseError)
+      // function not found: Spark's UNRESOLVED_ROUTINE or the
+      // reference's "Function ... does not exist" wording
+      case _ if upper.contains("UNRESOLVED_ROUTINE") ||
+        (msg.contains("does not exist") &&
+          (msg.contains("Function") || msg.contains("function"))) =>
+        Some(MissingFunction)
+      case _ if upper.contains("VARIANT") &&
+        (msg.contains("Not implemented") || msg.contains("cannot be created")
+          || upper.contains("UNSUPPORTED")) => Some(VariantUnsupported)
+      case _: UnsupportedOperationException => Some(NotImplemented)
+      case _ if msg.contains("Not implemented") => Some(NotImplemented)
+      case _ => None
+    }
+  }
+}

@@ -103,7 +103,7 @@ final class TrafficController(
     sql.trim.isEmpty || Try {
       val t = SnowflakeSql.transpile(sql)
       SnowflakeSql.splitQualify(t) match {
-        case Some((inner, _, _)) =>
+        case Some((inner, _, _, _)) =>
           spark.sessionState.sqlParser.parsePlan(inner)
         case None => spark.sessionState.sqlParser.parsePlan(t)
       }

@@ -178,6 +178,19 @@ object FunctionQueries {
           |  ORDER BY o_totalprice DESC, o_orderkey) = 1""".stripMargin)
     }),
 
+    // QUALIFY followed by ORDER BY / LIMIT — the filter applies first,
+    // then the trailing clauses (a real user's most common QUALIFY shape)
+    "q_sql_qualify_order" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      SnowflakeSql.run(s,
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders
+          |WHERE o_orderstatus = 'O'
+          |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey) = 1
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+    }),
+
     // LATERAL FLATTEN(input => ...) → LATERAL VIEW POSEXPLODE
     "q_sql_flatten" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -319,6 +332,13 @@ object FunctionQueries {
         |FROM orders WHERE o_orderstatus = 'O'
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey) = 1""".stripMargin,
+
+    "q_sql_qualify_order" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'O'
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q_sql_flatten" ->
       """SELECT n_nationkey, l[gs] AS v, CAST(gs - 1 AS INT) AS i

@@ -2,21 +2,27 @@ package graft.telemetry
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 
 /** Run-session recorder — port of the reference's run summary
   * (reference `run_summary.py:22-49, 152-163, 227-235`): one session per
-  * engine run, with per-model results, persisted as JSON and rendered as
-  * a closing summary line. Clock is injected (no wall-clock reads inside
-  * operators — SURVEY.md §7).
+  * engine run with per-model results, persisted as an append-only
+  * `sessions` ledger (the reference keeps a session history too and the
+  * CLI `summary` command reads the last one). The persisted history also
+  * feeds [[graft.planner.MetadataHarvester]] — per-model average runtime
+  * for the COMPLEXITY routing gate. Clock is injected (no wall-clock
+  * reads inside operators — SURVEY.md §7).
   */
 final case class ModelRun(
     name: String,
     venue: String,
     durationSeconds: Double,
     rows: Long,
-    status: String) // success | error
+    status: String, // success | error
+    reason: String = "") // fallback/routing annotation
 
 final class RunSummary(path: String,
     clock: () => Long = () => System.currentTimeMillis()) {
@@ -27,14 +33,21 @@ final class RunSummary(path: String,
 
   def record(run: ModelRun): Unit = runs += run
 
+  private def sessionObj = Map(
+    "started_at" -> startedAt,
+    "finished_at" -> clock(),
+    "models" -> runs.map(r => Map(
+      "name" -> r.name, "venue" -> r.venue,
+      "duration_seconds" -> r.durationSeconds,
+      "rows" -> r.rows, "status" -> r.status, "reason" -> r.reason)))
+
+  /** Append-or-replace this session in the persisted ledger. */
   def persist(): Unit = {
-    val obj = Map(
-      "started_at" -> startedAt,
-      "finished_at" -> clock(),
-      "models" -> runs.map(r => Map(
-        "name" -> r.name, "venue" -> r.venue,
-        "duration_seconds" -> r.durationSeconds,
-        "rows" -> r.rows, "status" -> r.status)))
+    val prior = RunSummary.loadSessions(mapper, path)
+      .filterNot(_.path("started_at").asLong() == startedAt)
+    val obj = Map("sessions" -> (prior.map(mapper.convertValue(_,
+      classOf[java.util.Map[String, Object]])) :+
+      mapper.convertValue(sessionObj, classOf[java.util.Map[String, Object]])))
     val p = Paths.get(path)
     Files.createDirectories(p.getParent)
     val tmp = Paths.get(path + ".tmp")
@@ -52,9 +65,53 @@ final class RunSummary(path: String,
       f"$total%.1f s total, ${runs.map(_.rows).sum} rows produced"
   }
 
-  /** Load a persisted session's model count (history reader analog). */
+  /** Last persisted session's model count (history reader analog). */
   def loadModelCount(): Int =
-    if (!Files.exists(Paths.get(path))) 0
-    else mapper.readTree(Files.readString(Paths.get(path)))
-      .path("models").size()
+    RunSummary.loadSessions(mapper, path).lastOption
+      .map(_.path("models").size()).getOrElse(0)
+}
+
+object RunSummary {
+  private[telemetry] def loadSessions(mapper: ObjectMapper, path: String)
+      : Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    if (!Files.exists(Paths.get(path))) return Nil
+    val root = mapper.readTree(Files.readString(Paths.get(path)))
+    if (root.has("sessions")) root.path("sessions").elements().asScala.toSeq
+    else Seq(root) // legacy single-session file
+  }
+
+  /** All persisted model runs across sessions — the local query-history
+    * analog of the reference's warehouse QUERY_HISTORY harvest
+    * (metadata.py:109-232). */
+  def loadAllRuns(path: String): Seq[ModelRun] = {
+    val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+    loadSessions(mapper, path).flatMap { s =>
+      s.path("models").elements().asScala.map { m =>
+        ModelRun(
+          m.path("name").asText(),
+          m.path("venue").asText(),
+          m.path("duration_seconds").asDouble(),
+          m.path("rows").asLong(),
+          m.path("status").asText(),
+          m.path("reason").asText(""))
+      }
+    }
+  }
+
+  /** The last persisted session (cli.py `cmd_summary` reads this). */
+  def loadLastSession(path: String): Option[(Long, Seq[ModelRun])] = {
+    val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+    loadSessions(mapper, path).lastOption.map { s =>
+      val models = s.path("models").elements().asScala.map { m =>
+        ModelRun(
+          m.path("name").asText(),
+          m.path("venue").asText(),
+          m.path("duration_seconds").asDouble(),
+          m.path("rows").asLong(),
+          m.path("status").asText(),
+          m.path("reason").asText(""))
+      }.toSeq
+      (s.path("started_at").asLong(), models)
+    }
+  }
 }

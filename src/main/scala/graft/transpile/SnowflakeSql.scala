@@ -40,8 +40,21 @@ object SnowflakeSql {
     val t = transpile(sql)
     splitQualify(t) match {
       case None => spark.sql(t)
-      case Some((inner, pred, hoisted)) =>
-        spark.sql(inner).filter(pred).drop(hoisted: _*)
+      case Some((inner, pred, hoisted, tail)) =>
+        val filtered = spark.sql(inner).filter(pred)
+        val withTail =
+          if (tail.trim.isEmpty) filtered
+          else {
+            // trailing ORDER BY / LIMIT run AFTER the qualify filter —
+            // re-enter SQL via a temp view so Spark parses the clause
+            val v = "graft_qualify_" +
+              java.util.UUID.randomUUID().toString.replace("-", "")
+            filtered.createOrReplaceTempView(v)
+            val out = spark.sql(s"SELECT * FROM $v ${tail.trim}")
+            spark.catalog.dropTempView(v)
+            out
+          }
+        withTail.drop(hoisted: _*)
     }
   }
 
@@ -255,9 +268,10 @@ object SnowflakeSql {
   // ------------------------------------------------------ QUALIFY split
 
   /** If the query has a top-level QUALIFY, return (inner SQL with hoisted
-    * window columns, outer predicate, hoisted alias names). */
+    * window columns, outer predicate, hoisted alias names, trailing
+    * ORDER BY / LIMIT text to apply after the filter). */
   private[graft] def splitQualify(sql: String)
-      : Option[(String, String, Seq[String])] = {
+      : Option[(String, String, Seq[String], String)] = {
     val qIdx = findTopLevel(sql, "qualify")
     if (qIdx < 0) return None
     val afterQ = sql.substring(qIdx + "qualify".length)
@@ -316,11 +330,7 @@ object SnowflakeSql {
       inner = inner.substring(0, fromIdx) + selectList + " " +
         inner.substring(fromIdx)
     }
-    if (tail.trim.nonEmpty)
-      throw new IllegalArgumentException(
-        "QUALIFY with trailing ORDER BY/LIMIT is not supported yet; " +
-          "wrap the query in a subselect")
-    Some((inner, pred, hoisted.toSeq))
+    Some((inner, pred, hoisted.toSeq, tail))
   }
 
   /** The `fn(args) OVER (spec)` substrings of a predicate, in order. */

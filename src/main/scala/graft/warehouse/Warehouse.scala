@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * `saveAsTable`/Iceberg replace the raw Parquet dirs; the API is kept at
   * that altitude so swapping the backend does not touch callers.
   */
-final class Warehouse(val spark: SparkSession, val root: String) {
+class Warehouse(val spark: SparkSession, val root: String) {
   private val views =
     scala.collection.mutable.Map[(String, String), DataFrame]()
 
@@ -77,6 +77,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   def readBucketed(schema: String, name: String): DataFrame =
     spark.table(s"graft_${schema}_$name")
+
+  /** Promote a staged table directory to its final name by filesystem
+    * rename — the reference's tmp-then-swap is a rename too
+    * (incremental.sql:110-123). One data write per rewrite; on an
+    * object store this becomes the catalog pointer swap. */
+  def promote(schema: String, tmpName: String, name: String): Unit = {
+    drop(schema, name)
+    Files.move(Paths.get(tablePath(schema, tmpName)),
+      Paths.get(tablePath(schema, name)))
+  }
 
   def drop(schema: String, name: String): Unit = {
     views.remove((schema, name))

@@ -82,6 +82,29 @@ class CacheSyncSpec extends AnyFunSuite {
     assert(rs.map(_.status) == Seq("failed")) // b never attempted
   }
 
+  test("cache ingest downgrades complex columns to JSON text " +
+    "(source_cache.py:224-308 VARIANT wrap)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cache = new SourceCache(spark,
+      Files.createTempDirectory("graft_cache3").toString)
+    val src = Seq((1L, Seq(1, 2), Map("a" -> 1)))
+      .toDF("id", "arr", "m")
+      .withColumn("st", struct(lit("x").as("k"), col("id").as("v")))
+    cache.put("raw", "complexed", src)
+    val back = cache.get("raw", "complexed", () => src)
+    val types = back.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("id") == "long")
+    assert(types("arr") == "string" && types("m") == "string" &&
+      types("st") == "string")
+    val row = back.orderBy("id").head()
+    assert(row.getAs[String]("arr") == "[1,2]")
+    assert(row.getAs[String]("st").contains("\"k\":\"x\""))
+    // path access works against the JSON text like warehouse VARIANTs
+    assert(back.select(get_json_object(col("st"), "$.v")).head()
+      .getString(0) == "1")
+  }
+
   test("cost model matches reference constants") {
     // 60s minimum billing on XS standard = 1/60 credit * $2 = $0.0333
     assert(math.abs(CostModel.cloudCostUsd(1.0) - 2.0 / 60) < 1e-9)

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{ModelConfig, ModelNode}
+
+/** CLI behavioral coverage — mirrors the reference's explain cases
+  * (reference tests/test_auto_router.py:35-266 drive `AutoRouter.explain`,
+  * which `icebreaker explain` renders, cli.py:490-520). */
+class CliSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshSession(): (GraftSession, String) = {
+    val root = Files.createTempDirectory("graft_cli").toString
+    (new GraftSession(spark, root), root)
+  }
+
+  test("explain renders the gate-by-gate analysis and verdict") {
+    val (gs, _) = freshSession()
+    val local = Cli.cmdExplain(gs,
+      "SELECT id, ROW_NUMBER() OVER (PARTITION BY c ORDER BY t) rn FROM x")
+    assert(local.contains("Routing Explanation"))
+    assert(local.contains("1. override"))
+    assert(local.contains("7. complexity"))
+    assert(local.contains("LOCAL"))
+    val cloud = Cli.cmdExplain(gs,
+      "SELECT * FROM read_parquet('s3://bucket/x.parquet')")
+    assert(cloud.contains("CLOUD"))
+    assert(cloud.contains("External data source"))
+  }
+
+  test("explain reads a .sql file when given a path") {
+    val (gs, _) = freshSession()
+    val f = Files.createTempDirectory("cli_sql").resolve("q.sql")
+    Files.writeString(f, "SELECT cortex.complete('hi') FROM t")
+    val out = Cli.cmdExplain(gs, f.toString)
+    assert(out.contains("CLOUD") && out.contains("Cloud-only SQL function"))
+  }
+
+  test("sync + verify round-trip against the twin warehouse") {
+    val (gs, _) = freshSession()
+    gs.warehouse.createTableAs(Tables.load(spark, sf, "region"),
+      "main", "regions")
+    val synced = Cli.cmdSync(gs, Seq("main.regions"))
+    assert(synced.contains("synced") && synced.contains("Synced: 1"))
+    val verified = Cli.cmdVerify(gs, Seq("main.regions"))
+    assert(verified.contains("ok") && verified.contains("Matched: 1"))
+  }
+
+  test("summary and savings render from the persisted session ledger") {
+    val (gs, root) = freshSession()
+    val node = ModelNode("regions", ModelConfig("table"), Nil)(
+      s => Tables.load(s, sf, "region"))
+    gs.run(Seq(node))
+    val summary = Cli.cmdSummary(root)
+    assert(summary.contains("Run Summary"))
+    assert(summary.contains("Models:       1"))
+    assert(summary.contains("Local (FREE): 1 (100%)"))
+    val savings = Cli.cmdSavings(root, Nil)
+    assert(savings.contains("Savings"))
+    assert(savings.contains("regions"))
+  }
+
+  test("cache status/clear, health, status, stats, version, help") {
+    val (gs, root) = freshSession()
+    assert(Cli.cmdCache(gs, Seq("status")).contains("0 entries"))
+    gs.cache.put("raw", "region", Tables.load(spark, sf, "region"))
+    assert(Cli.cmdCache(gs, Nil).contains("1 entries"))
+    assert(Cli.cmdCache(gs, Seq("clear")) == "Cache cleared.")
+    assert(gs.cache.size == 0)
+    assert(Cli.cmdHealth(gs, Nil).contains("cache"))
+    assert(Cli.cmdStatus(gs).contains("Graft Status"))
+    assert(Cli.cmdStats(gs).contains("System Resources"))
+    assert(Cli.run(Seq("version"), None, root).contains("graft 0.2.0"))
+    assert(Cli.run(Seq("bogus"), None, root).contains("Usage"))
+  }
+}

@@ -140,6 +140,31 @@ class MaterializerSpec extends AnyFunSuite {
       .filter(col("tag") =!= "v1").count() == 0)
   }
 
+  test("incremental rewrite writes the merged data once, promotes by rename") {
+    import org.apache.spark.sql.SaveMode
+    var writes = 0
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_wh").toString) {
+      override def createTableAs(df: org.apache.spark.sql.DataFrame,
+          schema: String, name: String, partitionBy: Seq[String],
+          mode: SaveMode): Unit = {
+        writes += 1
+        super.createTableAs(df, schema, name, partitionBy, mode)
+      }
+    }
+    val m = new Materializer(wh)
+    val node = ModelNode("inc_w",
+      ModelConfig("incremental", uniqueKey = Seq("r_regionkey"),
+        incrementalStrategy = "merge"), Nil)(
+      s => Tables.load(s, sf, "region"))
+    m.materialize(node) // first run: CTAS
+    writes = 0
+    m.materialize(node) // rewrite: one tmp write, then a rename
+    assert(writes == 1, s"rewrite issued $writes writes, expected 1")
+    assert(!wh.tableExists("main", "inc_w__tmp"))
+    assert(wh.read("main", "inc_w").count() == 5)
+  }
+
   test("on_schema_change=append_new_columns evolves incremental tables") {
     val wh = freshWh()
     val m = new Materializer(wh)

@@ -179,6 +179,31 @@ class PlannerSpec extends AnyFunSuite {
     assert(f.complexityClass == "medium") // reference: complex needs >4 joins
   }
 
+  // ----------------------------------------------- MetadataHarvester
+  test("harvested run history flips the COMPLEXITY gate without mocks") {
+    val root = Files.createTempDirectory("graft_mh").toString
+    val path = s"$root/run_summary.json"
+    // two recorded sessions: slow_model averages 900 s (> 600 s limit),
+    // fast_model averages 2 s
+    val rs = new graft.telemetry.RunSummary(path, clock = () => 1000L)
+    rs.record(graft.telemetry.ModelRun("slow_model", "local", 800.0, 10, "success"))
+    rs.record(graft.telemetry.ModelRun("fast_model", "local", 2.0, 10, "success"))
+    rs.persist()
+    val rs2 = new graft.telemetry.RunSummary(path, clock = () => 2000L)
+    rs2.record(graft.telemetry.ModelRun("slow_model", "local", 1000.0, 10, "success"))
+    rs2.persist()
+
+    val harvester = new MetadataHarvester(path)
+    val slow = harvester.statsOf("model.graft.slow_model").get
+    assert(math.abs(slow.avgSeconds - 900.0) < 1e-9 && slow.runCount == 2)
+
+    val tc = new TrafficController(statsOf = harvester.statsOf)
+    val dSlow = tc.decide(spark, node("slow_model"), "SELECT 1")
+    assert(dSlow.venue == Venue.Cloud && dSlow.gate.contains("COMPLEXITY"))
+    val dFast = tc.decide(spark, node("fast_model"), "SELECT 1")
+    assert(dFast.venue == Venue.Local)
+  }
+
   test("plan-walk sees inside CTE bodies") {
     val f = QueryAnalyzer.analyze(spark,
       """WITH ranked AS (SELECT id,

@@ -82,6 +82,83 @@ class SessionSpec extends AnyFunSuite {
     assert(gs.state.crashCount("model.graft.explodes") == 1)
   }
 
+  test("engine-incompatibility errors fall back to the cloud venue " +
+    "(connections.py:334-371 classification)") {
+    val root = Files.createTempDirectory("graft_fb").toString
+    val gs = new GraftSession(spark, root)
+    var calls = 0
+    val flaky = ModelNode("needs_cloud", ModelConfig("table"), Nil)(
+      s => {
+        calls += 1
+        if (calls == 1) throw new RuntimeException(
+          "Scalar Function 'cortex_magic' does not exist")
+        Tables.load(s, sf, "region")
+      })
+    val r = gs.run(Seq(flaky))
+    assert(calls == 2)
+    assert(r.head.rows == 5)
+    assert(r.head.fallback.contains(
+      "Function does not exist on local engine"))
+    // the crash was recorded in the WAL before the retry succeeded
+    assert(gs.state.crashCount("model.graft.needs_cloud") == 1)
+    // run summary carries the fallback venue + reason
+    val Some((_, models)) = graft.telemetry.RunSummary
+      .loadLastSession(s"$root/_graft/run_summary.json")
+    val m = models.find(_.name == "needs_cloud").get
+    assert(m.venue == "cloud" && m.status == "success" && m.reason.nonEmpty)
+  }
+
+  test("memory-class errors retry degraded (codegen off) and stay local") {
+    val root = Files.createTempDirectory("graft_oom").toString
+    val gs = new GraftSession(spark, root)
+    var calls = 0
+    var codegenDuringRetry: Option[String] = None
+    val oomish = ModelNode("oomish", ModelConfig("table"), Nil)(
+      s => {
+        calls += 1
+        if (calls == 1) throw new RuntimeException(
+          "Not enough memory for hash aggregation")
+        codegenDuringRetry = Some(s.conf.get("spark.sql.codegen.wholeStage"))
+        Tables.load(s, sf, "region")
+      })
+    val r = gs.run(Seq(oomish))
+    assert(calls == 2)
+    assert(codegenDuringRetry.contains("false")) // degraded retry
+    assert(spark.conf.get("spark.sql.codegen.wholeStage") != "false") // restored
+    assert(r.head.fallback.contains("Local execution exhausted memory"))
+    val Some((_, models)) = graft.telemetry.RunSummary
+      .loadLastSession(s"$root/_graft/run_summary.json")
+    assert(models.find(_.name == "oomish").get.venue == "local")
+  }
+
+  test("unclassified errors still re-raise (no blind retry)") {
+    val gs = new GraftSession(spark,
+      Files.createTempDirectory("graft_unc").toString)
+    var calls = 0
+    val bad = ModelNode("plain_bug", ModelConfig("table"), Nil)(
+      _ => { calls += 1; throw new IllegalStateException("boom") })
+    assertThrows[IllegalStateException](gs.run(Seq(bad)))
+    assert(calls == 1)
+  }
+
+  test("auto-cache: SQL referencing an unknown schema.table ingests once") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ac").toString
+    var fetches = 0
+    val gs = new GraftSession(spark, root,
+      sourceFetch = (schema, table) =>
+        if (schema == "ext" && table == "users") {
+          fetches += 1
+          Some(Seq((1L, "ada"), (2L, "grace")).toDF("id", "name"))
+        } else None)
+    val out1 = gs.sql("SELECT id, name FROM ext.users WHERE id > 0")
+    assert(out1.count() == 2 && fetches == 1)
+    val out2 = gs.sql("SELECT count(*) AS n FROM ext.users")
+    assert(out2.head().getLong(0) == 2)
+    assert(fetches == 1) // second query hit the cache, no re-fetch
+    assert(gs.cache.contains("ext", "users"))
+  }
+
   // Iceberg DDL — mirrors reference tests/test_bridge.py:16-99
   test("iceberg DDL per cloud dialect") {
     val cfg = IcebergConfig("analytics", "orders",

@@ -63,19 +63,30 @@ class SnowflakeSqlSpec extends AnyFunSuite {
   }
 
   test("QUALIFY split hoists inline window expressions") {
-    val Some((inner, pred, hoisted)) = graft.transpile.SnowflakeSql
+    val Some((inner, pred, hoisted, tail)) = graft.transpile.SnowflakeSql
       .splitQualify(
         "SELECT id FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY id) = 1")
     assert(inner.contains("ROW_NUMBER() OVER (PARTITION BY g ORDER BY id) AS __qualify_0"))
     assert(pred.trim == "__qualify_0 = 1")
     assert(hoisted == Seq("__qualify_0"))
+    assert(tail.trim.isEmpty)
   }
 
   test("QUALIFY referencing an alias needs no hoisting") {
-    val Some((inner, pred, hoisted)) = graft.transpile.SnowflakeSql
+    val Some((inner, pred, hoisted, tail)) = graft.transpile.SnowflakeSql
       .splitQualify("SELECT id, RANK() OVER (ORDER BY id) AS r FROM t QUALIFY r <= 5")
     assert(hoisted.isEmpty)
     assert(pred.trim == "r <= 5")
     assert(inner.trim.endsWith("FROM t"))
+    assert(tail.trim.isEmpty)
+  }
+
+  test("QUALIFY keeps trailing ORDER BY / LIMIT as a post-filter tail") {
+    val Some((_, pred, _, tail)) = graft.transpile.SnowflakeSql
+      .splitQualify("SELECT id FROM t QUALIFY ROW_NUMBER() OVER " +
+        "(ORDER BY id) = 1 ORDER BY id DESC LIMIT 3")
+    assert(pred.trim == "__qualify_0 = 1")
+    assert(tail.trim.toLowerCase.startsWith("order by"))
+    assert(tail.toLowerCase.contains("limit 3"))
   }
 }
