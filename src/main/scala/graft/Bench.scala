@@ -28,16 +28,39 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // noop sink materializes every output column (count() would let
+      // Catalyst prune the projection and under-measure).
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only a bounded stdout tail, so the JSON line
+    // must stay comfortably under ~2000 chars: 3-decimal seconds, numeric
+    // sf, and if the full per-query map still overflows, keep the slowest
+    // entries and report how many sub-threshold ones were elided.
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    def fmt(v: Double) = f"$v%.3f"
+    def line(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","omitted_fast_queries":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"sf":$sf}"""
+    }
+    val full = line(results, 0)
+    val out =
+      if (full.length <= 1600) full
+      else {
+        val slowFirst = results.sortBy(-_._2)
+        val keep = Iterator.range(1, slowFirst.size + 1)
+          .map(slowFirst.take)
+          .takeWhile(e => line(e.sortBy(_._1), results.size - e.size).length <= 1600)
+          .toSeq.lastOption.getOrElse(slowFirst.take(10))
+        line(keep.sortBy(_._1), results.size - keep.size)
+      }
+    println(out)
     spark.stop()
   }
 }
