@@ -79,8 +79,16 @@ object Registry {
   /** Builders for each registered name. */
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "iff" -> { case Seq(p, t, f) => If(p, t, f) },
-    "try_to_number" -> { case Seq(x) => tryCast(x, DecimalType(38, 0)) },
-    "try_to_numeric" -> { case Seq(x) => tryCast(x, DecimalType(38, 0)) },
+    "try_to_number" -> {
+      case Seq(x) => tryCast(x, DecimalType(38, 0))
+      case Seq(x, p, s) => tryCast(x,
+        DecimalType(intLit(p, "try_to_number"), intLit(s, "try_to_number")))
+    },
+    "try_to_numeric" -> {
+      case Seq(x) => tryCast(x, DecimalType(38, 0))
+      case Seq(x, p, s) => tryCast(x,
+        DecimalType(intLit(p, "try_to_numeric"), intLit(s, "try_to_numeric")))
+    },
     "try_to_decimal" -> {
       case Seq(x) => tryCast(x, DecimalType(38, 0))
       case Seq(x, p, s) => tryCast(x,

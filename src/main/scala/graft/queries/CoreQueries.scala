@@ -164,6 +164,23 @@ object CoreQueries {
         .select(o("o_orderkey"), o("o_custkey"))
     }),
 
+    // §2.3 correlated scalar subquery (catalog_reader.py per-model probes;
+    // Catalyst decorrelates to a left outer aggregate join — including the
+    // COUNT-over-empty-group case, which must yield 0, not NULL)
+    "q_correlated_scalar" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          |  CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(24,2)))
+          |        FROM orders o
+          |        WHERE o.o_custkey = c.c_custkey
+          |          AND o.o_orderstatus = 'F') AS DOUBLE) AS f_spend
+          |FROM customer c
+          |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    }),
+
     // ------------------------------------------------------------------
     // §2.5 windows — the flagship dedup pattern
     // (test_auto_router.py:192-211); deterministic via orderkey tie-break
@@ -256,6 +273,17 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_correlated_scalar" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(24,2)))
+        |        FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_orderstatus = 'F') AS DOUBLE) AS f_spend
+        |FROM customer c
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
     "q_scan_project" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
         |FROM lineitem

@@ -156,12 +156,23 @@ object FunctionQueries {
             col("o_orderdate").cast(TimestampNTZType)).as("tokyo_time"))
     }),
 
-    // HLL distinct (SURVEY §2.4) — approximate, rows-only check
+    // HLL distinct (SURVEY §2.4). The sketch estimate is engine-specific,
+    // so the oracle-checked contract is the tolerance bound: emit the
+    // exact distinct counts plus booleans proving the HLL estimate landed
+    // within ±10% of exact; DuckDB asserts TRUE. HLL is deterministic
+    // given the data, so the hash check is stable.
     "q_approx_distinct" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        .agg(approx_count_distinct(col("l_partkey")).as("ap"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_suppkey")).as("asup"),
+          countDistinct(col("l_suppkey")).as("exact_supps"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+          (abs(col("ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.10).as("parts_ok"),
+          (abs(col("asup") - col("exact_supps")) <=
+            col("exact_supps") * 0.10).as("supps_ok"))
     }),
 
     // ----------------------------------------------------------------
@@ -215,6 +226,18 @@ object FunctionQueries {
         """SELECT r_regionkey, CAST(r_name AS VARIANT) AS v1,
           |  r_regionkey::VARIANT AS v2, TO_VARIANT(r_name) AS v3
           |FROM region""".stripMargin)
+    }),
+
+    // 3-arg TRY_TO_NUMBER/TRY_TO_DECIMAL(expr, precision, scale)
+    // (transpiler.py:246-260 type_map surface)
+    "q_sql_trynum_ps" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      SnowflakeSql.run(s,
+        """SELECT o_orderkey,
+          |  CAST(TRY_TO_NUMBER(REGEXP_SUBSTR(o_orderpriority, '[0-9]+'), 18, 3)
+          |    AS DOUBLE) AS prio_num,
+          |  CAST(TRY_TO_DECIMAL(o_orderstatus, 10, 2) AS DOUBLE) AS bad_dec
+          |FROM orders WHERE o_orderstatus = 'P'""".stripMargin)
     }),
 
     // IFF / OBJECT_CONSTRUCT / TRY_TO_* / DATEADD via SQL names
@@ -354,6 +377,20 @@ object FunctionQueries {
       """SELECT r_regionkey, to_json(r_name) AS v1,
         |  to_json(r_regionkey) AS v2, to_json(r_name) AS v3
         |FROM region""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_suppkey) AS exact_supps,
+        |  TRUE AS parts_ok, TRUE AS supps_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_sql_trynum_ps" ->
+      """SELECT o_orderkey,
+        |  CAST(TRY_CAST(NULLIF(regexp_extract(o_orderpriority, '[0-9]+'), '')
+        |    AS DECIMAL(18,3)) AS DOUBLE) AS prio_num,
+        |  CAST(TRY_CAST(o_orderstatus AS DECIMAL(10,2)) AS DOUBLE) AS bad_dec
+        |FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
 
     "q_sql_dialect_fns" ->
       """SELECT o_orderkey,
