@@ -149,19 +149,24 @@ object Dedup {
       .filter(col("members") > maxBucket)
       .withColumn("dropped_members", col("members") - maxBucket)
 
-  /** 32-bit SimHash signature per document: bit i is the sign of the
-    * token-hash bit votes. */
-  def simhash(toks: Column): Column = {
+  /** 32-bit SimHash signature from PRE-HASHED tokens: bit i is the sign
+    * of the token-hash bit votes. `hashes` must be a materialized column
+    * (behind an exchange) — the 32-bit transform references it 32 times,
+    * so an inlined expression would tokenize+md5 the document 32×. */
+  def simhash(hashes: Column): Column = {
     val bits = transform(sequence(lit(0), lit(31)), i =>
-      when(aggregate(toks, lit(0),
-        (acc, t) => acc + when(call_function("shiftright", h32(t), i) % 2 === 1, 1)
+      when(aggregate(hashes, lit(0),
+        (acc, h) => acc + when(call_function("shiftright", h, i) % 2 === 1, 1)
           .otherwise(-1)) > 0, lit(1L)).otherwise(lit(0L)))
     aggregate(bits, lit(0L), (acc, bit) => acc * 2 + bit)
   }
 
   def simhashTable(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), simhash(tokens(col(textCol))).as("simhash"))
+    docs
+      .select(col(idCol), transform(tokens(col(textCol)), t => h32(t)).as("__th"))
+      .repartition(col(idCol)) // barrier: one tokenize + one md5 per token
+      .select(col(idCol), simhash(col("__th")).as("simhash"))
 
   /** n-gram Jaccard near-dup pairs inside blocking columns: the exact
     * verification path for blocked corpora. Pairing is quadratic WITHIN

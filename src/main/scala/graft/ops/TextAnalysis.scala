@@ -88,13 +88,33 @@ object TextAnalysis {
 
   /** Document fingerprint: full-content md5 + min-hash of char-5-gram
     * shingles (a 1-hash MinHash — the rolling-hash winnowing
-    * fingerprint's cheap cousin, robust to whitespace). */
+    * fingerprint's cheap cousin, robust to whitespace). Inline Column
+    * form; for corpus-scale use [[fingerprintTable]], whose barrier
+    * avoids re-running the normalization regex per shingle. */
   def fingerprint(text: Column): Column = {
     val norm = regexp_replace(lower(text), "\\s+", " ")
     struct(
       md5(norm).as("content_md5"),
       array_min(transform(charShingles(text, 5), s => h32(s)))
         .as("shingle_minhash"))
+  }
+
+  /** [[fingerprint]] as a table program with the HOF-barrier: the
+    * normalized text is materialized behind an exchange so the
+    * per-shingle lambda reads an attribute instead of re-evaluating the
+    * whole-string regex for every shingle (O(L) vs O(L²) per document).
+    * `array_distinct` is dropped — it cannot change an `array_min`. */
+  def fingerprintTable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    docs.select(col(idCol), norm.as("__norm"))
+      .repartition(col(idCol)) // barrier: one normalization pass
+      .select(col(idCol),
+        md5(col("__norm")).as("content_md5"),
+        when(length(col("__norm")) >= 5,
+          array_min(transform(sequence(lit(1), length(col("__norm")) - 4),
+            i => h32(col("__norm").substr(i, lit(5))))))
+          .otherwise(lit(null).cast(LongType)).as("shingle_minhash"))
   }
 
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame =

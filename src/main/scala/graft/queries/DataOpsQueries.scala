@@ -111,10 +111,7 @@ object DataOpsQueries {
         .select(col("doc_id"), col("t.*"))),
 
     "t_fingerprint" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fp"))
-        .select(col("doc_id"), col("fp.*"))),
+      TextAnalysis.fingerprintTable(Tables.load(s, dir, "documents"))),
 
     // --------------------------------------------------- multimodal
     "mm_features" -> ((s, dir) => {
