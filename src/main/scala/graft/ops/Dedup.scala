@@ -209,4 +209,38 @@ object Dedup {
           col("nb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Connected components over near-dup pairs — the dedup FINISHING
+    * step: every document that appears in any (id_a, id_b) pair gets a
+    * `cluster_id` = the minimum doc id reachable through the pair graph,
+    * so keep-one-per-cluster is a trivial `filter(id === cluster_id)`.
+    *
+    * Min-label propagation: each round, every node takes the min of its
+    * own label and its neighbors' labels (one equi-join + one
+    * min-groupBy — two bounded shuffles per round, never a cross
+    * product). A round extends the propagation radius by one hop, so
+    * `iterations` must be ≥ the largest cluster diameter. Near-dup
+    * clusters are short-diameter by construction (members pairwise
+    * similar through few hops), and the default 8 covers a 256-member
+    * chain worst case far beyond real curation graphs. At 100 TB the
+    * per-round plans are size-bounded (labels ≤ distinct endpoints,
+    * edges static), and `localCheckpoint` every few rounds would
+    * truncate the iterative lineage — at the tested scales Catalyst
+    * handles the 8-round plan directly. */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", iterations: Int = 8): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+    for (_ <- 1 to iterations) {
+      val fromNbr = edges.alias("e")
+        .join(labels.alias("l"), col("e.dst") === col("l.id"))
+        .select(col("e.src").as("id"), col("l.cluster_id").as("cluster_id"))
+      labels = labels.union(fromNbr)
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+    }
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
 }

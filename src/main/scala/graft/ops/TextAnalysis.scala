@@ -117,6 +117,33 @@ object TextAnalysis {
           .otherwise(lit(null).cast(LongType)).as("shingle_minhash"))
   }
 
+  /** PII patterns for redaction/counting — RE2-safe syntax (no
+    * lookaround, `[0-9]` classes) so the same pattern text runs
+    * identically on Spark (java.util.regex) and DuckDB (RE2). Order
+    * matters: SSN before phone (both are digit-dash shapes). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<SSN>",
+    "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b" -> "<PHONE>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>")
+
+  /** Redact emails, SSNs, phone numbers, and IPv4 addresses — the
+    * pre-training scrub pass. A chain of narrow regexp_replace calls:
+    * streams at scan speed, no shuffle. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** How many PII hits each pattern family found (for curation
+    * reports). */
+  def piiCounts(text: Column): Column =
+    struct(
+      regexp_count(text, lit(piiPatterns(0)._1)).as("n_email"),
+      regexp_count(text, lit(piiPatterns(1)._1)).as("n_ssn"),
+      regexp_count(text, lit(piiPatterns(2)._1)).as("n_phone"),
+      regexp_count(text, lit(piiPatterns(3)._1)).as("n_ip"))
+
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
       .withColumn("lang_pred", langId(col(textCol)))

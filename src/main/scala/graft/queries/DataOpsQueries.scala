@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** The north-star LLM-data-pipeline operators (BASELINE.json) as
   * oracle-checked queries over `documents` / `embeddings`:
@@ -27,6 +27,42 @@ object DataOpsQueries {
       |  generate_series(1, len(t) - 2),
       |  i -> array_to_string(list_slice(t, i, i + 2), ' ')))
       |ELSE [] END""".stripMargin
+
+  /** DuckDB replica of the MinHash-LSH pair pipeline (shared by the
+    * d_dedup_minhash and d_dedup_cluster oracles): token hashes →
+    * arithmetic 3-gram shingle hashes → 16 universal-hash minima →
+    * 4-row LSH bands → in-bucket pairs with exact jaccard. */
+  private def minhashPairsCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, $toksSql AS t FROM documents),
+       |th AS (
+       |  SELECT doc_id, list_transform(t, x -> ${h32Sql("x")}) AS h
+       |  FROM toks),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(h) >= 3 THEN
+       |    list_distinct(list_transform(generate_series(1, len(h) - 2),
+       |      i -> ((h[i] * 1000003 + h[i+1]) % 3037000493 * 1000003
+       |        + h[i+2]) % 3037000493))
+       |  ELSE [] END AS s FROM th),
+       |sig AS (
+       |  SELECT doc_id, s,
+       |    list_transform(generate_series(0, 15), p ->
+       |      list_aggregate(list_transform(s, h ->
+       |        (h * (p * 2 + 1) + p * 12345 + 7) % 4294967311),
+       |        'min')) AS sg
+       |  FROM sh WHERE len(s) > 0),
+       |banded AS (
+       |  SELECT doc_id, s, bi,
+       |    md5(array_to_string(list_transform(
+       |      list_slice(sg, bi * 4 + 1, bi * 4 + 4), v -> v::VARCHAR),
+       |      ',')) AS bh
+       |  FROM sig, unnest(generate_series(0, 3)) u(bi)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.s, b.s))::DOUBLE /
+       |      len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+       |  FROM banded a JOIN banded b
+       |    ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
 
   /** documents plus synthesized exact duplicates (doc_id+10000). */
   private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
@@ -126,6 +162,43 @@ object DataOpsQueries {
       val media = Multimodal.syntheticMedia(s,
         Tables.load(s, dir, "documents"))
       Multimodal.sampleFrames(Multimodal.decode(media))
+    }),
+
+    // --------------------------------------- dedup finishing + curation
+    // Connected components over the MinHash-LSH near-dup pairs: every
+    // paired doc gets cluster_id = min reachable doc id, so
+    // keep-one-per-cluster is filter(doc_id = cluster_id). Oracle is the
+    // LSH replica + a recursive-CTE transitive closure.
+    "d_dedup_cluster" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.minhashLsh(Tables.load(s, dir, "documents"),
+          shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.5),
+        iterations = 4)),
+
+    // Deterministic hash-stratified sampling: downsample 'en' to 25%,
+    // everything else to 50% — reproducible on any partitioning.
+    "d_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedHashSample(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source")),
+        keyCol = "doc_id", stratumCol = "lang",
+        fractions = Map("en" -> 0.25), defaultFraction = 0.5)),
+
+    // PII redaction over text with synthesized deterministic PII (the
+    // corpus itself is clean) — email, SSN, phone, IPv4.
+    "t_pii_redact" -> ((s, dir) => {
+      val withPii = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com ph 555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast(StringType), 3, "0"),
+          lit("-1234 ip 10.0."),
+          pmod(col("doc_id"), lit(256)).cast(StringType),
+          lit(".17 ssn 123-45-6789")).as("text"))
+      withPii.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("text_redacted"),
+        TextAnalysis.piiCounts(col("text")).as("c"))
+        .select(col("doc_id"), col("text_redacted"), col("c.*"))
     })
   )
 
@@ -232,37 +305,50 @@ object DataOpsQueries {
          |GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))""".stripMargin,
 
     "d_dedup_minhash" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $toksSql AS t FROM documents),
-         |th AS (
-         |  SELECT doc_id, list_transform(t, x -> ${h32Sql("x")}) AS h
-         |  FROM toks),
-         |sh AS (
-         |  SELECT doc_id, CASE WHEN len(h) >= 3 THEN
-         |    list_distinct(list_transform(generate_series(1, len(h) - 2),
-         |      i -> ((h[i] * 1000003 + h[i+1]) % 3037000493 * 1000003
-         |        + h[i+2]) % 3037000493))
-         |  ELSE [] END AS s FROM th),
-         |sig AS (
-         |  SELECT doc_id, s,
-         |    list_transform(generate_series(0, 15), p ->
-         |      list_aggregate(list_transform(s, h ->
-         |        (h * (p * 2 + 1) + p * 12345 + 7) % 4294967311),
-         |        'min')) AS sg
-         |  FROM sh WHERE len(s) > 0),
-         |banded AS (
-         |  SELECT doc_id, s, bi,
-         |    md5(array_to_string(list_transform(
-         |      list_slice(sg, bi * 4 + 1, bi * 4 + 4), v -> v::VARCHAR),
-         |      ',')) AS bh
-         |  FROM sig, unnest(generate_series(0, 3)) u(bi)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    len(list_intersect(a.s, b.s))::DOUBLE /
-         |      len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-         |  FROM banded a JOIN banded b
-         |    ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+
+    // LSH pairs + recursive transitive closure: min reachable doc id
+    "d_dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM good
+         |  UNION SELECT id_b, id_a FROM good),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "d_sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${h32Sql("CAST(doc_id AS VARCHAR)")} % 10000 <
+         |  CASE WHEN lang = 'en' THEN 2500 ELSE 5000 END""".stripMargin,
+
+    "t_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com ph 555-' ||
+        |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234 ip 10.0.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) || '.17 ssn 123-45-6789' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+        |    AS text_redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip
+        |FROM p""".stripMargin,
 
     "d_dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents)

@@ -128,4 +128,54 @@ class OpsSpec extends AnyFunSuite {
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall > 0.4, s"ivf recall=$recall")
   }
+
+  test("dupClusters: min-label propagation reaches the transitive closure") {
+    import spark.implicits._
+    // two components: a 4-chain {1,2,3,4} and a pair {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("hash sampling is deterministic and partitioning-invariant") {
+    import graft.ops.Sampling
+    val docs = Tables.load(spark, sf, "documents")
+    val a = Sampling.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(7), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on partitioning")
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.2 && a.size < n * 0.4, s"got ${a.size} of $n")
+    // stratified: en downsampled harder than the rest
+    val strat = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("en" -> 0.1), defaultFraction = 0.9)
+    val byLang = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en").toDouble / totals("en") < 0.25)
+  }
+
+  test("PII redaction scrubs email/ssn/phone/ip and counts them") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      "mail a@b.io or x.y+z@sub.example.org call 555-123-4567 " +
+        "ssn 123-45-6789 host 192.168.0.1 pi 3.14 ok").toDF("text")
+    val r = df.select(
+      TextAnalysis.redactPii(col("text")).as("red"),
+      TextAnalysis.piiCounts(col("text")).as("c")).select("red", "c.*")
+      .collect().head
+    val red = r.getString(0)
+    assert(red.contains("<EMAIL>") && red.contains("<SSN>") &&
+      red.contains("<PHONE>") && red.contains("<IP>"))
+    assert(!red.contains("@") && !red.contains("555-123-4567"))
+    assert(red.contains("3.14"), "plain decimals must survive")
+    assert(r.getInt(1) == 2 && r.getInt(2) == 1 && r.getInt(3) == 1 &&
+      r.getInt(4) == 1)
+  }
 }
