@@ -222,16 +222,21 @@ object Dedup {
     * `iterations` must be ≥ the largest cluster diameter. Near-dup
     * clusters are short-diameter by construction (members pairwise
     * similar through few hops), and the default 8 covers a 256-member
-    * chain worst case far beyond real curation graphs. At 100 TB the
-    * per-round plans are size-bounded (labels ≤ distinct endpoints,
-    * edges static), and `localCheckpoint` every few rounds would
-    * truncate the iterative lineage — at the tested scales Catalyst
-    * handles the 8-round plan directly. */
+    * chain worst case far beyond real curation graphs.
+    *
+    * Iterative lineage is TRUNCATED every round: each round references
+    * `labels` twice and `edges` once, so without materialization the
+    * final plan re-executes the upstream pair generator exponentially
+    * (2^iterations references). `edges` is checkpointed once and
+    * `labels` after every round — on a real cluster swap
+    * `localCheckpoint` for reliable `checkpoint` so executor loss
+    * cannot drop a round. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", iterations: Int = 8): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+      .localCheckpoint() // pairs generator runs exactly once
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
     for (_ <- 1 to iterations) {
@@ -240,6 +245,7 @@ object Dedup {
         .select(col("e.src").as("id"), col("l.cluster_id").as("cluster_id"))
       labels = labels.union(fromNbr)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint() // cut the doubling lineage per round
     }
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
