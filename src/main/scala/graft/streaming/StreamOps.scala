@@ -83,4 +83,28 @@ object StreamOps {
         if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Streaming ingest dedup — the streaming twin of [[graft.ops.Dedup
+    * .exact]]: drop documents whose normalized-content hash was already
+    * seen within the watermark horizon. State is bounded: Spark evicts
+    * seen-hash state older than the watermark, which is the standard
+    * trade for unbounded streams (exact global dedup of an infinite
+    * stream needs unbounded memory; the batch operator covers the
+    * at-rest pass). */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+      textCol: String = "text", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__th",
+        md5(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__th")
+      .drop("__th")
+
+  /** Stream-static enrichment join: the static dimension is read per
+    * micro-batch and broadcast by Catalyst when small — the standard
+    * pattern for joining a stream against reference data without
+    * shuffling the stream. */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
 }

@@ -64,4 +64,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.head.n_events == 2 && closed.head.total_value == 3.0)
     assert(closed.head.session_start_us == ts(0).getTime * 1000)
   }
+
+  test("streaming dedup drops repeated content within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.StreamOps.dedupStream(docs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    in.addData((1L, ts(0), "hello  world"), (2L, ts(1), "hello world"),
+      (3L, ts(2), "fresh text"))
+    q.processAllAvailable()
+    in.addData((4L, ts(3), "HELLO world"), (5L, ts(4), "newer text"))
+    q.processAllAvailable()
+    val kept = spark.table("dedup_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    // 2 normalizes to 1's text; 4 differs only by case -> dropped
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
+  test("stream-static enrich joins the broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
+    val in = MemoryStream[Event]
+    val q = graft.streaming.StreamOps.enrich(in.toDF(), dim,
+      "user_id", "cust_id")
+      .select("event_id", "tier")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    in.addData(Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 9, "view", 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    q.stop()
+    assert(rows == Map(1L -> Some("gold"), 2L -> None))
+  }
 }
