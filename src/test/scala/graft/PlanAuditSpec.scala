@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audits over the WHOLE query inventory — the 100-TB
+  * discipline as a regression test. Planning only (no execution): every
+  * `SparkEntry.queries` entry is planned against sf0.001 and the
+  * physical plan is asserted to have the shape a 1000-executor run
+  * needs: filters pushed into the parquet scan, pruned read schemas,
+  * broadcast joins for dims, map-side partial aggregation, and no
+  * accidental Cartesian products anywhere.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physicalPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  // Deliberate dense pairings, documented in their operators: the exact
+  // ANN baseline scores every (query, candidate) pair by definition
+  // (query side broadcast); IVF's "cross join" is the one-row broadcast
+  // of the collected centroid array (Similarity.nearestCells) — a
+  // scalar-broadcast pattern, not a pairing of two relations.
+  private val denseByDesign = Set("s_ann_bruteforce", "s_ann_ivf")
+
+  test("no accidental Cartesian product in any registered query") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(denseByDesign)
+      .filter { name =>
+        val p = physicalPlan(name)
+        p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      }
+    assert(offenders.isEmpty,
+      s"dense joins outside the allowlist: ${offenders.mkString(", ")}")
+  }
+
+  test("flagship scan pushes filters and prunes columns") {
+    val p = physicalPlan("q_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    // projection is 4 columns + the 2 filter columns; the 16-column
+    // lineitem schema must NOT be read in full
+    assert(!p.contains("l_comment"), "read schema not pruned")
+  }
+
+  test("multi-join broadcasts the dimension tables") {
+    val p = physicalPlan("q_join_multi")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("aggregations are map-side partial") {
+    val p = physicalPlan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_"), p)
+  }
+
+  test("semi/anti joins plan as join strategies, not subquery loops") {
+    assert(physicalPlan("q_semi_join").contains("LeftSemi"))
+    assert(physicalPlan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("correlated scalar subquery decorrelates to aggregate + join") {
+    val p = physicalPlan("q_correlated_scalar")
+    // Catalyst rewrites the correlated scalar subqueries into outer
+    // joins against grouped aggregates — no per-row subquery execution
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("ScalarSubquery"), "subquery not decorrelated")
+  }
+}
