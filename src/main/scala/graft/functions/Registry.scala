@@ -130,5 +130,8 @@ object Registry {
     builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.JsonPathCse))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.JsonPathCse
   }
 }

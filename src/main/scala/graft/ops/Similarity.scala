@@ -155,6 +155,10 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell"),
           transform(col("dm"), e => e.getField("m")).as("centroid"))
+        // nCentroids rows; without this every downstream nearestCells
+        // call (per iteration, plus cells+probed after the loop) would
+        // re-execute the whole Lloyd chain from the corpus scan up
+        .localCheckpoint()
     }
 
     val cells = nearestCells(c, "cv", 1)

@@ -65,6 +65,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(physicalPlan("q_anti_join").contains("LeftAnti"))
   }
 
+  test("JsonPathCse: one JSON parse per row when SELECT and WHERE share a path") {
+    import org.apache.spark.sql.catalyst.expressions.GetJsonObject
+    val df = SparkEntry.queries("q_sql_colon_path")(spark, sf)
+    val parses = df.queryExecution.optimizedPlan
+      .flatMap(_.expressions).flatMap(_.collect { case g: GetJsonObject => g })
+    assert(parses.length == 1,
+      s"expected the shared path hoisted to a single extraction, got " +
+        s"${parses.length}:\n${df.queryExecution.optimizedPlan}")
+    // and the rewrite must not change results
+    val viaRule = df.collect().map(_.toSeq).toSet
+    val plain = Tables.load(spark, sf, "events")
+      .selectExpr("event_id", "CAST(get_json_object(props, '$.k') AS INT) AS k_val")
+      .where("k_val BETWEEN 20 AND 40").collect().map(_.toSeq).toSet
+    assert(viaRule == plain)
+  }
+
   test("correlated scalar subquery decorrelates to aggregate + join") {
     val p = physicalPlan("q_correlated_scalar")
     // Catalyst rewrites the correlated scalar subqueries into outer
