@@ -117,6 +117,34 @@ object TextAnalysis {
           .otherwise(lit(null).cast(LongType)).as("shingle_minhash"))
   }
 
+  /** Overlapping token-window chunking — the context-window prep step:
+    * each document becomes ceil((n−chunk)/stride)+1 windows of
+    * `chunkTokens` whitespace tokens, consecutive windows sharing
+    * `chunkTokens − stride` tokens of overlap. Whitespace tokens (case
+    * and punctuation preserved — chunk text feeds the model, unlike the
+    * analysis tokens). One narrow pass + explode; the token array is
+    * materialized behind an exchange so the per-chunk slice lambda reads
+    * an attribute. */
+  def chunkTable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame = {
+    val tk = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val withToks = docs.select(col(idCol), tk.as("__tk"))
+      .repartition(col(idCol)) // barrier: one tokenize pass
+    val n = size(col("__tk"))
+    val nChunks = when(n > chunkTokens,
+      floor((n - chunkTokens + (stride - 1)).cast(DoubleType) / stride)
+        .cast(IntegerType) + 1).otherwise(lit(1))
+    withToks
+      .select(col(idCol), col("__tk"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", slice(col("__tk"), col("chunk_idx") * stride + 1,
+          lit(chunkTokens))).as("chunk_text"),
+        size(slice(col("__tk"), col("chunk_idx") * stride + 1,
+          lit(chunkTokens))).as("n_tokens"))
+  }
+
   /** PII patterns for redaction/counting — RE2-safe syntax (no
     * lookaround, `[0-9]` classes) so the same pattern text runs
     * identically on Spark (java.util.regex) and DuckDB (RE2). Order

@@ -184,6 +184,13 @@ object DataOpsQueries {
         keyCol = "doc_id", stratumCol = "lang",
         fractions = Map("en" -> 0.25), defaultFraction = 0.5)),
 
+    // Context-window chunking: 64-token windows, stride 48 (16-token
+    // overlap) — the training-data prep step between curation and
+    // tokenization.
+    "t_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkTable(Tables.load(s, dir, "documents"),
+        chunkTokens = 64, stride = 48)),
+
     // PII redaction over text with synthesized deterministic PII (the
     // corpus itself is clean) — email, SSN, phone, IPv4.
     "t_pii_redact" -> ((s, dir) => {
@@ -325,6 +332,20 @@ object DataOpsQueries {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${h32Sql("CAST(doc_id AS VARCHAR)")} % 10000 <
          |  CASE WHEN lang = 'en' THEN 2500 ELSE 5000 END""".stripMargin,
+
+    "t_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |c AS (SELECT doc_id, tk, len(tk) AS n,
+        |  CASE WHEN len(tk) > 64 THEN 1 + (len(tk) - 64 + 47) // 48
+        |       ELSE 1 END AS nc FROM t)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+        |  array_to_string(list_slice(tk, (i-1)*48 + 1, (i-1)*48 + 64), ' ')
+        |    AS chunk_text,
+        |  CAST(len(list_slice(tk, (i-1)*48 + 1, (i-1)*48 + 64)) AS INT)
+        |    AS n_tokens
+        |FROM c, unnest(generate_series(1, nc)) g(i)""".stripMargin,
 
     "t_pii_redact" ->
       """WITH p AS (SELECT doc_id,

@@ -160,6 +160,27 @@ class OpsSpec extends AnyFunSuite {
     assert(byLang("en").toDouble / totals("en") < 0.25)
   }
 
+  test("chunking: strided overlapping windows with a clamped tail") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // 10 tokens, chunk 4, stride 3 -> starts 1,4,7,10 -> 3 full + 1 tail
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = TextAnalysis.chunkTable(docs, chunkTokens = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+    assert(ch.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(ch.head.getString(2) == "w1 w2 w3 w4")
+    assert(ch(1).getString(2) == "w4 w5 w6 w7")
+    assert(ch(2).getString(2) == "w7 w8 w9 w10")
+    assert(ch.map(_.getInt(3)).toSeq == Seq(4, 4, 4))
+    // short doc -> single clamped chunk
+    val one = TextAnalysis.chunkTable(
+      Seq((2L, "a b")).toDF("doc_id", "text"),
+      chunkTokens = 4, stride = 3).collect()
+    assert(one.length == 1 && one.head.getString(2) == "a b" &&
+      one.head.getInt(3) == 2)
+  }
+
   test("PII redaction scrubs email/ssn/phone/ip and counts them") {
     import spark.implicits._
     import graft.ops.TextAnalysis
