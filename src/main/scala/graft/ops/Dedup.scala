@@ -239,13 +239,16 @@ object Dedup {
       .localCheckpoint() // pairs generator runs exactly once
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
-    for (_ <- 1 to iterations) {
+    for (r <- 1 to iterations) {
       val fromNbr = edges.alias("e")
         .join(labels.alias("l"), col("e.dst") === col("l.id"))
         .select(col("e.src").as("id"), col("l.cluster_id").as("cluster_id"))
       labels = labels.union(fromNbr)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint() // cut the doubling lineage per round
+      // every-other-round checkpoint: lineage doubles per round, so two
+      // unmaterialized rounds cost at most 4 references to the previous
+      // checkpoint — half the materialization jobs for bounded re-reads
+      if (r % 2 == 0 || r == iterations) labels = labels.localCheckpoint()
     }
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
