@@ -42,8 +42,12 @@ object Bench {
     // sf, and if the full per-query map still overflows, keep the slowest
     // entries and report how many sub-threshold ones were elided.
     val total = results.map(_._2).sum
-    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    def fmt(v: Double) = f"$v%.3f"
+    val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    // Locale.ROOT: a comma-decimal default locale would print 1,234 and
+    // break the JSON line
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")

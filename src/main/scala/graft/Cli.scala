@@ -43,9 +43,10 @@ object Cli {
       Set("explain", "sync", "verify", "cache", "health", "status", "stats")
     val sessionFactory: () => GraftSession =
       () => new GraftSession(spark, root)
-    println(run(args.toSeq,
-      if (args.headOption.exists(needsSpark)) Some(sessionFactory) else None,
-      root))
+    val sparkBacked = args.headOption.exists(needsSpark)
+    try println(run(args.toSeq,
+      if (sparkBacked) Some(sessionFactory) else None, root))
+    finally if (sparkBacked) spark.stop()
   }
 
   /** Dispatch (cli.py:170-199) — pure string rendering for testability. */

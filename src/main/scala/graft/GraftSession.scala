@@ -110,54 +110,62 @@ final class GraftSession(
 
   /** Execute a model DAG in topological order with routing, WAL
     * accounting, dev sampling, fallback-on-error, and savings logging
-    * per node. */
+    * per node. The WAL ([[state]]) is written per node for crash
+    * recovery; the telemetry ledger persists ONCE per run (success or
+    * not) — a per-node rewrite would make every finish O(full ledger). */
   def run(nodes: Seq[ModelNode], now: Column = lit(null),
       sqlOf: ModelNode => String = _ => ""): Seq[RunResult] =
-    Dag.topoOrder(nodes).map { node =>
-      val decision = traffic.decide(spark, node, sqlOf(node))
-      val venue =
-        if (decision.venue == Venue.Cloud && !executeCloudRouted) Venue.Cloud
-        else Venue.Local
-      state.markRunning(node.uniqueId)
-      val t0 = System.nanoTime()
-      def materializeNode(): (Long, Double) = {
-        val sampled =
-          if (target == "dev" && node.config.materialized != "snapshot")
-            node.copy(build = s => node.build(s).limit(node.config.devSampleSize))
-          else node
-        val out = materializer.materialize(sampled, Option(now))
-        (out.count(), (System.nanoTime() - t0) / 1e9)
+    try {
+      Dag.topoOrder(nodes).map { node =>
+        val decision = traffic.decide(spark, node, sqlOf(node))
+        val venue =
+          if (decision.venue == Venue.Cloud && !executeCloudRouted) Venue.Cloud
+          else Venue.Local
+        state.markRunning(node.uniqueId)
+        val tStart = System.nanoTime()
+        // each attempt times itself: a fallback retry's recorded duration
+        // must not include the failed first attempt (it would overstate
+        // savings and poison the COMPLEXITY gate's average runtime)
+        def materializeNode(): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val sampled =
+            if (target == "dev" && node.config.materialized != "snapshot")
+              node.copy(build = s => node.build(s).limit(node.config.devSampleSize))
+            else node
+          val out = materializer.materialize(sampled, Option(now))
+          (out.count(), (System.nanoTime() - t0) / 1e9)
+        }
+        def finish(rows: Long, dur: Double, venue: Venue,
+            reason: String): RunResult = {
+          state.markSuccess(node.uniqueId, venue)
+          val venueName = if (venue == Venue.Local) "local" else "cloud"
+          savings.logExecution(node.name, venueName, dur)
+          runSummary.record(ModelRun(node.name, venueName, dur, rows,
+            "success", reason))
+          RunResult(node.name, decision, dur, rows,
+            fallback = Option(reason).filter(_.nonEmpty))
+        }
+        try {
+          val (rows, dur) = materializeNode()
+          finish(rows, dur, venue, "")
+        } catch {
+          case e: Throwable =>
+            state.markCrash(node.uniqueId)
+            ErrorClassifier.classify(e) match {
+              case Some(cls) =>
+                // reference connections.py:538-545: "Local execution
+                // failed: <err>" → re-execute on the fallback venue
+                retryPerPolicy(cls, materializeNode _, finish, node, e)
+              case None =>
+                runSummary.record(ModelRun(node.name, "local",
+                  (System.nanoTime() - tStart) / 1e9, 0L, "error"))
+                throw e
+            }
+        }
       }
-      def finish(rows: Long, dur: Double, venue: Venue,
-          reason: String): RunResult = {
-        state.markSuccess(node.uniqueId, venue)
-        val venueName = if (venue == Venue.Local) "local" else "cloud"
-        savings.logExecution(node.name, venueName, dur)
-        runSummary.record(ModelRun(node.name, venueName, dur, rows,
-          "success", reason))
-        runSummary.persist()
-        harvester.refresh()
-        RunResult(node.name, decision, dur, rows,
-          fallback = Option(reason).filter(_.nonEmpty))
-      }
-      try {
-        val (rows, dur) = materializeNode()
-        finish(rows, dur, venue, "")
-      } catch {
-        case e: Throwable =>
-          state.markCrash(node.uniqueId)
-          ErrorClassifier.classify(e) match {
-            case Some(cls) =>
-              // reference connections.py:538-545: "Local execution
-              // failed: <err>" → re-execute on the fallback venue
-              retryPerPolicy(cls, materializeNode _, finish, node, e)
-            case None =>
-              runSummary.record(ModelRun(node.name, "local",
-                (System.nanoTime() - t0) / 1e9, 0L, "error"))
-              runSummary.persist()
-              throw e
-          }
-      }
+    } finally {
+      runSummary.persist()
+      harvester.refresh()
     }
 
   /** Execute the classified retry: FallbackCloud re-runs flagged CLOUD
@@ -187,7 +195,6 @@ final class GraftSession(
       case retryErr: Throwable =>
         runSummary.record(ModelRun(node.name, "local", 0.0, 0L, "error",
           cls.reason))
-        runSummary.persist()
         original.addSuppressed(retryErr)
         throw original
     }

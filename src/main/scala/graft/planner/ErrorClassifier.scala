@@ -45,10 +45,12 @@ object ErrorClassifier {
       case _: org.apache.spark.sql.catalyst.parser.ParseException =>
         Some(ParseError)
       // function not found: Spark's UNRESOLVED_ROUTINE or the
-      // reference's "Function ... does not exist" wording
+      // reference's "Function <name> does not exist" wording. The name
+      // must sit BETWEEN the words — "Path does not exist: .../my_function"
+      // is a storage error, not a capability gap, and re-running it on
+      // another venue is guaranteed futile.
       case _ if upper.contains("UNRESOLVED_ROUTINE") ||
-        (msg.contains("does not exist") &&
-          (msg.contains("Function") || msg.contains("function"))) =>
+        "(?i)function\\s+\\S+\\s+does not exist".r.findFirstIn(msg).isDefined =>
         Some(MissingFunction)
       case _ if upper.contains("VARIANT") &&
         (msg.contains("Not implemented") || msg.contains("cannot be created")

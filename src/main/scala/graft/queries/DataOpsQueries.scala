@@ -56,7 +56,9 @@ object DataOpsQueries {
        |    md5(array_to_string(list_transform(
        |      list_slice(sg, bi * 4 + 1, bi * 4 + 4), v -> v::VARCHAR),
        |      ',')) AS bh
-       |  FROM sig, unnest(generate_series(0, 3)) u(bi)),
+       |  FROM sig, unnest(generate_series(0, 3)) u(bi)
+       |  QUALIFY row_number() OVER (PARTITION BY bi, bh
+       |    ORDER BY doc_id) <= 1000),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    len(list_intersect(a.s, b.s))::DOUBLE /
@@ -172,8 +174,7 @@ object DataOpsQueries {
     "d_dedup_cluster" -> ((s, dir) =>
       Dedup.dupClusters(
         Dedup.minhashLsh(Tables.load(s, dir, "documents"),
-          shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.5),
-        iterations = 4)),
+          shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.5))),
 
     // Deterministic hash-stratified sampling: downsample 'en' to 25%,
     // everything else to 50% — reproducible on any partitioning.
@@ -391,7 +392,9 @@ object DataOpsQueries {
          |    list_distinct(list_transform(generate_series(1, len(h) - 2),
          |      i -> ((h[i] * 1000003 + h[i+1]) % 3037000493 * 1000003
          |        + h[i+2]) % 3037000493)) AS s
-         |  FROM th WHERE len(h) >= 3 AND len(list_distinct(h)) > 0)
+         |  FROM th WHERE len(h) >= 3 AND len(list_distinct(h)) > 0
+         |  QUALIFY row_number() OVER (PARTITION BY lang, source
+         |    ORDER BY doc_id) <= 1000)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  len(list_intersect(a.s, b.s))::DOUBLE /
          |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard

@@ -101,10 +101,12 @@ object StreamOps {
       .drop("__th")
 
   /** Stream-static enrichment join: the static dimension is read per
-    * micro-batch and broadcast by Catalyst when small — the standard
-    * pattern for joining a stream against reference data without
-    * shuffling the stream. */
+    * micro-batch and broadcast — the standard pattern for joining a
+    * stream against (small) reference data without shuffling the
+    * stream. Sides are aliased so the same key name on both (the common
+    * enrichment shape) does not trip an ambiguous-reference error. */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
       dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+    events.alias("__s").join(broadcast(dim.alias("__d")),
+      col(s"__s.$eventKey") === col(s"__d.$dimKey"), "left")
 }

@@ -29,11 +29,15 @@ final class RunSummary(path: String,
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
   private val startedAt = clock()
+  // replace-key for re-persists: two sessions started in the same
+  // millisecond must not overwrite each other
+  private val sessionId = java.util.UUID.randomUUID().toString
   private val runs = scala.collection.mutable.ArrayBuffer[ModelRun]()
 
   def record(run: ModelRun): Unit = runs += run
 
   private def sessionObj = Map(
+    "session_id" -> sessionId,
     "started_at" -> startedAt,
     "finished_at" -> clock(),
     "models" -> runs.map(r => Map(
@@ -44,13 +48,13 @@ final class RunSummary(path: String,
   /** Append-or-replace this session in the persisted ledger. */
   def persist(): Unit = {
     val prior = RunSummary.loadSessions(mapper, path)
-      .filterNot(_.path("started_at").asLong() == startedAt)
+      .filterNot(_.path("session_id").asText("") == sessionId)
     val obj = Map("sessions" -> (prior.map(mapper.convertValue(_,
       classOf[java.util.Map[String, Object]])) :+
       mapper.convertValue(sessionObj, classOf[java.util.Map[String, Object]])))
     val p = Paths.get(path)
     Files.createDirectories(p.getParent)
-    val tmp = Paths.get(path + ".tmp")
+    val tmp = Paths.get(s"$path.$sessionId.tmp")
     Files.writeString(tmp, mapper.writeValueAsString(obj))
     Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
   }
