@@ -215,40 +215,45 @@ object Dedup {
     * `cluster_id` = the minimum doc id reachable through the pair graph,
     * so keep-one-per-cluster is a trivial `filter(id === cluster_id)`.
     *
-    * Min-label propagation: each round, every node takes the min of its
-    * own label and its neighbors' labels (one equi-join + one
-    * min-groupBy — two bounded shuffles per round, never a cross
-    * product). A round extends the propagation radius by one hop, so
-    * `iterations` must be ≥ the largest cluster diameter. Near-dup
-    * clusters are short-diameter by construction (members pairwise
-    * similar through few hops), and the default 8 covers a 256-member
-    * chain worst case far beyond real curation graphs.
+    * Min-label propagation TO CONVERGENCE: each round, every node takes
+    * the min of its own label and its neighbors' labels (one equi-join +
+    * one min-groupBy — two bounded shuffles per round, never a cross
+    * product). Labels only decrease, so an unchanged `sum(label)`
+    * between rounds is a fixpoint — the exact transitive closure. Real
+    * near-dup clusters converge in a handful of rounds (a round extends
+    * the radius one hop); `iterations` is a safety cap for pathological
+    * chain graphs, after which the partial labels are returned.
     *
     * Iterative lineage is TRUNCATED every round: each round references
     * `labels` twice and `edges` once, so without materialization the
-    * final plan re-executes the upstream pair generator exponentially
-    * (2^iterations references). `edges` is checkpointed once and
-    * `labels` after every round — on a real cluster swap
-    * `localCheckpoint` for reliable `checkpoint` so executor loss
-    * cannot drop a round. */
+    * final plan re-executes the upstream pair generator exponentially.
+    * `edges` is checkpointed once and `labels` per round (the
+    * materialization doubles as the convergence probe) — on a real
+    * cluster swap `localCheckpoint` for reliable `checkpoint` so
+    * executor loss cannot drop a round. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", iterations: Int = 8): DataFrame = {
+      idB: String = "id_b", iterations: Int = 50): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .localCheckpoint() // pairs generator runs exactly once
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
-    for (r <- 1 to iterations) {
+      .localCheckpoint()
+    var prevSig = Option.empty[Long]
+    var r = 0
+    var converged = false
+    while (r < iterations && !converged) {
+      r += 1
       val fromNbr = edges.alias("e")
         .join(labels.alias("l"), col("e.dst") === col("l.id"))
         .select(col("e.src").as("id"), col("l.cluster_id").as("cluster_id"))
       labels = labels.union(fromNbr)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-      // every-other-round checkpoint: lineage doubles per round, so two
-      // unmaterialized rounds cost at most 4 references to the previous
-      // checkpoint — half the materialization jobs for bounded re-reads
-      if (r % 2 == 0 || r == iterations) labels = labels.localCheckpoint()
+        .localCheckpoint()
+      val sig = labels.agg(sum(col("cluster_id"))).head.getLong(0)
+      converged = prevSig.contains(sig)
+      prevSig = Some(sig)
     }
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
