@@ -192,6 +192,18 @@ object DataOpsQueries {
       TextAnalysis.chunkTable(Tables.load(s, dir, "documents"),
         chunkTokens = 64, stride = 48)),
 
+    // Corpus vocabulary: top-100 tokens by term frequency with document
+    // frequency — the two-stage (partial + final) aggregation shape that
+    // builds tokenizer vocabularies at scale.
+    "t_vocab_topk" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(100)),
+
     // PII redaction over text with synthesized deterministic PII (the
     // corpus itself is clean) — email, SSN, phone, IPv4.
     "t_pii_redact" -> ((s, dir) => {
@@ -347,6 +359,13 @@ object DataOpsQueries {
         |  CAST(len(list_slice(tk, (i-1)*48 + 1, (i-1)*48 + 64)) AS INT)
         |    AS n_tokens
         |FROM c, unnest(generate_series(1, nc)) g(i)""".stripMargin,
+
+    "t_vocab_topk" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token
+         |  FROM documents)
+         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM toks GROUP BY token
+         |ORDER BY tf DESC, token LIMIT 100""".stripMargin,
 
     "t_pii_redact" ->
       """WITH p AS (SELECT doc_id,
