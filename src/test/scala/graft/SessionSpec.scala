@@ -90,13 +90,20 @@ class SessionSpec extends AnyFunSuite {
     val flaky = ModelNode("needs_cloud", ModelConfig("table"), Nil)(
       s => {
         calls += 1
-        if (calls == 1) throw new RuntimeException(
-          "Scalar Function 'cortex_magic' does not exist")
+        if (calls == 1) {
+          Thread.sleep(1200) // slow failed attempt — must not be billed
+          throw new RuntimeException(
+            "Scalar Function 'cortex_magic' does not exist")
+        }
         Tables.load(s, sf, "region")
       })
     val r = gs.run(Seq(flaky))
     assert(calls == 2)
     assert(r.head.rows == 5)
+    // recorded duration covers the successful retry only, not the 1.2s
+    // failed attempt (else savings + the COMPLEXITY gate get poisoned)
+    assert(r.head.durationSeconds < 1.0,
+      s"retry duration includes the failed attempt: ${r.head.durationSeconds}")
     assert(r.head.fallback.contains(
       "Function does not exist on local engine"))
     // the crash was recorded in the WAL before the retry succeeded
@@ -139,6 +146,15 @@ class SessionSpec extends AnyFunSuite {
       _ => { calls += 1; throw new IllegalStateException("boom") })
     assertThrows[IllegalStateException](gs.run(Seq(bad)))
     assert(calls == 1)
+  }
+
+  test("classifier: storage paths mentioning 'function' are not capability errors") {
+    import graft.planner.ErrorClassifier
+    assert(ErrorClassifier.classify(new RuntimeException(
+      "Path does not exist: /warehouse/function_logs")).isEmpty)
+    assert(ErrorClassifier.classify(new RuntimeException(
+      "Function to_magic does not exist")).contains(
+      ErrorClassifier.MissingFunction))
   }
 
   test("auto-cache: SQL referencing an unknown schema.table ingests once") {
