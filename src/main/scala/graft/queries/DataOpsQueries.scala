@@ -204,6 +204,27 @@ object DataOpsQueries {
         .orderBy(col("tf").desc, col("token"))
         .limit(100)),
 
+    // End-to-end curation pipeline — the operators composed the way a
+    // training-data run chains them: quality gate → exact-dedup
+    // keep-first → deterministic hash sample → context-window chunking.
+    // Every stage is deterministic, so the whole composition
+    // hash-matches the oracle.
+    "p_curation_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.load(s, dir, "documents")
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .filter(col("q") >= 0.7)
+      val deduped = scored
+        .withColumn("__th",
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("__th")).orderBy(col("doc_id"))))
+        .filter(col("__rk") === 1)
+        .select(col("doc_id"), col("text"))
+      val sampled = Sampling.hashSample(deduped, "doc_id", 0.5)
+      TextAnalysis.chunkTable(sampled, chunkTokens = 64, stride = 48)
+    }),
+
     // PII redaction over text with synthesized deterministic PII (the
     // corpus itself is clean) — email, SSN, phone, IPv4.
     "t_pii_redact" -> ((s, dir) => {
@@ -366,6 +387,40 @@ object DataOpsQueries {
          |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM toks GROUP BY token
          |ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    "p_curation_pipeline" ->
+      s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+         |f AS (SELECT doc_id, text,
+         |  len(t) AS n_tokens,
+         |  CASE WHEN len(t) > 0 THEN
+         |    COALESCE(list_aggregate(list_transform(t, x -> length(x)),
+         |      'sum'), 0)::DOUBLE / len(t) ELSE 0.0 END AS mean_token_len,
+         |  CASE WHEN length(text) > 0 THEN
+         |    length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE /
+         |      length(text) ELSE 0.0 END AS punct_ratio
+         |  FROM toks),
+         |q AS (SELECT doc_id, text FROM f WHERE
+         |  (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+         |  (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.3 +
+         |  (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.3 >= 0.7),
+         |dd AS (SELECT doc_id, text FROM q
+         |  QUALIFY row_number() OVER (PARTITION BY
+         |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+         |    ORDER BY doc_id) = 1),
+         |samp AS (SELECT doc_id, text FROM dd
+         |  WHERE ${h32Sql("CAST(doc_id AS VARCHAR)")} % 10000 < 5000),
+         |tk AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+         |  FROM samp),
+         |c AS (SELECT doc_id, tk,
+         |  CASE WHEN len(tk) > 64 THEN 1 + (len(tk) - 64 + 47) // 48
+         |       ELSE 1 END AS nc FROM tk)
+         |SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+         |  array_to_string(list_slice(tk, (i-1)*48 + 1, (i-1)*48 + 64), ' ')
+         |    AS chunk_text,
+         |  CAST(len(list_slice(tk, (i-1)*48 + 1, (i-1)*48 + 64)) AS INT)
+         |    AS n_tokens
+         |FROM c, unnest(generate_series(1, nc)) g(i)""".stripMargin,
 
     "t_pii_redact" ->
       """WITH p AS (SELECT doc_id,
