@@ -237,8 +237,11 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .localCheckpoint() // pairs generator runs exactly once
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
+    // seed = least(id, min neighbor) — the first propagation round done
+    // inside the initialization aggregate (replaces distinct + a join)
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+      .withColumnRenamed("src", "id")
       .localCheckpoint()
     var prevSig = Option.empty[Long]
     var r = 0
