@@ -44,6 +44,27 @@ object Similarity {
   private def asDouble(vec: Column): Column =
     transform(vec, x => x.cast(DoubleType))
 
+  /** Per-vector symmetric int8 quantization — the 4× memory lever for
+    * corpus-scale ANN (the candidate scan reads int8 arrays, exact
+    * rescoring reads the float originals). `scale = max|x| / 127`,
+    * `q_i = floor(x_i/scale + 0.5)` — explicit round-half-up, because
+    * `round()` ties-break differently across engines while `floor` is
+    * IEEE-exact everywhere. Reconstruction error ≤ scale/2 per
+    * dimension. The vector column is materialized behind an exchange so
+    * the scale fold and the quantize lambda each read an attribute. */
+  def quantizeInt8(embs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    embs.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .repartition(col(idCol)) // barrier: one double-cast pass
+      .select(col(idCol), col("__v"),
+        (array_max(transform(col("__v"), x => abs(x))) / 127.0).as("scale"))
+      .repartition(col(idCol)) // barrier: one max fold per vector
+      .select(col(idCol), col("scale"),
+        when(col("scale") === 0.0, transform(col("__v"), _ => lit(0)))
+          .otherwise(transform(col("__v"),
+            x => floor(x / col("scale") + 0.5).cast(IntegerType)))
+          .as("q"))
+
   /** Exact top-k neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

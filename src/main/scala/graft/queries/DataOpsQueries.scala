@@ -125,6 +125,12 @@ object DataOpsQueries {
         nCentroids = 16, nProbe = 4)
     }),
 
+    // int8 embedding quantization (array output serialized to JSON —
+    // the driver's pandas sort cannot hash raw arrays)
+    "s_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("scale"), to_json(col("q")).as("q_json"))),
+
     // ------------------------------------------------ text analysis
     "t_lang_id" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
@@ -502,6 +508,18 @@ object DataOpsQueries {
         |  >= 0.99""".stripMargin,
 
     "s_ann_lsh" -> lshOracleSql,
+
+    "s_quantize_int8" ->
+      """WITH d AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |  list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0
+        |    AS scale FROM d)
+        |SELECT vec_id, scale,
+        |  to_json(CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |    ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+        |    END) AS q_json
+        |FROM sc""".stripMargin,
 
     "s_ann_bruteforce" ->
       """WITH d AS (SELECT vec_id,

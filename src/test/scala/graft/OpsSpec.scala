@@ -129,6 +129,29 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.4, s"ivf recall=$recall")
   }
 
+  test("int8 quantization: bounded reconstruction error, values in range") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = Similarity.quantizeInt8(e).collect()
+    assert(q.length == e.count())
+    q.foreach { r =>
+      val scale = r.getDouble(r.fieldIndex("scale"))
+      val qs = r.getSeq[Int](r.fieldIndex("q"))
+      assert(qs.forall(v => v >= -127 && v <= 127), "q out of int8 range")
+      assert(scale > 0.0)
+    }
+    // reconstruction: |x - q*scale| <= scale/2 for every dimension
+    val orig = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    q.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val scale = r.getDouble(r.fieldIndex("scale"))
+      val qs = r.getSeq[Int](r.fieldIndex("q"))
+      orig(id).zip(qs).foreach { case (x, v) =>
+        assert(math.abs(x.toDouble - v * scale) <= scale / 2 + 1e-12)
+      }
+    }
+  }
+
   test("dupClusters: min-label propagation reaches the transitive closure") {
     import spark.implicits._
     // two components: a 4-chain {1,2,3,4} and a pair {10,11}
