@@ -65,6 +65,51 @@ object Similarity {
             x => floor(x / col("scale") + 0.5).cast(IntegerType)))
           .as("q"))
 
+  /** ANN over int8-quantized vectors: the candidate scan runs integer
+    * dot products on the 4×-smaller [[quantizeInt8]] arrays (approx
+    * score = int-dot × scaleA × scaleB), keeps the best `rescore` per
+    * query, then ranks the final top-k by exact cosine on the float
+    * originals. Integer dots are exact, so the candidate set — and with
+    * the deterministic tie-breaks the whole result — is reproducible
+    * bit-for-bit across engines. The dense scan is the baseline shape;
+    * at corpus scale the same int8 scoring drops into the LSH-bucketed
+    * candidate join ([[lshTopK]]) unchanged. */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      rescore: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qz = quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("scale").as("qsc"),
+        col("q").as("qq"))
+    val cz = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col("scale").as("csc"),
+        col("q").as("cq"))
+    val approx = cz.crossJoin(broadcast(qz))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        ((aggregate(zip_with(col("qq"), col("cq"),
+          (x, y) => (x * y).cast(LongType)), lit(0L), _ + _)
+          .cast(DoubleType) * col("qsc")) * col("csc")).as("approx"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("cand_id"))
+    val cand = approx.withColumn("r0", row_number().over(wA))
+      .filter(col("r0") <= rescore).select(col("query_id"), col("cand_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .repartition(col("query_id")) // barrier: one norm fold per vector
+    val cv = corpus.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .repartition(col("cand_id"))
+    val scored = cand.join(cv, "cand_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Exact top-k neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

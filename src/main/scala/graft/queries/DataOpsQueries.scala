@@ -131,6 +131,13 @@ object DataOpsQueries {
       Similarity.quantizeInt8(Tables.load(s, dir, "embeddings"))
         .select(col("vec_id"), col("scale"), to_json(col("q")).as("q_json"))),
 
+    // int8-scan ANN: integer-dot candidate scan + exact float rescore
+    "s_ann_int8" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.int8TopK(e.filter(col("vec_id") < 50), e, k = 5,
+        rescore = 32)
+    }),
+
     // ------------------------------------------------ text analysis
     "t_lang_id" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
@@ -508,6 +515,39 @@ object DataOpsQueries {
         |  >= 0.99""".stripMargin,
 
     "s_ann_lsh" -> lshOracleSql,
+
+    "s_ann_int8" ->
+      """WITH d AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |  list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0
+        |    AS scale FROM d),
+        |z AS (SELECT vec_id, v, scale,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |    ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+        |    END AS q FROM sc),
+        |qs AS (SELECT vec_id AS query_id, scale AS qsc, q AS qq, v AS qv
+        |  FROM z WHERE vec_id < 50),
+        |cs AS (SELECT vec_id AS cand_id, scale AS csc, q AS cq, v AS cv
+        |  FROM z),
+        |approx AS (SELECT query_id, cand_id, qv, cv,
+        |  (list_reduce(list_transform(generate_series(1, len(qq)),
+        |    i -> CAST(qq[i] * cq[i] AS BIGINT)), (a, b) -> a + b)::DOUBLE
+        |    * qsc) * csc AS approx
+        |  FROM qs JOIN cs ON query_id <> cand_id),
+        |cand AS (SELECT query_id, cand_id, qv, cv FROM approx
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY approx DESC, cand_id) <= 32),
+        |scored AS (SELECT query_id, cand_id,
+        |  list_reduce(list_transform(generate_series(1, len(qv)),
+        |    i -> qv[i] * cv[i]), (x, y) -> x + y) /
+        |  (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)) *
+        |   sqrt(list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y)))
+        |  AS cosine FROM cand)
+        |SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, cand_id) AS rnk FROM scored)
+        |WHERE rnk <= 5""".stripMargin,
 
     "s_quantize_int8" ->
       """WITH d AS (SELECT vec_id,

@@ -152,6 +152,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8-scan ANN recall vs exact brute force") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, e, k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val int8 = Similarity.int8TopK(queries, e, k = 5, rescore = 32)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(int8).size.toDouble / exact.size
+    // int8 quantization barely perturbs cosine order; with a 32-deep
+    // rescore the exact top-5 should essentially always survive
+    assert(recall > 0.9, s"int8 recall=$recall")
+  }
+
   test("dupClusters: min-label propagation reaches the transitive closure") {
     import spark.implicits._
     // two components: a 4-chain {1,2,3,4} and a pair {10,11}

@@ -25,11 +25,14 @@ class PlanAuditSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   // Deliberate dense pairings, documented in their operators: the exact
-  // ANN baseline scores every (query, candidate) pair by definition
-  // (query side broadcast); IVF's "cross join" is the one-row broadcast
-  // of the collected centroid array (Similarity.nearestCells) — a
-  // scalar-broadcast pattern, not a pairing of two relations.
-  private val denseByDesign = Set("s_ann_bruteforce", "s_ann_ivf")
+  // and int8-scan ANN baselines score every (query, candidate) pair by
+  // definition (query side broadcast; at corpus scale the int8 scoring
+  // drops into the LSH-bucketed join instead); IVF's "cross join" is
+  // the one-row broadcast of the collected centroid array
+  // (Similarity.nearestCells) — a scalar-broadcast pattern, not a
+  // pairing of two relations.
+  private val denseByDesign =
+    Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8")
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
