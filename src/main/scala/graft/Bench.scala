@@ -26,6 +26,18 @@ object Bench {
     val n = Tables.load(spark, sfDir, "nation")
     val r = Tables.load(spark, sfDir, "region")
     n.join(r, n("n_regionkey") === r("r_regionkey")).count()
+    // ... and the interpreted higher-order evaluator + md5 path (the
+    // dedup/ANN block leans on both; measured ~1.7s of one-time JIT on
+    // whichever query runs first without this)
+    locally {
+      import org.apache.spark.sql.functions._
+      Tables.load(spark, sfDir, "documents").limit(64)
+        .select(aggregate(
+          transform(graft.ops.TextOps.tokens(col("text")),
+            t => graft.ops.TextOps.h32(t)),
+          lit(0L), _ + _).as("warm"))
+        .write.format("noop").mode("overwrite").save()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
