@@ -38,6 +38,16 @@ object Bench {
           lit(0L), _ + _).as("warm"))
         .write.format("noop").mode("overwrite").save()
     }
+    // ... and the full dedup-pipeline shape on a 64-doc slice
+    // (shingle zip_with, minhash transforms, LSH posexplode, window
+    // row_number, collect_list pair triangle, star-contraction rounds
+    // with local checkpoints): d_dedup_cluster runs alphabetically first
+    // and was absorbing ~6 s of whole-family first-execution JIT
+    locally {
+      val tiny = Tables.load(spark, sfDir, "documents").limit(64)
+      graft.ops.Dedup.dupClusters(graft.ops.Dedup.minhashLsh(tiny))
+        .write.format("noop").mode("overwrite").save()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -50,6 +50,9 @@ final class GraftSession(
   val sync = new SyncManager()
   val savings = new SavingsTracker()
   val runSummary = new RunSummary(s"$warehouseRoot/_graft/run_summary.json")
+  /** Task-metric spill accumulator feeding Gate 5's spill clause. */
+  val spillListener = new graft.telemetry.SpillListener
+  spark.sparkContext.addSparkListener(spillListener)
 
   /** Snowflake-dialect SQL entry point. Referenced `schema.table`
     * sources that the session does not know yet are auto-cached first
@@ -126,28 +129,35 @@ final class GraftSession(
         // each attempt times itself: a fallback retry's recorded duration
         // must not include the failed first attempt (it would overstate
         // savings and poison the COMPLEXITY gate's average runtime)
-        def materializeNode(): (Long, Double) = {
+        def materializeNode(): (Long, Double, Long) = {
+          // drain async task-metric events on both sides so the spill
+          // delta belongs to exactly this model (models run serially)
+          org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+          val spill0 = spillListener.totalSpillBytes
           val t0 = System.nanoTime()
           val sampled =
             if (target == "dev" && node.config.materialized != "snapshot")
               node.copy(build = s => node.build(s).limit(node.config.devSampleSize))
             else node
           val out = materializer.materialize(sampled, Option(now))
-          (out.count(), (System.nanoTime() - t0) / 1e9)
+          val rows = out.count()
+          val dur = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+          (rows, dur, spillListener.totalSpillBytes - spill0)
         }
-        def finish(rows: Long, dur: Double, venue: Venue,
+        def finish(rows: Long, dur: Double, spill: Long, venue: Venue,
             reason: String): RunResult = {
           state.markSuccess(node.uniqueId, venue)
           val venueName = if (venue == Venue.Local) "local" else "cloud"
           savings.logExecution(node.name, venueName, dur)
           runSummary.record(ModelRun(node.name, venueName, dur, rows,
-            "success", reason))
+            "success", reason, spillBytes = spill))
           RunResult(node.name, decision, dur, rows,
             fallback = Option(reason).filter(_.nonEmpty))
         }
         try {
-          val (rows, dur) = materializeNode()
-          finish(rows, dur, venue, "")
+          val (rows, dur, spill) = materializeNode()
+          finish(rows, dur, spill, venue, "")
         } catch {
           case e: Throwable =>
             state.markCrash(node.uniqueId)
@@ -174,21 +184,21 @@ final class GraftSession(
     * whole-stage codegen off. A retry failure surfaces the ORIGINAL
     * error with the retry error suppressed. */
   private def retryPerPolicy(cls: ErrorClassifier.ErrorClass,
-      attempt: () => (Long, Double),
-      finish: (Long, Double, Venue, String) => RunResult,
+      attempt: () => (Long, Double, Long),
+      finish: (Long, Double, Long, Venue, String) => RunResult,
       node: ModelNode, original: Throwable): RunResult =
     try {
       cls.policy match {
         case ErrorClassifier.FallbackCloud =>
-          val (rows, dur) = attempt()
-          finish(rows, dur, Venue.Cloud, cls.reason)
+          val (rows, dur, spill) = attempt()
+          finish(rows, dur, spill, Venue.Cloud, cls.reason)
         case ErrorClassifier.RetryDegraded =>
           val key = "spark.sql.codegen.wholeStage"
           val prior = spark.conf.get(key, "true")
           spark.conf.set(key, "false")
           try {
-            val (rows, dur) = attempt()
-            finish(rows, dur, Venue.Local, cls.reason)
+            val (rows, dur, spill) = attempt()
+            finish(rows, dur, spill, Venue.Local, cls.reason)
           } finally spark.conf.set(key, prior)
       }
     } catch {

@@ -89,3 +89,100 @@ object MinRollingHash {
   def minRollingHash(c: Column, k: Int): Column =
     GraftBridge.column(MinRollingHash(GraftBridge.expression(c), k))
 }
+
+/** Minimum h32 over all `k`-byte windows of a string, where h32 is the
+  * repo-wide cross-engine hash convention ([[graft.ops.TextOps.h32]]):
+  * the first 8 hex digits of the window's md5 as an unsigned 32-bit
+  * value. Semantically identical to
+  * `array_min(transform(sequence(1, len-k+1), i => h32(substr(s,i,k))))`
+  * — the char-k-gram MinHash fingerprint — but evaluated as ONE native
+  * codegen'd pass: no per-window UTF8String materialization and no
+  * interpreted higher-order evaluator (which is CodegenFallback and
+  * degrades super-linearly under CPU contention). The existing DuckDB
+  * oracles (`('0x'||substr(md5(s),1,8))::BIGINT` per window) stand
+  * unchanged. Null when the input is shorter than `k`. Byte windows ==
+  * char windows on ASCII input, the same convention [[MinRollingHash]]
+  * documents.
+  */
+case class MinShingleH32(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "min_shingle_h32"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.length < k) null
+    else java.lang.Long.valueOf(MinShingleH32.minH32(bytes, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // one MessageDigest per generated-class instance, reset per window —
+    // getInstance per call would dominate the loop
+    val md = ctx.addMutableState("java.security.MessageDigest", "graftMd5",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) {
+              |  throw new RuntimeException(e);
+              |}""".stripMargin)
+    nullSafeCodeGen(ctx, ev, input => {
+      val bytes = ctx.freshName("bytes")
+      val min = ctx.freshName("min")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $input.getBytes();
+         |if ($bytes.length < $k) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $min = Long.MAX_VALUE;
+         |  for (int $i = 0; $i + $k <= $bytes.length; $i++) {
+         |    $md.reset();
+         |    $md.update($bytes, $i, $k);
+         |    byte[] $d = $md.digest();
+         |    // stepwise build: Janino misparses `(a & m) << s | …` chains
+         |    long $h = $d[0] & 0xffL;
+         |    $h = ($h << 8) | ($d[1] & 0xffL);
+         |    $h = ($h << 8) | ($d[2] & 0xffL);
+         |    $h = ($h << 8) | ($d[3] & 0xffL);
+         |    if ($h < $min) $min = $h;
+         |  }
+         |  ${ev.value} = $min;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinShingleH32 {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Interpreted twin of the generated loop (also used by specs as the
+    * reference implementation). */
+  def minH32(bytes: Array[Byte], k: Int): Long = {
+    val md = mdLocal.get()
+    var min = Long.MaxValue
+    var i = 0
+    while (i + k <= bytes.length) {
+      md.reset()
+      md.update(bytes, i, k)
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  /** Column form. */
+  def minShingleH32(c: Column, k: Int): Column =
+    GraftBridge.column(MinShingleH32(GraftBridge.expression(c), k))
+}

@@ -215,49 +215,94 @@ object Dedup {
     * `cluster_id` = the minimum doc id reachable through the pair graph,
     * so keep-one-per-cluster is a trivial `filter(id === cluster_id)`.
     *
-    * Min-label propagation TO CONVERGENCE: each round, every node takes
-    * the min of its own label and its neighbors' labels (one equi-join +
-    * one min-groupBy — two bounded shuffles per round, never a cross
-    * product). Labels only decrease, so an unchanged `sum(label)`
-    * between rounds is a fixpoint — the exact transitive closure. Real
-    * near-dup clusters converge in a handful of rounds (a round extends
-    * the radius one hop); `iterations` is a safety cap for pathological
-    * chain graphs, after which the partial labels are returned.
+    * Alternating LARGE-STAR / SMALL-STAR (the pointer-doubling
+    * connected-components of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each op re-hangs nodes directly
+    * under the minimum of their neighborhood, so path lengths halve per
+    * round and the edge set converges to per-component stars centered at
+    * the component minimum in O(log d) rounds — vs O(d) for one-hop
+    * label propagation (the round-2 design, 12 s on chain-ish graphs).
+    * Each op is one window-min over the grouping key plus a distinct —
+    * bounded shuffles, never a cross product.
     *
-    * Iterative lineage is TRUNCATED every round: each round references
-    * `labels` twice and `edges` once, so without materialization the
-    * final plan re-executes the upstream pair generator exponentially.
-    * `edges` is checkpointed once and `labels` per round (the
-    * materialization doubles as the convergence probe) — on a real
-    * cluster swap `localCheckpoint` for reliable `checkpoint` so
+    * Iterative lineage is TRUNCATED every round via LAZY local
+    * checkpoints, and the convergence probe (edge-set count + order-
+    * independent hash signature) is THE action that materializes each
+    * checkpoint — ONE job per round, no separate driver probe. A stable
+    * round output certifies the closure: Φ = Σ(u+v) over distinct edges
+    * never increases under either op and is preserved only by a
+    * fixpoint (large-star rewires each edge's larger endpoint to
+    * m ≤ lower endpoint; small-star's delta is (|D|−1)(m−b) < 0 unless
+    * every group is already a single pointer), so round-output equality
+    * forces both ops to be at their common fixpoint — a star forest. On
+    * a real cluster swap `localCheckpoint` for reliable `checkpoint` so
     * executor loss cannot drop a round. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", iterations: Int = 50): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      idB: String = "id_b", iterations: Int = 50): DataFrame =
+    dupClustersCounted(pairs, idA, idB, iterations)._1
+
+  /** [[dupClusters]] plus the number of large+small-star rounds run —
+    * the spec asserts the O(log d) bound on chain graphs. */
+  private[graft] def dupClustersCounted(pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b",
+      iterations: Int = 50): (DataFrame, Int) = {
+    // (count, hash-sum) identifies an edge set; the aggregate is also
+    // the action that materializes the pending lazy checkpoint
+    def signature(e: DataFrame): (Long, BigDecimal) = {
+      // decimal accumulator: full-range Long hashes overflow an ANSI
+      // long sum after only a handful of rows
+      val row = e.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast(DecimalType(38, 0)))).head
+      (row.getLong(0),
+        if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)))
+    }
+    // for each node, the min over its full neighborhood (itself + both
+    // edge directions); larger neighbors re-hang under that min. Output
+    // is oriented src>dst but NOT deduped — smallStar's window min is
+    // duplicate-insensitive and its closing distinct dedups the round,
+    // so largeStar skips one exchange per round.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = least(col("src"), min(col("dst")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      sym.withColumn("m", m)
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+    }
+    // every member of the group (including the group node) re-hangs
+    // under the group min; input must be oriented src>dst (true of the
+    // seed set and of every largeStar output)
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = min(col("dst")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+      e.withColumn("m", m)
+        .select(explode(array(col("dst"), col("src"))).as("src"),
+          col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(greatest(col(idA), col(idB)).as("src"),
+        least(col(idA), col(idB)).as("dst"))
       .distinct()
-      .localCheckpoint() // pairs generator runs exactly once
-    // seed = least(id, min neighbor) — the first propagation round done
-    // inside the initialization aggregate (replaces distinct + a join)
-    var labels = edges.groupBy(col("src"))
-      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
-      .withColumnRenamed("src", "id")
-      .localCheckpoint()
-    var prevSig = Option.empty[Long]
+      .localCheckpoint(false) // pairs generator runs exactly once...
+    var prevSig = signature(edges) // ...materialized by this probe
     var r = 0
     var converged = false
     while (r < iterations && !converged) {
       r += 1
-      val fromNbr = edges.alias("e")
-        .join(labels.alias("l"), col("e.dst") === col("l.id"))
-        .select(col("e.src").as("id"), col("l.cluster_id").as("cluster_id"))
-      labels = labels.union(fromNbr)
-        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
-      val sig = labels.agg(sum(col("cluster_id"))).head.getLong(0)
-      converged = prevSig.contains(sig)
-      prevSig = Some(sig)
+      // large+small fused into one job; the signature action both
+      // materializes the round's checkpoint and tests the fixpoint
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nextSig = signature(next)
+      converged = nextSig == prevSig // Φ-monotone ⇒ star forest (above)
+      prevSig = nextSig
+      edges = next
     }
-    labels.select(col("id").as("doc_id"), col("cluster_id"))
+    val labels = edges.groupBy(col("src")).agg(min(col("dst")).as("cluster_id"))
+      .select(col("src").as("doc_id"), col("cluster_id"))
+    val centers = edges.select(col("dst").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    (labels.union(centers), r)
   }
 }

@@ -22,53 +22,70 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
     "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zai"))
 
-  private def lexHits(toks: Column, lex: Seq[String]): Column =
-    aggregate(toks, lit(0),
-      (acc, t) => acc + when(t.isInCollection(lex), 1).otherwise(0))
+  /** All five lexicon hit counts + token count + total token length in
+    * ONE native codegen'd pass over the text
+    * ([[graft.functions.TokenLexStats]]) — previously each lexicon was a
+    * separate interpreted `aggregate` fold re-walking the token array
+    * (5× for language ID plus the quality facets' extra folds), the
+    * second-worst contention amplifier in the round-2 bench. */
+  def tokenLexStats(text: Column): Column =
+    graft.functions.TokenLexStats.tokenLexStats(text, lexicons.map(_._2))
 
-  /** Predicted language = argmax lexicon hits, alphabetical tie-break
-    * (deterministic); null-ish text predicts the first language. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = lexicons.map { case (lang, lex) =>
-      struct(lexHits(toks, lex).as("hits"), lit(lang).as("lang"))
+  /** Per-language hit-count columns (`hits_de` … `hits_zh`) from a
+    * materialized [[tokenLexStats]] struct. */
+  def langHitCols(st: Column): Seq[Column] =
+    lexicons.zipWithIndex.map { case ((lang, _), i) =>
+      element_at(st.getField("hits"), i + 1).as(s"hits_$lang")
     }
-    // max over (hits, lang-reversed) — alphabetically first wins ties
-    val best = scored.reduce((a, b) =>
-      when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
-    best.getField("lang")
+
+  /** Predicted language = argmax lexicon hits from a materialized
+    * [[tokenLexStats]] struct; alphabetical tie-break (deterministic);
+    * null-ish text predicts the first language. */
+  def langIdFromStats(st: Column): Column = {
+    val hits = st.getField("hits")
+    val mx = array_max(hits)
+    // first lexicon achieving the max wins (lexicons are alphabetical);
+    // chain yields null only for null input → first language
+    val chain = lexicons.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, ((lang, _), i)) =>
+        val cond = element_at(hits, i + 1) === mx
+        Some(acc.fold(when(cond, lit(lang)))(_.when(cond, lit(lang))))
+    }.get
+    coalesce(chain, lit(lexicons.head._1))
   }
 
-  def langIdScores(text: Column): Column = {
-    val toks = tokens(text)
-    struct(lexicons.map { case (lang, lex) =>
-      lexHits(toks, lex).as(s"hits_$lang")
-    }: _*)
-  }
+  def langId(text: Column): Column = langIdFromStats(tokenLexStats(text))
 
-  /** Quality facets + a composite score in [0,1]: length band, stopword
-    * presence, punctuation restraint, word-length sanity — the
-    * length/punct/stopword-ratio heuristics of corpus filtering. */
-  def qualityFacets(text: Column): Column = {
-    val toks = tokens(text)
+  def langIdScores(text: Column): Column =
+    struct(langHitCols(tokenLexStats(text)): _*)
+
+  /** Quality facets from a materialized [[tokenLexStats]] struct +
+    * the text: length band, stopword presence, punctuation restraint,
+    * word-length sanity — the length/punct/stopword-ratio heuristics of
+    * corpus filtering. Fully codegen'd (the only non-trivial work is the
+    * punctuation regex and the shared stats pass). */
+  def qualityFacetsFromStats(text: Column, st: Column): Column = {
     val nChars = length(text)
-    val nToks = size(toks)
+    val nToks = st.getField("n_tokens")
     val meanLen = when(nToks > 0,
-      aggregate(toks, lit(0), (acc, t) => acc + length(t))
-        .cast(DoubleType) / nToks).otherwise(lit(0.0))
+      st.getField("sum_token_len").cast(DoubleType) / nToks)
+      .otherwise(lit(0.0))
     val punct = length(regexp_replace(text, "[^.!?,;:]", ""))
     val punctRatio = when(nChars > 0,
       punct.cast(DoubleType) / nChars).otherwise(lit(0.0))
-    val stopHits = lexHits(toks, lexicons.toMap.apply("en"))
+    val enIdx = lexicons.indexWhere(_._1 == "en")
     val stopRatio = when(nToks > 0,
-      stopHits.cast(DoubleType) / nToks).otherwise(lit(0.0))
+      element_at(st.getField("hits"), enIdx + 1).cast(DoubleType) / nToks)
+      .otherwise(lit(0.0))
     struct(nChars.as("n_chars"), nToks.as("n_tokens"),
       meanLen.as("mean_token_len"), punctRatio.as("punct_ratio"),
       stopRatio.as("stopword_ratio"))
   }
 
-  def qualityScore(text: Column): Column = {
-    val f = qualityFacets(text)
+  def qualityFacets(text: Column): Column =
+    qualityFacetsFromStats(text, tokenLexStats(text))
+
+  def qualityScoreFromFacets(f: Column): Column = {
     val lengthOk = when(f.getField("n_tokens").between(10, 10000), 1.0)
       .otherwise(0.0)
     val wordLenOk = when(f.getField("mean_token_len").between(2.0, 12.0), 1.0)
@@ -76,6 +93,9 @@ object TextAnalysis {
     val punctOk = when(f.getField("punct_ratio") <= 0.2, 1.0).otherwise(0.0)
     (lengthOk * 0.4 + wordLenOk * 0.3 + punctOk * 0.3)
   }
+
+  def qualityScore(text: Column): Column =
+    qualityScoreFromFacets(qualityFacets(text))
 
   /** Token counts: whitespace tokens and a BPE-ish split (letter runs,
     * single digits, single punctuation) — the common pre-tokenizer
@@ -88,34 +108,33 @@ object TextAnalysis {
 
   /** Document fingerprint: full-content md5 + min-hash of char-5-gram
     * shingles (a 1-hash MinHash — the rolling-hash winnowing
-    * fingerprint's cheap cousin, robust to whitespace). Inline Column
-    * form; for corpus-scale use [[fingerprintTable]], whose barrier
-    * avoids re-running the normalization regex per shingle. */
+    * fingerprint's cheap cousin, robust to whitespace). The shingle
+    * minimum is [[graft.functions.MinShingleH32]] — a native codegen'd
+    * one-pass expression, not a per-window HOF (the interpreted
+    * evaluator made this the slowest query under CPU contention:
+    * 21.6 s vs ≤1 s for 5,000 docs at sf0.1). */
   def fingerprint(text: Column): Column = {
     val norm = regexp_replace(lower(text), "\\s+", " ")
     struct(
       md5(norm).as("content_md5"),
-      array_min(transform(charShingles(text, 5), s => h32(s)))
+      graft.functions.MinShingleH32.minShingleH32(norm, 5)
         .as("shingle_minhash"))
   }
 
-  /** [[fingerprint]] as a table program with the HOF-barrier: the
-    * normalized text is materialized behind an exchange so the
-    * per-shingle lambda reads an attribute instead of re-evaluating the
-    * whole-string regex for every shingle (O(L) vs O(L²) per document).
-    * `array_distinct` is dropped — it cannot change an `array_min`. */
+  /** [[fingerprint]] as a table program: one narrow codegen'd pass, no
+    * shuffle. The normalization regex is a projected column referenced
+    * twice downstream — CollapseProject keeps non-cheap multi-reference
+    * producers un-inlined and whole-stage codegen subexpression-
+    * eliminates any remaining duplicate, so it runs once per row. */
   def fingerprintTable(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
-    docs.select(col(idCol), norm.as("__norm"))
-      .repartition(col(idCol)) // barrier: one normalization pass
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol),
+        regexp_replace(lower(col(textCol)), "\\s+", " ").as("__norm"))
       .select(col(idCol),
         md5(col("__norm")).as("content_md5"),
-        when(length(col("__norm")) >= 5,
-          array_min(transform(sequence(lit(1), length(col("__norm")) - 4),
-            i => h32(col("__norm").substr(i, lit(5))))))
-          .otherwise(lit(null).cast(LongType)).as("shingle_minhash"))
-  }
+        graft.functions.MinShingleH32.minShingleH32(col("__norm"), 5)
+          .as("shingle_minhash"))
 
   /** Overlapping token-window chunking — the context-window prep step:
     * each document becomes ceil((n−chunk)/stride)+1 windows of

@@ -32,6 +32,13 @@ object ErrorClassifier {
     "SQL failed to parse locally", FallbackCloud)
   val OutOfMemory: ErrorClass = ErrorClass("out_of_memory",
     "Local execution exhausted memory", RetryDegraded)
+  /** The reference loads engine extensions lazily and a missing one
+    * (iceberg/httpfs INSTALL failure, connections.py:908-914,1007-1008)
+    * makes the local engine incapable of the query; Spark's analogs are
+    * a missing data-source provider or catalog plugin. Capability gap →
+    * re-venue, like MissingFunction. */
+  val ExtensionMissing: ErrorClass = ErrorClass("extension_missing",
+    "Data source / catalog plugin not available locally", FallbackCloud)
 
   /** Classify like `_is_duckdb_incompatibility` (connections.py:352-371):
     * None means "not an engine-incompatibility — re-raise". */
@@ -55,6 +62,16 @@ object ErrorClassifier {
       case _ if upper.contains("VARIANT") &&
         (msg.contains("Not implemented") || msg.contains("cannot be created")
           || upper.contains("UNSUPPORTED")) => Some(VariantUnsupported)
+      // missing data source / catalog plugin — the Spark shapes of the
+      // reference's failed extension INSTALL. "Table … does not exist"
+      // deliberately stays unclassified (reference truth table,
+      // tests/test_variant_handling.py:37-39): a missing TABLE exists
+      // nowhere else either, so a re-venue is futile.
+      case _ if upper.contains("DATA_SOURCE_NOT_FOUND") ||
+        msg.contains("Failed to find data source") ||
+        msg.contains("Failed to find the data source") ||
+        "(?i)catalog\\s+'\\S+'\\s+plugin class not found".r
+          .findFirstIn(msg).isDefined => Some(ExtensionMissing)
       case _: UnsupportedOperationException => Some(NotImplemented)
       case _ if msg.contains("Not implemented") => Some(NotImplemented)
       case _ => None

@@ -8,9 +8,10 @@ import graft.telemetry.RunSummary
   * into per-model avg runtime / spill / rows for the COMPLEXITY routing
   * gate. In a single-engine deployment the run-summary sessions ARE the
   * query history, so the harvest is a local file read: group runs by
-  * model, average duration and rows (spill telemetry is not exposed by
-  * local Spark — reported as 0, so only the runtime clause of Gate 5
-  * fires, which matches what the local history can actually witness).
+  * model, average duration, spill, and rows. Spill is recorded per
+  * model by [[graft.telemetry.SpillListener]] (task-metric
+  * memory+disk bytes spilled), so BOTH clauses of Gate 5 — runtime and
+  * `avg_spill_bytes` (traffic.py:34) — can fire from local history.
   *
   * Stats are memoized per instance; call [[refresh]] after a run to see
   * new sessions.
@@ -27,7 +28,7 @@ final class MetadataHarvester(summaryPath: String) {
       .map { case (name, rs) =>
         name -> ModelStats(
           avgSeconds = rs.map(_.durationSeconds).sum / rs.length,
-          avgSpillBytes = 0L,
+          avgSpillBytes = rs.map(_.spillBytes).sum / rs.length,
           avgRowsProduced = rs.map(_.rows).sum / rs.length,
           runCount = rs.length)
       }

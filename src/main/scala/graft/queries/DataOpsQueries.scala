@@ -139,20 +139,28 @@ object DataOpsQueries {
     }),
 
     // ------------------------------------------------ text analysis
+    // one TokenLexStats pass per row, materialized as __st; the derived
+    // columns reference the attribute (CollapseProject keeps non-cheap
+    // multi-reference producers un-inlined), so the plan evaluates the
+    // tokenizer exactly once
     "t_lang_id" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       d.select(col("doc_id"), col("lang"),
-        TextAnalysis.langIdScores(col("text")).as("sc"),
-        TextAnalysis.langId(col("text")).as("lang_pred"))
-        .select(col("doc_id"), col("lang"), col("sc.*"), col("lang_pred"))
+        TextAnalysis.tokenLexStats(col("text")).as("__st"))
+        .select(Seq(col("doc_id"), col("lang")) ++
+          TextAnalysis.langHitCols(col("__st")) :+
+          TextAnalysis.langIdFromStats(col("__st")).as("lang_pred"): _*)
     }),
 
     "t_quality" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      d.select(col("doc_id"),
-        TextAnalysis.qualityFacets(col("text")).as("f"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
-        .select(col("doc_id"), col("f.*"), col("quality"))
+      d.select(col("doc_id"), col("text"),
+        TextAnalysis.tokenLexStats(col("text")).as("__st"))
+        .select(col("doc_id"),
+          TextAnalysis.qualityFacetsFromStats(col("text"), col("__st"))
+            .as("f"))
+        .select(col("doc_id"), col("f.*"),
+          TextAnalysis.qualityScoreFromFacets(col("f")).as("quality"))
     }),
 
     "t_token_count" -> ((s, dir) =>

@@ -49,29 +49,66 @@ object ExtraQueries {
     // the result
     "q_fn_stats" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      val grouped = li.groupBy(col("l_returnflag"))
+      // Exact moments via FIXED-POINT long accumulation: l_quantity is
+      // integral and l_discount a 2-dp decimal (TPC-H decimal(15,2)
+      // semantics, asserted against the generator), so every moment sum
+      // is exact 8-byte long arithmetic inside whole-stage codegen.
+      // Decimal(28,6) accumulators (the general-decimal fallback, see
+      // `dec`) are variable-length in the agg buffer and ~4× slower;
+      // scaled longs carry the same engine-exactness to 1e12 rows
+      // (s_qq ≈ 2.5e15 ≪ 2⁶³). floor(x·scale + 0.5), not round():
+      // round tie-breaks differ across engines.
+      val qi = floor(col("l_quantity") + 0.5).cast(LongType)
+      val di = floor(col("l_discount") * 100 + 0.5).cast(LongType)
+      val moments = li
+        .select(col("l_returnflag"), qi.as("qi"), di.as("di"))
+        .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).as("s_q"),
-          sum(dec(col("l_quantity") * col("l_quantity"))).as("s_qq"),
-          sum(dec(col("l_discount"))).as("s_d"),
-          sum(dec(col("l_discount") * col("l_discount"))).as("s_dd"),
-          sum(dec(col("l_quantity") * col("l_discount"))).as("s_qd"),
-          median(col("l_quantity")).as("median_qty"))
+          sum(col("qi")).as("sq_i"),
+          sum(col("qi") * col("qi")).as("sqq_i"),
+          sum(col("di")).as("sd_i"),
+          sum(col("di") * col("di")).as("sdd_i"),
+          sum(col("qi") * col("di")).as("sqd_i"))
+      // exact median WITHOUT ObjectHashAggregate (Spark's `median`
+      // buffers every value per group — 10 s under contention at sf0.1):
+      // per-group value-count histogram (partial agg combines map-side,
+      // so the shuffle carries |distinct values| rows, not |rows|), then
+      // a cumulative-count window locates the middle one/two positions —
+      // every operator stays codegen'd hash-agg/window.
+      import org.apache.spark.sql.expressions.Window
+      val vc = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val cum = vc
+        .withColumn("hi", sum(col("c")).over(
+          Window.partitionBy("l_returnflag").orderBy("l_quantity")))
+        .withColumn("tot", sum(col("c")).over(
+          Window.partitionBy("l_returnflag")))
+        .withColumn("lo", col("hi") - col("c"))
+      // middle positions (1-indexed): m1=(tot+1) div 2, m2=(tot+2) div 2
+      // (equal when tot is odd); a histogram row covers position m iff
+      // lo < m <= hi — at most two rows contribute, so the sum is
+      // order-independent and engine-exact
+      val m1 = expr("(tot + 1) div 2")
+      val m2 = expr("(tot + 2) div 2")
+      val covers = when(col("lo") < m1 && m1 <= col("hi"), 1).otherwise(0) +
+        when(col("lo") < m2 && m2 <= col("hi"), 1).otherwise(0)
+      val med = cum.groupBy(col("l_returnflag"))
+        .agg((sum(col("l_quantity") * covers) / 2.0).as("median_qty"))
+      val grouped = moments.join(broadcast(med), Seq("l_returnflag"))
+      // un-scale the fixed-point sums once, in double — the same IEEE
+      // expression tree as the oracle (e.g. s_d = sd_i / 100.0)
+      val sQ = col("sq_i").cast(DoubleType)
+      val sQQ = col("sqq_i").cast(DoubleType)
+      val sD = col("sd_i").cast(DoubleType) / 100.0
+      val sDD = col("sdd_i").cast(DoubleType) / 10000.0
+      val sQD = col("sqd_i").cast(DoubleType) / 100.0
       grouped.select(col("l_returnflag"), col("n"), col("median_qty"),
-        ((col("s_qq").cast(DoubleType) -
-          col("s_q").cast(DoubleType) * col("s_q").cast(DoubleType) / col("n"))
-          / (col("n") - 1)).as("var_qty"),
-        sqrt((col("s_qq").cast(DoubleType) -
-          col("s_q").cast(DoubleType) * col("s_q").cast(DoubleType) / col("n"))
-          / (col("n") - 1)).as("stddev_qty"),
-        ((col("n") * col("s_qd").cast(DoubleType) -
-          col("s_q").cast(DoubleType) * col("s_d").cast(DoubleType)) /
-          (sqrt(col("n") * col("s_qq").cast(DoubleType) -
-            col("s_q").cast(DoubleType) * col("s_q").cast(DoubleType)) *
-            sqrt(col("n") * col("s_dd").cast(DoubleType) -
-              col("s_d").cast(DoubleType) * col("s_d").cast(DoubleType))))
-          .as("corr_q_d"))
+        ((sQQ - sQ * sQ / col("n")) / (col("n") - 1)).as("var_qty"),
+        sqrt((sQQ - sQ * sQ / col("n")) / (col("n") - 1)).as("stddev_qty"),
+        ((col("n") * sQD - sQ * sD) /
+          (sqrt(col("n") * sQQ - sQ * sQ) *
+            sqrt(col("n") * sDD - sD * sD))).as("corr_q_d"))
     }),
 
     // GROUPING SETS + grouping() markers (SURVEY §2.4 heavy ops)
@@ -162,25 +199,40 @@ object ExtraQueries {
         |FROM nation""".stripMargin,
 
     "q_fn_stats" ->
-      """WITH m AS (
+      """WITH fx AS (SELECT l_returnflag,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qi,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS di
+        |  FROM lineitem),
+        |m AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
-        |    SUM(CAST(l_quantity AS DECIMAL(28,6))) AS s_q,
-        |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS s_qq,
-        |    SUM(CAST(l_discount AS DECIMAL(28,6))) AS s_d,
-        |    SUM(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS s_dd,
-        |    SUM(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS s_qd,
-        |    median(l_quantity) AS median_qty
-        |  FROM lineitem GROUP BY l_returnflag)
+        |    SUM(qi) AS sq_i, SUM(qi * qi) AS sqq_i,
+        |    SUM(di) AS sd_i, SUM(di * di) AS sdd_i,
+        |    SUM(qi * di) AS sqd_i
+        |  FROM fx GROUP BY l_returnflag),
+        |vc AS (SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |cum AS (SELECT l_returnflag, l_quantity, c,
+        |  SUM(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS hi,
+        |  SUM(c) OVER (PARTITION BY l_returnflag) AS tot FROM vc),
+        |med AS (SELECT l_returnflag,
+        |  SUM(l_quantity *
+        |    ((CASE WHEN hi - c < (tot + 1) // 2 AND (tot + 1) // 2 <= hi
+        |      THEN 1 ELSE 0 END)
+        |   + (CASE WHEN hi - c < (tot + 2) // 2 AND (tot + 2) // 2 <= hi
+        |      THEN 1 ELSE 0 END))) / 2.0 AS median_qty
+        |  FROM cum GROUP BY l_returnflag)
         |SELECT l_returnflag, n, median_qty,
-        |  (CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE) / n)
+        |  (CAST(sqq_i AS DOUBLE) - CAST(sq_i AS DOUBLE) * CAST(sq_i AS DOUBLE) / n)
         |    / (n - 1) AS var_qty,
-        |  sqrt((CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE) / n)
+        |  sqrt((CAST(sqq_i AS DOUBLE) - CAST(sq_i AS DOUBLE) * CAST(sq_i AS DOUBLE) / n)
         |    / (n - 1)) AS stddev_qty,
-        |  (n * CAST(s_qd AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE)) /
-        |    (sqrt(n * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE)) *
-        |     sqrt(n * CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+        |  (n * (CAST(sqd_i AS DOUBLE) / 100.0)
+        |    - CAST(sq_i AS DOUBLE) * (CAST(sd_i AS DOUBLE) / 100.0)) /
+        |    (sqrt(n * CAST(sqq_i AS DOUBLE) - CAST(sq_i AS DOUBLE) * CAST(sq_i AS DOUBLE)) *
+        |     sqrt(n * (CAST(sdd_i AS DOUBLE) / 10000.0)
+        |       - (CAST(sd_i AS DOUBLE) / 100.0) * (CAST(sd_i AS DOUBLE) / 100.0)))
         |    AS corr_q_d
-        |FROM m""".stripMargin,
+        |FROM m JOIN med USING (l_returnflag)""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

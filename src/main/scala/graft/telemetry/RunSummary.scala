@@ -22,7 +22,8 @@ final case class ModelRun(
     durationSeconds: Double,
     rows: Long,
     status: String, // success | error
-    reason: String = "") // fallback/routing annotation
+    reason: String = "", // fallback/routing annotation
+    spillBytes: Long = 0L) // memory+disk bytes spilled by this model
 
 final class RunSummary(path: String,
     clock: () => Long = () => System.currentTimeMillis()) {
@@ -43,7 +44,8 @@ final class RunSummary(path: String,
     "models" -> runs.map(r => Map(
       "name" -> r.name, "venue" -> r.venue,
       "duration_seconds" -> r.durationSeconds,
-      "rows" -> r.rows, "status" -> r.status, "reason" -> r.reason)))
+      "rows" -> r.rows, "status" -> r.status, "reason" -> r.reason,
+      "spill_bytes" -> r.spillBytes)))
 
   /** Append-or-replace this session in the persisted ledger. */
   def persist(): Unit = {
@@ -97,7 +99,8 @@ object RunSummary {
           m.path("duration_seconds").asDouble(),
           m.path("rows").asLong(),
           m.path("status").asText(),
-          m.path("reason").asText(""))
+          m.path("reason").asText(""),
+          m.path("spill_bytes").asLong(0L))
       }
     }
   }
@@ -113,7 +116,8 @@ object RunSummary {
           m.path("duration_seconds").asDouble(),
           m.path("rows").asLong(),
           m.path("status").asText(),
-          m.path("reason").asText(""))
+          m.path("reason").asText(""),
+          m.path("spill_bytes").asLong(0L))
       }.toSeq
       (s.path("started_at").asLong(), models)
     }

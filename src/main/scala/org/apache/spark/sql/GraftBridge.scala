@@ -15,4 +15,11 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Block until queued listener-bus events are delivered
+    * (`SparkContext.listenerBus` is `private[spark]`): task-metric
+    * listeners (spill telemetry) are asynchronous, so a before/after
+    * metric snapshot around a job must drain the bus on both sides. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

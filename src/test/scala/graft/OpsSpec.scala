@@ -167,7 +167,7 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.9, s"int8 recall=$recall")
   }
 
-  test("dupClusters: min-label propagation reaches the transitive closure") {
+  test("dupClusters: star contraction reaches the transitive closure") {
     import spark.implicits._
     // two components: a 4-chain {1,2,3,4} and a pair {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
@@ -176,6 +176,20 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
+  }
+
+  test("dupClusters: O(log d) rounds on a worst-case chain graph") {
+    import spark.implicits._
+    val n = 64 // chain 0-1-…-63, diameter 63
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.dupClustersCounted(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L))
+    // one-hop label propagation needs ~diameter rounds (63 here); star
+    // contraction halves path lengths per round — log2(63)≈6 plus the
+    // confirming fixpoint round and small alternation constants
+    assert(rounds <= 12, s"rounds=$rounds (propagation would need ~$n)")
   }
 
   test("hash sampling is deterministic and partitioning-invariant") {

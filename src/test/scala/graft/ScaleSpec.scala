@@ -75,4 +75,51 @@ class ScaleSpec extends AnyFunSuite {
       .contains("*(1) Project [min_rolling_hash"))
     assert(onTable.filter(col("h").isNotNull).count() > 0)
   }
+
+  test("min shingle h32 equals the HOF h32-window formulation") {
+    import graft.functions.MinShingleH32.minShingleH32
+    import graft.ops.TextOps.h32
+    val docs = Tables.load(spark, sf, "documents").limit(100)
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    val both = docs.select(
+      minShingleH32(norm, 5).as("native"),
+      when(length(norm) >= 5,
+        array_min(transform(sequence(lit(1), length(norm) - 4),
+          i => h32(norm.substr(i, lit(5)))))).as("hof"))
+    assert(both.filter(col("native") =!= col("hof") ||
+      col("native").isNull =!= col("hof").isNull).count() == 0)
+    // null under k + codegen path on a parquet scan
+    import spark.implicits._
+    val tiny = Seq("abcd", "abcde").toDF("s")
+      .select(minShingleH32(col("s"), 5).as("h")).collect()
+    assert(tiny(0).isNullAt(0) && !tiny(1).isNullAt(0))
+    val onTable = Tables.load(spark, sf, "documents")
+      .select(minShingleH32(col("text"), 5).as("h"))
+    assert(onTable.queryExecution.executedPlan.toString
+      .contains("*(1) Project [min_shingle_h32"))
+  }
+
+  test("token lex stats equals the per-lexicon HOF folds in one pass") {
+    import graft.ops.{TextAnalysis, TextOps}
+    val lexes = TextAnalysis.lexicons.map(_._2)
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+    val toks = TextOps.tokens(col("text"))
+    def oldHits(lex: Seq[String]) = aggregate(toks, lit(0),
+      (acc, t) => acc + when(t.isInCollection(lex), 1).otherwise(0))
+    val both = docs.select(
+      TextAnalysis.tokenLexStats(col("text")).as("st"),
+      size(toks).as("old_n"),
+      aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("old_len"),
+      array(lexes.map(l => oldHits(l).cast("long")): _*).as("old_hits"))
+    val bad = both.filter(
+      col("st.n_tokens") =!= col("old_n") ||
+        col("st.sum_token_len") =!= col("old_len") ||
+        col("st.hits") =!= col("old_hits"))
+    assert(bad.count() == 0)
+    // stays inside whole-stage codegen on a parquet scan
+    val plan = Tables.load(spark, sf, "documents")
+      .select(TextAnalysis.tokenLexStats(col("text")).as("st"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [token_lex_stats"))
+  }
 }

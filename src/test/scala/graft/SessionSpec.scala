@@ -157,6 +157,72 @@ class SessionSpec extends AnyFunSuite {
       ErrorClassifier.MissingFunction))
   }
 
+  // one row per reference class — mirrors the `_is_duckdb_incompatibility`
+  // truth table (reference tests/test_variant_handling.py:11-45)
+  test("classifier truth table matches the reference's, plus extensions") {
+    import graft.planner.ErrorClassifier._
+    def c(s: String) = classify(new RuntimeException(s))
+    // function-not-found (incl. the "Scalar Function" wording) → fallback
+    assert(c("Scalar Function 'CONVERT_TIMEZONE' does not exist")
+      .contains(MissingFunction))
+    // VARIANT-not-implemented → fallback
+    assert(c("DuckDB error: Not implemented Error: A table cannot be " +
+      "created from a VARIANT column yet").contains(VariantUnsupported))
+    // general not-implemented → fallback
+    assert(c("Not implemented Error: some feature").contains(NotImplemented))
+    // regular error → NO fallback (missing table is missing everywhere)
+    assert(c("Table 'my_table' does not exist").isEmpty)
+    // syntax-error STRING → NO fallback (reference returns False; only a
+    // real local ParseException is a venue capability gap)
+    assert(c("Parser Error: syntax error at or near \"SELECTT\"").isEmpty)
+    // extension / catalog-plugin missing (the Spark shapes of the
+    // reference's failed lazy INSTALL, connections.py:908-914,1007-1008)
+    assert(c("Failed to find data source: iceberg. Please find packages at" +
+      " `https://spark.apache.org/third-party-projects.html`.")
+      .contains(ExtensionMissing))
+    assert(c("[DATA_SOURCE_NOT_FOUND] Failed to find the data source: foo")
+      .contains(ExtensionMissing))
+    assert(c("Catalog 'polaris' plugin class not found: " +
+      "spark.sql.catalog.polaris is not defined").contains(ExtensionMissing))
+  }
+
+  test("real spill telemetry flips Gate 5 (no mocks)") {
+    import graft.planner.{MetadataHarvester, PlannerConfig, TrafficController, Venue}
+    val root = Files.createTempDirectory("graft_spill").toString
+    // force every window buffer row to spill so the model produces real
+    // task-metric spill bytes at test scale (the in-memory threshold
+    // must drop too, or rows never reach the spillable sorter)
+    val key = "spark.sql.windowExec.buffer.spill.threshold"
+    val keyMem = "spark.sql.windowExec.buffer.in.memory.threshold"
+    spark.conf.set(key, "1")
+    spark.conf.set(keyMem, "1")
+    val gs = try {
+      val gs = new GraftSession(spark, root)
+      val node = ModelNode("spiller", ModelConfig("table"), Nil)(s => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.load(s, sf, "orders").withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(
+            Window.partitionBy("o_orderstatus").orderBy("o_orderkey")))
+      })
+      gs.run(Seq(node))
+      gs
+    } finally { spark.conf.unset(key); spark.conf.unset(keyMem) }
+    val runs = graft.telemetry.RunSummary.loadAllRuns(
+      s"$root/_graft/run_summary.json")
+    assert(runs.exists(r => r.name == "spiller" && r.spillBytes > 0),
+      s"expected recorded spill, got $runs")
+    // the harvested average feeds Gate 5's spill clause
+    val harvester = new MetadataHarvester(s"$root/_graft/run_summary.json")
+    val spill = harvester.statsOf("spiller").get.avgSpillBytes
+    assert(spill > 0)
+    val tc = new TrafficController(PlannerConfig(maxSpillBytes = spill - 1),
+      statsOf = harvester.statsOf)
+    val d = tc.decide(spark, ModelNode("spiller", ModelConfig("table"), Nil)(
+      s => Tables.load(s, sf, "orders")), "SELECT 1")
+    assert(d.venue == Venue.Cloud && d.gate.contains("COMPLEXITY"))
+    assert(d.detail.exists(_.contains("spill")))
+  }
+
   test("auto-cache: SQL referencing an unknown schema.table ingests once") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_ac").toString
