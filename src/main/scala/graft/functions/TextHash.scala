@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd kernels for the dedup family's hash pipeline. Each
+  * replaces an interpreted higher-order-function chain with a one-pass
+  * loop, semantically IDENTICAL to the Column formulation it supersedes
+  * (shared DuckDB oracles stand unchanged):
+  *
+  *  - [[TokenHashes]]  ⇔ `transform(tokens(text), t => h32(t))`
+  *  - [[HashedNgrams]] ⇔ [[graft.ops.TextOps.hashedWordShingles]]
+  *  - [[MinHashSig]]   ⇔ [[graft.ops.Dedup.minhashSignature]]
+  *  - [[SimHash32]]    ⇔ [[graft.ops.Dedup.simhash]]
+  *
+  * Besides skipping the CodegenFallback evaluator (which degrades
+  * super-linearly under CPU contention), native kernels remove the need
+  * for the repartition "HOF barriers" that pinned each interpreted pass
+  * to one evaluation — CollapseProject already refuses to inline
+  * non-cheap named producers, so the dedup operators become pure narrow
+  * passes with no extra exchanges.
+  */
+object TextHash {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** h32 of one already-lowercased ASCII token: first 8 md5 hex digits
+    * as an unsigned 32-bit value ([[graft.ops.TextOps.h32]]). */
+  private def h32(md: java.security.MessageDigest): Long = {
+    val d = md.digest()
+    var h = d(0) & 0xffL
+    h = (h << 8) | (d(1) & 0xffL)
+    h = (h << 8) | (d(2) & 0xffL)
+    h = (h << 8) | (d(3) & 0xffL)
+    h
+  }
+
+  /** One pass over UTF-8 bytes: tokenize (maximal `[a-z0-9]` runs after
+    * ASCII lowercasing — byte-split-equivalent to the repo tokenizer,
+    * see [[TokenLexMatcher]]) and md5-h32 each token. */
+  def tokenHashes(bytes: Array[Byte]): ArrayData = {
+    val md = mdLocal.get()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](64)
+    val n = bytes.length
+    var i = 0
+    var inTok = false
+    while (i <= n) {
+      var c = if (i < n) bytes(i) & 0xff else -1
+      if (c >= 'A' && c <= 'Z') c += 32
+      val isTok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (isTok) {
+        if (!inTok) { md.reset(); inTok = true }
+        md.update(c.toByte)
+      } else if (inTok) {
+        out += h32(md)
+        inTok = false
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  private val M = 3037000493L // shingle-combine modulus (fits squared in a long)
+  private val B = 1000003L
+
+  /** Distinct hashed word n-grams combined arithmetically from token
+    * hashes: `c₁ = h₁; cₖ₊₁ = (cₖ·1000003 + hₖ₊₁) mod 3037000493` —
+    * first-occurrence order, empty when fewer than n tokens. */
+  def hashedNgrams(hashes: ArrayData, n: Int): ArrayData = {
+    val h = hashes.toLongArray()
+    if (h.length < n) return ArrayData.toArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= h.length) {
+      var c = h(i)
+      var j = 1
+      while (j < n) { c = (c * B + h(i + j)) % M; j += 1 }
+      seen.add(c)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  private val P = 4294967311L // universal-hash prime > 2^32
+
+  /** k MinHash minima over the universal family
+    * `((2p+1)·h + 12345p + 7) mod 4294967311`, one pass over the
+    * shingle hashes. Null for an empty input (callers filter first). */
+  def minHashSig(hashes: ArrayData, k: Int): ArrayData = {
+    val h = hashes.toLongArray()
+    if (h.length == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < h.length) {
+      val x = h(i)
+      var p = 0
+      while (p < k) {
+        val v = (x * (p * 2 + 1) + p * 12345L + 7L) % P
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  /** 32-bit SimHash from token-hash bit votes, big-endian fold
+    * `acc·2 + bit(i)` over i = 0…31 (bit 0 highest), exactly the
+    * Column formulation's digit order. */
+  def simHash32(hashes: ArrayData): Long = {
+    val h = hashes.toLongArray()
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < h.length) {
+      val x = h(i)
+      var b = 0
+      while (b < 32) { votes(b) += (if (((x >> b) & 1L) == 1L) 1 else -1); b += 1 }
+      i += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 32) { acc = acc * 2 + (if (votes(b) > 0) 1L else 0L); b += 1 }
+    acc
+  }
+
+  // ------------------------------------------------------ Column forms
+  def tokenHashes(c: Column): Column =
+    GraftBridge.column(TokenHashes(GraftBridge.expression(c)))
+  def hashedNgrams(c: Column, n: Int): Column =
+    GraftBridge.column(HashedNgrams(GraftBridge.expression(c), n))
+  def minHashSig(c: Column, k: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c), k))
+  def simHash32(c: Column): Column =
+    GraftBridge.column(SimHash32(GraftBridge.expression(c)))
+}
+
+/** text → array of per-token h32 hashes (see [[TextHash.tokenHashes]]). */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_hashes"
+  override def nullSafeEval(input: Any): Any =
+    TextHash.tokenHashes(input.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.TextHash.tokenHashes($input.getBytes());")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** token-hash array → distinct combined n-gram hashes. */
+case class HashedNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "hashed_ngrams"
+  override def nullSafeEval(input: Any): Any =
+    TextHash.hashedNgrams(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.TextHash.hashedNgrams($input, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** shingle-hash array → k universal-hash minima (null for empty). */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(input: Any): Any =
+    TextHash.minHashSig(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => s"""
+      |${ev.value} = graft.functions.TextHash.minHashSig($input, $k);
+      |if (${ev.value} == null) ${ev.isNull} = true;
+    """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** token-hash array → 32-bit SimHash signature. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash32"
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(TextHash.simHash32(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.TextHash.simHash32($input);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -38,22 +38,26 @@ object Dedup {
       .drop("__th")
 
   /** MinHash signatures from a universal hash family over the base
-    * shingle hashes ([[hashedShingles]]): sig[p] = min over shingles of
+    * shingle hashes: sig[p] = min over shingles of
     * `((2p+1)·h + 12345p + 7) mod 4294967311` (prime > 2³²). One md5
     * per shingle total instead of k — the md5 pass dominates minhash
     * cost — with identical statistical behavior and exact DuckDB-oracle
-    * reproducibility. */
+    * reproducibility. Column-HOF formulation kept as the executable
+    * spec of [[graft.functions.TextHash.minHashSig]] (equivalence
+    * asserted in ScaleSpec); operators call the native kernel. */
   def minhashSignature(hashed: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), p =>
       array_min(transform(hashed,
         h => (h * (p * 2 + 1) + p * 12345 + 7) % 4294967311L)))
 
-  /** LSH band hashes: md5 of the ','-joined signature slice per band. */
+  /** LSH band hashes: md5 of the ','-joined signature slice per band —
+    * band count is a compile-time constant, so this is a plain `array`
+    * of codegen'd md5/concat/slice calls (the element-wise long→string
+    * conversion is an array Cast, not a lambda). */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      md5(concat_ws(",",
-        transform(slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)),
-          v => v.cast(StringType)))))
+    array((0 until bands).map(b =>
+      md5(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)
+        .cast(ArrayType(StringType))))): _*)
 
   /** Distinct 32-bit shingle hashes — jaccard over these equals jaccard
     * over the string shingles (modulo engine-identical md5 collisions)
@@ -74,23 +78,20 @@ object Dedup {
       textCol: String = "text", shingleLen: Int = 3, numHashes: Int = 16,
       bands: Int = 4, threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
+    import graft.functions.TextHash
     val rowsPerBand = numHashes / bands
-    // The repartitions are CollapseProject barriers, not distribution
-    // choices: shingle/signature/band expressions are higher-order
-    // functions (no whole-stage codegen), and letting the optimizer
-    // inline them into every downstream reference re-evaluates the
-    // expensive pass per reference (token hashes 3×, the 16 minhash
-    // passes 4×). The exchanges pin each to one evaluation per row.
+    // tokenize→md5→shingle-combine→k-minima are native one-pass codegen
+    // kernels (graft.functions.TextHash) — no interpreted HOFs and no
+    // repartition barriers: CollapseProject keeps the non-cheap named
+    // producers un-inlined, so the whole prefix is ONE narrow pass and
+    // the band explode's bucket shuffle is the first exchange.
     val th = docs
-      .select(col(idCol),
-        transform(tokens(col(textCol)), t => h32(t)).as("th"))
-      .repartition(col(idCol))
+      .select(col(idCol), TextHash.tokenHashes(col(textCol)).as("th"))
     val sh = th
-      .select(col(idCol), hashedWordShingles(col("th"), shingleLen).as("sh"))
+      .select(col(idCol), TextHash.hashedNgrams(col("th"), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
     val sigDf = sh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .repartition(col(idCol))
+      .withColumn("sig", TextHash.minHashSig(col("sh"), numHashes))
     val banded = sigDf
       .select(col(idCol), col("sh"),
         posexplode(lshBands(col("sig"), bands, rowsPerBand))
@@ -163,10 +164,9 @@ object Dedup {
 
   def simhashTable(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs
-      .select(col(idCol), transform(tokens(col(textCol)), t => h32(t)).as("__th"))
-      .repartition(col(idCol)) // barrier: one tokenize + one md5 per token
-      .select(col(idCol), simhash(col("__th")).as("simhash"))
+    docs.select(col(idCol),
+      graft.functions.TextHash.simHash32(
+        graft.functions.TextHash.tokenHashes(col(textCol))).as("simhash"))
 
   /** n-gram Jaccard near-dup pairs inside blocking columns: the exact
     * verification path for blocked corpora. Pairing is quadratic WITHIN
@@ -179,11 +179,11 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
+    import graft.functions.TextHash
     val th = docs.select((col(idCol) +: blockCols.map(col)) :+
-      transform(tokens(col(textCol)), t => h32(t)).as("th"): _*)
-      .repartition(col(idCol)) // barrier — see minhashLsh
+      TextHash.tokenHashes(col(textCol)).as("th"): _*)
     val sh = th.select((col(idCol) +: blockCols.map(col)) :+
-      hashedWordShingles(col("th"), n).as("sh"): _*)
+      TextHash.hashedNgrams(col("th"), n).as("sh"): _*)
       .filter(size(col("sh")) > 0)
     bucketPairs(sh, blockCols, idCol, threshold, maxBucket)
   }

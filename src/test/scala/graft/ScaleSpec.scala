@@ -99,6 +99,39 @@ class ScaleSpec extends AnyFunSuite {
       .contains("*(1) Project [min_shingle_h32"))
   }
 
+  test("TextHash kernels equal their Column-HOF executable specs") {
+    import graft.functions.TextHash
+    import graft.ops.{Dedup, TextOps}
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+    val spec = docs.select(
+      transform(TextOps.tokens(col("text")), t => TextOps.h32(t)).as("th"))
+      .select(col("th"), TextOps.hashedWordShingles(col("th"), 3).as("sh"),
+        Dedup.simhash(col("th")).as("sim"))
+      .select(col("th"), col("sh"), col("sim"),
+        when(size(col("sh")) > 0, Dedup.minhashSignature(col("sh"), 16))
+          .as("sig"))
+    val native = docs.select(TextHash.tokenHashes(col("text")).as("th"))
+      .select(col("th"), TextHash.hashedNgrams(col("th"), 3).as("sh"),
+        TextHash.simHash32(col("th")).as("sim"))
+      .select(col("th"), col("sh"), col("sim"),
+        TextHash.minHashSig(col("sh"), 16).as("sig"))
+    val s = spec.collect()
+    val n = native.collect()
+    assert(s.length == n.length)
+    s.zip(n).foreach { case (a, b) =>
+      assert(a.getSeq[Long](0) == b.getSeq[Long](0), "token hashes")
+      // distinct order may differ between spec and kernel — compare sets
+      assert(a.getSeq[Long](1).toSet == b.getSeq[Long](1).toSet, "shingles")
+      assert(a.getLong(2) == b.getLong(2), "simhash")
+      assert(a.getSeq[Long](3) == b.getSeq[Long](3), "minhash sig")
+    }
+    // native kernels stay inside whole-stage codegen on a parquet scan
+    val plan = Tables.load(spark, sf, "documents")
+      .select(TextHash.simHash32(TextHash.tokenHashes(col("text"))).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [simhash32(token_hashes"))
+  }
+
   test("token lex stats equals the per-lexicon HOF folds in one pass") {
     import graft.ops.{TextAnalysis, TextOps}
     val lexes = TextAnalysis.lexicons.map(_._2)
