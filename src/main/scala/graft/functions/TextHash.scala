@@ -72,11 +72,14 @@ object TextHash {
 
   /** Distinct hashed word n-grams combined arithmetically from token
     * hashes: `c₁ = h₁; cₖ₊₁ = (cₖ·1000003 + hₖ₊₁) mod 3037000493` —
-    * first-occurrence order, empty when fewer than n tokens. */
+    * empty when fewer than n tokens. Output is SORTED ascending (a set;
+    * element order is unobservable downstream — minima and set algebra
+    * only), which lets the pair-verify stage count intersections with
+    * the O(m+n) merge scan [[SortedIntersectSize]]. */
   def hashedNgrams(hashes: ArrayData, n: Int): ArrayData = {
     val h = hashes.toLongArray()
     if (h.length < n) return ArrayData.toArrayData(Array.emptyLongArray)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val seen = new java.util.HashSet[java.lang.Long]()
     var i = 0
     while (i + n <= h.length) {
       var c = h(i)
@@ -89,6 +92,7 @@ object TextHash {
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(out)
     ArrayData.toArrayData(out)
   }
 

@@ -126,13 +126,21 @@ object Dedup {
       col("sh").as("sh"))))
     val buckets = capped.groupBy(bucketCols.map(col): _*)
       .agg(m.as("m")).filter(size(col("m")) > 1)
+    // jaccard over SORTED shingle sets (the TextHash.hashedNgrams
+    // contract): |a∩b| via the codegen'd merge scan, |a∪b| by
+    // inclusion-exclusion — same integers, same single double division
+    // as the array_intersect/array_distinct(concat) formulation
+    def jacSorted(a: Column, b: Column): Column = {
+      val inter = graft.functions.VecMath.sortedIntersectSize(a, b)
+      inter.cast(DoubleType) / (size(a) + size(b) - inter)
+    }
     val pairs = buckets.select(explode(flatten(
       transform(sequence(lit(0), size(col("m")) - 2), i =>
         transform(sequence(i + 1, size(col("m")) - 1), j =>
           struct(
             element_at(col("m"), i + 1).getField("id").as("id_a"),
             element_at(col("m"), j + 1).getField("id").as("id_b"),
-            jaccard(element_at(col("m"), i + 1).getField("sh"),
+            jacSorted(element_at(col("m"), i + 1).getField("sh"),
               element_at(col("m"), j + 1).getField("sh")).as("jaccard"))))))
       .as("p"))
     pairs.select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
@@ -195,9 +203,8 @@ object Dedup {
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.99): DataFrame = {
     val withVec = embs.select(col(blockCol), col(idCol),
-      transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+      col(vecCol).cast(ArrayType(DoubleType)).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
-      .repartition(col(idCol)) // barrier: one norm fold per vector
     val a = withVec.select(col(blockCol), col(idCol).as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = withVec.select(col(blockCol), col(idCol).as("id_b"),

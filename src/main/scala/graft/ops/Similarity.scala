@@ -23,26 +23,30 @@ import TextOps.h32
   */
 object Similarity {
 
-  /** Cosine similarity of two double arrays — sequential fold keeps the
-    * summation order engine-deterministic. */
+  /** Cosine similarity of two double arrays — sequential accumulation
+    * keeps the summation order engine-deterministic. dot/norm are
+    * native codegen kernels ([[graft.functions.VecMath]]) with the
+    * SAME left-to-right IEEE op order as the `aggregate(zip_with(…))`
+    * folds they replaced (and as the oracles' `list_reduce`), so every
+    * hash-checked cosine is bit-identical. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Dot product as a sequential fold. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    graft.functions.VecMath.dotD(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+  def norm(a: Column): Column = graft.functions.VecMath.normL2(a)
 
   /** Cosine with pre-computed norms: inside pairwise stages the norm
-    * fold runs once per VECTOR instead of twice per PAIR — the dominant
-    * saving when candidates ≫ vectors. */
+    * kernel runs once per VECTOR instead of twice per PAIR — the
+    * dominant saving when candidates ≫ vectors. */
   def cosinePrenormed(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
+  /** float→double as an element-wise array Cast (codegen'd; identical
+    * values to a per-element lambda cast). */
   private def asDouble(vec: Column): Column =
-    transform(vec, x => x.cast(DoubleType))
+    vec.cast(ArrayType(DoubleType))
 
   /** Per-vector symmetric int8 quantization — the 4× memory lever for
     * corpus-scale ANN (the candidate scan reads int8 arrays, exact
@@ -50,15 +54,15 @@ object Similarity {
     * `q_i = floor(x_i/scale + 0.5)` — explicit round-half-up, because
     * `round()` ties-break differently across engines while `floor` is
     * IEEE-exact everywhere. Reconstruction error ≤ scale/2 per
-    * dimension. The vector column is materialized behind an exchange so
-    * the scale fold and the quantize lambda each read an attribute. */
+    * dimension. The vector and scale are projected columns — the
+    * downstream references read attributes (CollapseProject keeps
+    * non-cheap multi-reference producers un-inlined), no exchange
+    * needed. */
   def quantizeInt8(embs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     embs.select(col(idCol), asDouble(col(vecCol)).as("__v"))
-      .repartition(col(idCol)) // barrier: one double-cast pass
       .select(col(idCol), col("__v"),
         (array_max(transform(col("__v"), x => abs(x))) / 127.0).as("scale"))
-      .repartition(col(idCol)) // barrier: one max fold per vector
       .select(col(idCol), col("scale"),
         when(col("scale") === 0.0, transform(col("__v"), _ => lit(0)))
           .otherwise(transform(col("__v"),
@@ -86,8 +90,7 @@ object Similarity {
     val approx = cz.crossJoin(broadcast(qz))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        ((aggregate(zip_with(col("qq"), col("cq"),
-          (x, y) => (x * y).cast(LongType)), lit(0L), _ + _)
+        ((graft.functions.VecMath.dotLong(col("qq"), col("cq"))
           .cast(DoubleType) * col("qsc")) * col("csc")).as("approx"))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("cand_id"))
@@ -96,11 +99,9 @@ object Similarity {
     val qv = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .repartition(col("query_id")) // barrier: one norm fold per vector
     val cv = corpus.select(col(idCol).as("cand_id"),
       asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .repartition(col("cand_id"))
     val scored = cand.join(cv, "cand_id").join(broadcast(qv), "query_id")
       .select(col("query_id"), col("cand_id"),
         cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn"))
@@ -116,11 +117,9 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .repartition(col("query_id")) // barrier: norm folds once per vector
     val c = corpus.select(col(idCol).as("cand_id"),
       asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .repartition(col("cand_id"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
