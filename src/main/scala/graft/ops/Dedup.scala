@@ -196,9 +196,50 @@ object Dedup {
     bucketPairs(sh, blockCols, idCol, threshold, maxBucket)
   }
 
+  /** Corpus-wide embedding near-duplicate pairs with multi-table LSH
+    * blocking — the scale path that [[embeddingCosineDups]]'s explicit
+    * block column documents: candidates only form inside a
+    * (table, sign-bucket) cell, so the N² cross product becomes
+    * per-bucket joins, and giant buckets are CAPPED like
+    * [[bucketPairs]] (row_number ≤ maxBucket sharing the bucket
+    * exchange, cap replicated in the oracle). Hyperplanes are
+    * deterministic literal constants ([[Similarity.planeValue]]), so
+    * the whole operator — buckets, caps, cosines — is
+    * DuckDB-hash-checkable. A true near-dup pair (cosine ≈ 1) agrees
+    * with every hyperplane sign with probability ≈ 1, so it collides
+    * in essentially every table. */
+  def embeddingLshDups(embs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.99,
+      numPlanes: Int = 6, numTables: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
+    val v = embs.select(col(idCol),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val b = v.select(col(idCol), col("v"), col("nrm"),
+      explode(Similarity.tableBuckets(col("v"), numPlanes, numTables))
+        .as("tb"))
+      .select(col(idCol), col("v"), col("nrm"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t"), col("b")).orderBy(col(idCol))
+    val capped = b.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxBucket).drop("__rk")
+    val left = capped.select(col("t"), col("b"), col(idCol).as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val right = capped.select(col("t"), col("b"), col(idCol).as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    left.join(right, Seq("t", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosinePrenormed(col("va"), col("vb"), col("na"),
+          col("nb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct() // a pair collides in several tables; cosine is deterministic
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking column
-    * (brute force inside blocks; LSH blocking in
-    * [[Similarity.lshBuckets]] replaces the block column at scale). */
+    * (brute force inside blocks; [[embeddingLshDups]] replaces the
+    * block column with LSH sign-buckets at corpus scale). */
   def embeddingCosineDups(embs: DataFrame, blockCol: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.99): DataFrame = {

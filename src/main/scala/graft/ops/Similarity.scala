@@ -163,8 +163,9 @@ object Similarity {
   }
 
   /** Per-table (table_idx, bucket) pairs as an array column — one entry
-    * per hash table, for the standard multi-table LSH recall boost. */
-  private def tableBuckets(vec: Column, numPlanes: Int,
+    * per hash table, for the standard multi-table LSH recall boost.
+    * Public: also the blocking key of [[Dedup.embeddingLshDups]]. */
+  def tableBuckets(vec: Column, numPlanes: Int,
       numTables: Int): Column =
     array((0 until numTables).map(t =>
       struct(lit(t).as("t"), lshBuckets(vec, numPlanes, t).as("b"))): _*)

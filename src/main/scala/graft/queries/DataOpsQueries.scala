@@ -103,6 +103,19 @@ object DataOpsQueries {
         blockCol = "label", threshold = 0.99)
     }),
 
+    // corpus-wide embedding near-dup with LSH sign-bucket blocking — the
+    // scale path of d_dedup_embed (no block column needed); buckets,
+    // caps, and cosines all deterministic → fully hash-checked
+    "d_dedup_embed_lsh" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val dup = e.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+          col("label"))
+      Dedup.embeddingLshDups(
+        e.unionByName(dup.select(e.columns.map(col): _*)), threshold = 0.99)
+    }),
+
     // -------------------------------------------- similarity search
     "s_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -270,10 +283,11 @@ object DataOpsQueries {
     * literal arrays and recomputes buckets, candidates, and top-k
     * independently — turning the approximate operator into a
     * hash-checked one. */
-  private def lshOracleSql: String = {
-    val numTables = 8
-    val numPlanes = 6
-    val dims = 64
+  /** The multi-table sign-bucket expression as DuckDB SQL with the
+    * hyperplanes embedded as exact literal arrays — shared by the
+    * s_ann_lsh and d_dedup_embed_lsh oracles. */
+  private def lshBucketCase(numTables: Int, numPlanes: Int,
+      dims: Int): String = {
     def planeLit(t: Int, p: Int): String =
       (0 until dims).map(d => graft.ops.Similarity.planeValue(t, p, d))
         .mkString("[", ", ", "]")
@@ -283,9 +297,14 @@ object DataOpsQueries {
            |  generate_series(1, len(v)), i -> v[i] * (${planeLit(t, p)})[i]),
            |  (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END)""".stripMargin
       }.reduceLeft((acc, b) => s"($acc * 2 + $b)")
-    val bucketCase = (0 until numTables)
+    (0 until numTables)
       .map(t => s"WHEN ${t} THEN ${bucketExpr(t)}")
       .mkString("CASE u.t ", " ", " END")
+  }
+
+  private def lshOracleSql: String = {
+    val numTables = 8
+    val bucketCase = lshBucketCase(numTables, numPlanes = 6, dims = 64)
     s"""WITH d AS (SELECT vec_id,
        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
        |b AS (
@@ -523,6 +542,33 @@ object DataOpsQueries {
         |  >= 0.99""".stripMargin,
 
     "s_ann_lsh" -> lshOracleSql,
+
+    "d_dedup_embed_lsh" -> {
+      val bucketCase = lshBucketCase(numTables = 8, numPlanes = 6, dims = 64)
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, list_transform(embedding, x -> x * 1.001::FLOAT)
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |d AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v FROM base),
+         |b AS (
+         |  SELECT vec_id, v, u.t, $bucketCase AS bucket
+         |  FROM d, unnest(generate_series(0, 7)) u(t)
+         |  QUALIFY row_number() OVER (PARTITION BY u.t, bucket
+         |    ORDER BY vec_id) <= 1000),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |    list_reduce(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * b2.v[i]), (x, y) -> x + y) /
+         |    (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y)) *
+         |     sqrt(list_reduce(list_transform(b2.v, x -> x * x), (x, y) -> x + y)))
+         |    AS cosine
+         |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket
+         |    AND a.vec_id < b2.vec_id)
+         |SELECT DISTINCT id_a, id_b, cosine FROM pairs
+         |WHERE cosine >= 0.99""".stripMargin
+    },
 
     "s_ann_int8" ->
       """WITH d AS (SELECT vec_id,

@@ -167,6 +167,24 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.9, s"int8 recall=$recall")
   }
 
+  test("LSH-blocked embedding dedup recovers the planted near-dups") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val dup = e.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+        col("label"))
+    val all = e.unionByName(dup.select(e.columns.map(col): _*))
+    val pairs = Dedup.embeddingLshDups(all, threshold = 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 10000)).toSet
+    // a cosine≈1 pair agrees with every hyperplane sign, so it collides
+    // in essentially every one of the 8 tables
+    assert(planted.subsetOf(pairs),
+      s"missing ${planted.diff(pairs)} of $planted")
+  }
+
   test("dupClusters: star contraction reaches the transitive closure") {
     import spark.implicits._
     // two components: a 4-chain {1,2,3,4} and a pair {10,11}
