@@ -84,6 +84,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(viaRule == plain)
   }
 
+  private def occurrences(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("native kernels evaluate once and dropped their barrier exchanges") {
+    // the expensive producer appears exactly once per plan — derived
+    // columns read the attribute (CollapseProject keeps non-cheap
+    // multi-reference producers un-inlined), so no duplicated scans
+    assert(occurrences(physicalPlan("t_lang_id"), "token_lex_stats(") == 1)
+    assert(occurrences(physicalPlan("t_quality"), "token_lex_stats(") == 1)
+    val fp = physicalPlan("t_fingerprint")
+    assert(occurrences(fp, "min_shingle_h32(") == 1)
+    // fingerprint and simhash are pure narrow passes: scan → project,
+    // zero exchanges (the round-2 repartition barriers are gone)
+    assert(!fp.contains("Exchange"), "t_fingerprint must be a narrow pass")
+    assert(!physicalPlan("d_dedup_simhash").contains("Exchange"),
+      "d_dedup_simhash must be a narrow pass")
+    // the dedup LSH prefix shuffles only for buckets/pairs — no
+    // REPARTITION_BY_COL barrier exchanges survive
+    Seq("d_dedup_minhash", "d_dedup_ngram", "d_dedup_embed_lsh").foreach {
+      n => assert(!physicalPlan(n).contains("REPARTITION_BY_COL"),
+        s"$n still carries a barrier repartition")
+    }
+  }
+
+  test("exact stats plan as codegen hash-agg + window, no object agg") {
+    val p = physicalPlan("q_fn_stats")
+    // Spark's `median` would plan an ObjectHashAggregate buffering every
+    // value per group; the histogram+window formulation must not
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_"), "moments must combine map-side")
+  }
+
   test("correlated scalar subquery decorrelates to aggregate + join") {
     val p = physicalPlan("q_correlated_scalar")
     // Catalyst rewrites the correlated scalar subqueries into outer
