@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.model.{ModelConfig, ModelNode}
 import graft.planner.{MemoryGuard, QueryAnalyzer}
-import graft.telemetry.{CostModel, RunSummary}
+import graft.telemetry.{Console, CostModel, RunSummary}
 
 /** Command-line surface — port of the reference's `icebreaker` CLI
   * (reference `cli.py:14-199` dispatch + the `cmd_*` handlers): every
@@ -42,7 +42,7 @@ object Cli {
     val needsSpark =
       Set("explain", "sync", "verify", "cache", "health", "status", "stats")
     val sessionFactory: () => GraftSession =
-      () => new GraftSession(spark, root)
+      () => new GraftSession(spark, root, console = new Console())
     val sparkBacked = args.headOption.exists(needsSpark)
     try println(run(args.toSeq,
       if (sparkBacked) Some(sessionFactory) else None, root))
@@ -187,32 +187,14 @@ object Cli {
        |$top""".stripMargin
   }
 
-  /** `icebreaker summary` (cli.py:612-664): last session's models,
-    * venues, and routing/fallback breakdown. */
+  /** `icebreaker summary` (cli.py:612-664): last session rendered
+    * through the reference's run-summary block (run_summary.py:165-225,
+    * shared with the end-of-run print). */
   def cmdSummary(root: String): String =
     RunSummary.loadLastSession(s"$root/_graft/run_summary.json") match {
       case None => "No run sessions found yet."
       case Some((startedAt, models)) =>
-        val local = models.count(_.venue == "local")
-        val ok = models.count(_.status == "success")
-        val saved = models.filter(m => m.venue == "local" && m.status == "success")
-          .map(m => CostModel.cloudCostUsd(m.durationSeconds)).sum
-        val dur = models.map(_.durationSeconds).sum
-        val localPct = 100.0 * local / math.max(models.length, 1)
-        val reasons = models.groupBy(m =>
-          if (m.reason.nonEmpty) m.reason else "direct")
-          .view.mapValues(_.length).toSeq.sortBy(-_._2)
-          .map { case (r, n) => f"  $r%-40s $n" }.mkString("\n")
-        f"""== Run Summary ==
-           |Session:      $startedAt
-           |Models:       ${models.length}
-           |Local (FREE): $local ($localPct%.0f%%)
-           |Succeeded:    $ok
-           |Failed:       ${models.length - ok}
-           |Est. savings: $$$saved%.2f
-           |Duration:     $dur%.1f s
-           |Breakdown:
-           |$reasons""".stripMargin
+        s"Session: $startedAt" + Console.formatRunSummary(models)
     }
 
   // ----------------------------------------------- health/status/stats

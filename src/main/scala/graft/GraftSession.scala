@@ -8,7 +8,8 @@ import graft.materialize.Materializer
 import graft.model.{Dag, ModelNode}
 import graft.planner._
 import graft.sync.SyncManager
-import graft.telemetry.{HealthCheck, ModelRun, RunSummary, SavingsTracker}
+import graft.telemetry.{Console, HealthCheck, ModelRun, RunSummary,
+  SavingsTracker}
 import graft.transpile.SnowflakeSql
 import graft.warehouse.Warehouse
 
@@ -36,7 +37,8 @@ final class GraftSession(
     target: String = "prod", // "dev" enables LIMIT sampling
     config: PlannerConfig = PlannerConfig(),
     executeCloudRouted: Boolean = true,
-    sourceFetch: (String, String) => Option[DataFrame] = (_, _) => None) {
+    sourceFetch: (String, String) => Option[DataFrame] = (_, _) => None,
+    console: Console = Console.silent) {
 
   val warehouse = new Warehouse(spark, warehouseRoot)
   val state = new StateManager(s"$warehouseRoot/_graft/state.json", config)
@@ -82,11 +84,19 @@ final class GraftSession(
         val exists = scala.util.Try(
           spark.catalog.tableExists(s"`$schema`.`$table`")).getOrElse(false)
         if (!exists) {
-          if (warehouse.tableExists(schema, table))
+          if (warehouse.tableExists(schema, table)) {
             registerSource(schema, table, warehouse.tablePath(schema, table))
-          else sourceFetch(schema, table).foreach { df =>
+            console.debug(s"Registered $schema.$table from warehouse")
+          } else sourceFetch(schema, table).foreach { df =>
+            // reference console.py:162-202: concurrent ingests share one
+            // tracker; each completion prints a progress-bar line
+            console.downloads.start(s"$schema.$table")
+            console.step(s"Downloading $schema.$table...")
             cache.put(schema, table, df)
             registerSource(schema, table, cache.pathOf(schema, table))
+            val (done, total) = console.downloads.finish(s"$schema.$table")
+            console.success(s"Cached $schema.$table " +
+              Console.progressBar(done, total))
           }
         }
       }
@@ -152,9 +162,11 @@ final class GraftSession(
           savings.logExecution(node.name, venueName, dur)
           runSummary.record(ModelRun(node.name, venueName, dur, rows,
             "success", reason, spillBytes = spill))
+          console.success(f"${node.name} ($venueName, $dur%.1fs, $rows rows)")
           RunResult(node.name, decision, dur, rows,
             fallback = Option(reason).filter(_.nonEmpty))
         }
+        console.step(s"Materializing ${node.name}...")
         try {
           val (rows, dur, spill) = materializeNode()
           finish(rows, dur, spill, venue, "")
@@ -165,10 +177,13 @@ final class GraftSession(
               case Some(cls) =>
                 // reference connections.py:538-545: "Local execution
                 // failed: <err>" → re-execute on the fallback venue
+                console.warn(s"Local execution failed: ${e.getMessage} " +
+                  s"(${cls.reason})")
                 retryPerPolicy(cls, materializeNode _, finish, node, e)
               case None =>
                 runSummary.record(ModelRun(node.name, "local",
                   (System.nanoTime() - tStart) / 1e9, 0L, "error"))
+                console.error(s"${node.name}: ${e.getMessage}")
                 throw e
             }
         }
@@ -176,6 +191,9 @@ final class GraftSession(
     } finally {
       runSummary.persist()
       harvester.refresh()
+      // reference run_summary.py:253-256: every run closes with the
+      // formatted summary block at normal verbosity
+      console.info(Console.formatRunSummary(runSummary.recorded))
     }
 
   /** Execute the classified retry: FallbackCloud re-runs flagged CLOUD
@@ -205,6 +223,7 @@ final class GraftSession(
       case retryErr: Throwable =>
         runSummary.record(ModelRun(node.name, "local", 0.0, 0L, "error",
           cls.reason))
+        console.error(s"${node.name}: retry failed (${cls.reason})")
         original.addSuppressed(retryErr)
         throw original
     }

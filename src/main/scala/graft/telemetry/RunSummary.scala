@@ -37,6 +37,9 @@ final class RunSummary(path: String,
 
   def record(run: ModelRun): Unit = runs += run
 
+  /** Runs recorded so far this session (feeds the end-of-run block). */
+  def recorded: Seq[ModelRun] = runs.toSeq
+
   private def sessionObj = Map(
     "session_id" -> sessionId,
     "started_at" -> startedAt,

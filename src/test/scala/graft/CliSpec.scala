@@ -62,9 +62,11 @@ class CliSpec extends AnyFunSuite {
       s => Tables.load(s, sf, "region"))
     gs.run(Seq(node))
     val summary = Cli.cmdSummary(root)
-    assert(summary.contains("Run Summary"))
-    assert(summary.contains("Models:       1"))
-    assert(summary.contains("Local (FREE): 1 (100%)"))
+    assert(summary.contains("GRAFT RUN SUMMARY"))
+    assert(summary.contains("Models: 1 total"))
+    assert(summary.contains("Local (FREE):  1 (100%)"))
+    assert(summary.contains("Estimated Savings: $"))
+    assert(summary.contains("Run 'graft.Cli savings'"))
     val savings = Cli.cmdSavings(root, Nil)
     assert(savings.contains("Savings"))
     assert(savings.contains("regions"))

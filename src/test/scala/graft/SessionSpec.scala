@@ -241,6 +241,33 @@ class SessionSpec extends AnyFunSuite {
     assert(gs.cache.contains("ext", "users"))
   }
 
+  test("console receives the run lifecycle and the summary block") {
+    import spark.implicits._
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val console = new graft.telemetry.Console(
+      graft.telemetry.Verbosity.Verbose, line => buf.synchronized(buf += line))
+    val gs = new GraftSession(spark,
+      Files.createTempDirectory("graft_con").toString,
+      sourceFetch = (schema, table) =>
+        if (schema == "ext" && table == "pets")
+          Some(Seq((1L, "rex")).toDF("id", "name"))
+        else None,
+      console = console)
+    gs.sql("SELECT * FROM ext.pets")
+    val node = ModelNode("regions", ModelConfig("table"), Nil)(
+      s => Tables.load(s, sf, "region"))
+    gs.run(Seq(node))
+    val out = buf.mkString("\n")
+    // ingest path: step + progress-bar success (console.py:162-202)
+    assert(out.contains("> Downloading ext.pets..."))
+    assert(out.contains("+ Cached ext.pets [####################] 100%"))
+    // run path: step, per-model success, closing summary block
+    assert(out.contains("> Materializing regions..."))
+    assert(out.matches("(?s).*\\+ regions \\(local, \\d+\\.\\ds, 5 rows\\).*"))
+    assert(out.contains("GRAFT RUN SUMMARY"))
+    assert(out.contains("Local (FREE):  1 (100%)"))
+  }
+
   // Iceberg DDL — mirrors reference tests/test_bridge.py:16-99
   test("iceberg DDL per cloud dialect") {
     val cfg = IcebergConfig("analytics", "orders",
