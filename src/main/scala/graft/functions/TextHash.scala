@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -138,6 +139,46 @@ object TextHash {
     acc
   }
 
+  /** Gopher-style repetition statistics in one pass over the token
+    * hashes: token count, distinct-token count, the occurrence count of
+    * the most frequent 2-gram, and the number of 3-gram positions whose
+    * gram repeats within the document (Σ multiplicity over grams with
+    * multiplicity ≥ 2). n-gram hashes use the [[hashedNgrams]]
+    * arithmetic combine, so a DuckDB oracle reproduces them exactly.
+    * Zero counts when the document is shorter than the gram. */
+  def repetitionStats(hashes: ArrayData): InternalRow = {
+    val h = hashes.toLongArray()
+    val n = h.length
+    val distinct = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { distinct.add(h(i)); i += 1 }
+    def gramCounts(g: Int): java.util.HashMap[java.lang.Long, Int] = {
+      val m = new java.util.HashMap[java.lang.Long, Int]()
+      var i = 0
+      while (i + g <= n) {
+        var c = h(i)
+        var j = 1
+        while (j < g) { c = (c * B + h(i + j)) % M; j += 1 }
+        val prev = m.get(c)
+        m.put(c, if (prev == null) 1 else prev + 1)
+        i += 1
+      }
+      m
+    }
+    var top2 = 0
+    if (n >= 2) {
+      val it = gramCounts(2).values().iterator()
+      while (it.hasNext) { val c = it.next(); if (c > top2) top2 = c }
+    }
+    var dup3 = 0
+    if (n >= 3) {
+      val it = gramCounts(3).values().iterator()
+      while (it.hasNext) { val c = it.next(); if (c > 1) dup3 += c }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, distinct.size, top2, dup3))
+  }
+
   // ------------------------------------------------------ Column forms
   def tokenHashes(c: Column): Column =
     GraftBridge.column(TokenHashes(GraftBridge.expression(c)))
@@ -147,6 +188,8 @@ object TextHash {
     GraftBridge.column(MinHashSig(GraftBridge.expression(c), k))
   def simHash32(c: Column): Column =
     GraftBridge.column(SimHash32(GraftBridge.expression(c)))
+  def repetitionStats(c: Column): Column =
+    GraftBridge.column(RepetitionStats(GraftBridge.expression(c)))
 }
 
 /** text → array of per-token h32 hashes (see [[TextHash.tokenHashes]]). */
@@ -189,6 +232,25 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
       |${ev.value} = graft.functions.TextHash.minHashSig($input, $k);
       |if (${ev.value} == null) ${ev.isNull} = true;
     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** token-hash array → one-pass repetition statistics
+  * (see [[TextHash.repetitionStats]]). */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("distinct_tokens", IntegerType, nullable = false),
+    StructField("top2gram_count", IntegerType, nullable = false),
+    StructField("dup3gram_occurrences", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "repetition_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextHash.repetitionStats(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.TextHash.repetitionStats($input);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Train/eval decontamination — the benchmark-overlap scrub every
+  * pre-training pipeline runs before the corpus ships (the 13-gram
+  * overlap filter popularized by GPT-3 appendix C; n is a parameter
+  * here): a train document is contaminated when any of its token
+  * n-grams appears anywhere in the eval corpus.
+  *
+  * Scale shape: the eval side (benchmarks) is orders of magnitude
+  * smaller than the train corpus, so its distinct n-gram-hash set is
+  * BROADCAST and the train side never shuffles for the probe — one
+  * narrow tokenize+hash pass, explode, broadcast-hash-join. The
+  * closing per-document aggregation combines map-side (explode
+  * preserves row locality, so each document collapses back to one row
+  * before the exchange) — shuffle volume ≈ #contaminated documents,
+  * not #n-grams. For an eval corpus too big to broadcast, pass
+  * `broadcastEval = false` to fall back to a shuffle join on the gram
+  * hash.
+  *
+  * n-gram hashes are the [[graft.functions.TextHash.hashedNgrams]]
+  * arithmetic combine over md5-h32 token hashes — deterministic and
+  * DuckDB-reproducible, so the operator is fully oracle-checked.
+  */
+object Decontam {
+
+  /** Per-train-document overlap report: documents carrying at least one
+    * eval n-gram, with their distinct n-gram count, how many of those
+    * n-grams are contaminated (`eval_hits`), and the contaminated
+    * fraction. Dropping flagged documents is then a broadcast-able
+    * anti-join on `doc_id`. */
+  def overlap(train: DataFrame, evalDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
+    import graft.functions.TextHash
+    def grams(df: DataFrame) =
+      TextHash.hashedNgrams(TextHash.tokenHashes(col(textCol)), n)
+    val evalGrams = evalDocs.select(explode(grams(evalDocs)).as("g"))
+      .distinct()
+    val probeSide =
+      (if (broadcastEval) broadcast(evalGrams) else evalGrams)
+        .withColumn("__hit", lit(1))
+    train
+      .select(col(idCol), grams(train).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol), size(col("__sh")).as("__n"),
+        explode(col("__sh")).as("g"))
+      .join(probeSide, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(min(col("__n")).as("n_ngrams"),
+        count(col("__hit")).as("eval_hits"))
+      .filter(col("eval_hits") > 0)
+      .withColumn("hit_frac",
+        col("eval_hits").cast(DoubleType) / col("n_ngrams"))
+  }
+}

@@ -136,6 +136,36 @@ object TextAnalysis {
         graft.functions.MinShingleH32.minShingleH32(col("__norm"), 5)
           .as("shingle_minhash"))
 
+  /** Gopher-style repetition metrics per document (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", table A1's repetition
+    * filters, token-count flavored): type-token ratio, the corpus share
+    * of the most frequent 2-gram, and the fraction of 3-gram slots
+    * occupied by repeated 3-grams. One native codegen'd pass
+    * ([[graft.functions.TextHash.repetitionStats]]) over the token
+    * hashes — a narrow scan-speed pass like the rest of this file, vs
+    * the explode + two groupBy shuffles of the naive formulation.
+    * Ratios are int/int double divisions (engine-exact vs the DuckDB
+    * oracle); documents shorter than a gram score 0 for that metric. */
+  def repetitionTable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val st = graft.functions.TextHash.repetitionStats(
+      graft.functions.TextHash.tokenHashes(col(textCol)))
+    docs.select(col(idCol), st.as("__rs"))
+      .select(col(idCol),
+        col("__rs.n_tokens").as("n_tokens"),
+        when(col("__rs.n_tokens") > 0,
+          col("__rs.distinct_tokens").cast(DoubleType) / col("__rs.n_tokens"))
+          .otherwise(0.0).as("ttr"),
+        when(col("__rs.n_tokens") > 1,
+          col("__rs.top2gram_count").cast(DoubleType) /
+            (col("__rs.n_tokens") - 1))
+          .otherwise(0.0).as("top2gram_frac"),
+        when(col("__rs.n_tokens") > 2,
+          col("__rs.dup3gram_occurrences").cast(DoubleType) /
+            (col("__rs.n_tokens") - 2))
+          .otherwise(0.0).as("dup3gram_frac"))
+  }
+
   /** Overlapping token-window chunking — the context-window prep step:
     * each document becomes ceil((n−chunk)/stride)+1 windows of
     * `chunkTokens` whitespace tokens, consecutive windows sharing

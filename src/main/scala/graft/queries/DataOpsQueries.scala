@@ -185,6 +185,21 @@ object DataOpsQueries {
     "t_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprintTable(Tables.load(s, dir, "documents"))),
 
+    // Gopher-style repetition filters: type-token ratio, top-2-gram
+    // share, repeated-3-gram fraction — one native codegen'd pass
+    "t_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionTable(Tables.load(s, dir, "documents"))),
+
+    // Train/eval decontamination: doc_id % 10 = 0 plays the benchmark
+    // split; train docs sharing any token 4-gram with it are flagged.
+    // Eval gram set broadcast; per-doc agg combines map-side.
+    "d_decontaminate" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      graft.ops.Decontam.overlap(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0), n = 4)
+    }),
+
     // --------------------------------------------------- multimodal
     "mm_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s,
@@ -699,6 +714,53 @@ object DataOpsQueries {
          |      s -> ${h32Sql("s")}), 'min')
          |  ELSE NULL END AS shingle_minhash
          |FROM n""".stripMargin,
+
+    "t_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |th AS (SELECT doc_id,
+         |  list_transform(t, x -> ${h32Sql("x")}) AS h FROM toks),
+         |g AS (SELECT doc_id, len(h) AS n, len(list_distinct(h)) AS nd,
+         |  list_transform(generate_series(1, len(h) - 1),
+         |    i -> (h[i] * 1000003 + h[i+1]) % 3037000493) AS g2,
+         |  list_transform(generate_series(1, len(h) - 2),
+         |    i -> ((h[i] * 1000003 + h[i+1]) % 3037000493 * 1000003
+         |      + h[i+2]) % 3037000493) AS g3
+         |  FROM th),
+         |c2 AS (SELECT doc_id, max(c) AS top2 FROM (
+         |  SELECT doc_id, gg, count(*) AS c FROM g, unnest(g2) u(gg)
+         |  GROUP BY doc_id, gg) GROUP BY doc_id),
+         |c3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+         |    AS dup3 FROM (
+         |  SELECT doc_id, gg, count(*) AS c FROM g, unnest(g3) u(gg)
+         |  GROUP BY doc_id, gg) GROUP BY doc_id)
+         |SELECT g.doc_id, g.n AS n_tokens,
+         |  CASE WHEN g.n > 0 THEN g.nd::DOUBLE / g.n ELSE 0.0 END AS ttr,
+         |  CASE WHEN g.n > 1 THEN COALESCE(c2.top2, 0)::DOUBLE / (g.n - 1)
+         |    ELSE 0.0 END AS top2gram_frac,
+         |  CASE WHEN g.n > 2 THEN COALESCE(c3.dup3, 0)::DOUBLE / (g.n - 2)
+         |    ELSE 0.0 END AS dup3gram_frac
+         |FROM g LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)""".stripMargin,
+
+    "d_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |th AS (SELECT doc_id,
+         |  list_transform(t, x -> ${h32Sql("x")}) AS h FROM toks),
+         |sh AS (SELECT doc_id, CASE WHEN len(h) >= 4 THEN
+         |  list_distinct(list_transform(generate_series(1, len(h) - 3),
+         |    i -> (((h[i] * 1000003 + h[i+1]) % 3037000493 * 1000003
+         |      + h[i+2]) % 3037000493 * 1000003 + h[i+3]) % 3037000493))
+         |  ELSE [] END AS s FROM th),
+         |ev AS (SELECT DISTINCT gg FROM sh, unnest(s) u(gg)
+         |  WHERE doc_id % 10 = 0),
+         |tr AS (SELECT doc_id, len(s) AS n_ngrams, gg
+         |  FROM (SELECT doc_id, s FROM sh
+         |        WHERE doc_id % 10 <> 0 AND len(s) > 0), unnest(s) u(gg))
+         |SELECT tr.doc_id, any_value(tr.n_ngrams) AS n_ngrams,
+         |  count(ev.gg) AS eval_hits,
+         |  count(ev.gg)::DOUBLE / any_value(tr.n_ngrams) AS hit_frac
+         |FROM tr LEFT JOIN ev USING (gg)
+         |GROUP BY tr.doc_id
+         |HAVING count(ev.gg) > 0""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id AS media_id,

@@ -269,4 +269,38 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 2 && r.getInt(2) == 1 && r.getInt(3) == 1 &&
       r.getInt(4) == 1)
   }
+
+  test("repetition metrics on a crafted document are exact") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // tokens: a b a b a b c — 7 tokens, 3 distinct
+    // 2-grams: ab ba ab ba ab bc — top (ab) occurs 3 of 6
+    // 3-grams: aba bab aba bab abc — repeated grams cover 4 of 5 slots
+    val r = TextAnalysis.repetitionTable(
+      Seq((1L, "a b a b a b c"), (2L, "x")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getInt(1) == 7)
+    assert(r(0).getDouble(2) == 3.0 / 7)
+    assert(r(0).getDouble(3) == 3.0 / 6)
+    assert(r(0).getDouble(4) == 4.0 / 5)
+    // single-token doc: no grams → both gram metrics 0, ttr 1
+    assert(r(1).getInt(1) == 1 && r(1).getDouble(2) == 1.0 &&
+      r(1).getDouble(3) == 0.0 && r(1).getDouble(4) == 0.0)
+  }
+
+  test("decontamination flags exactly the train docs sharing an eval 4-gram") {
+    import spark.implicits._
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "intro alpha beta gamma delta outro"), // contains eval 4-gram
+      (2L, "alpha beta gamma unrelated delta"), // shares words, no 4-gram
+      (3L, "completely different content here now")) // disjoint
+      .toDF("doc_id", "text")
+    val out = graft.ops.Decontam.overlap(train, evalDocs, n = 4).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.head.getLong(2) == 1L) // exactly one contaminated 4-gram
+    // doc 1 has 3 distinct 4-grams -> hit_frac 1/3
+    assert(out.head.getDouble(3) == 1.0 / 3)
+  }
 }

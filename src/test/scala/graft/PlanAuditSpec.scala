@@ -108,6 +108,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition metrics plan as one narrow kernel pass") {
+    val p = physicalPlan("t_repetition")
+    assert(occurrences(p, "repetition_stats(") == 1)
+    assert(!p.contains("Exchange"), "t_repetition must be a narrow pass")
+  }
+
+  test("decontamination broadcasts the eval grams and partial-aggs") {
+    val p = physicalPlan("d_decontaminate")
+    // the train side must never shuffle for the probe join
+    assert(p.contains("BroadcastHashJoin"), p)
+    // per-doc hit counting combines map-side before the exchange
+    assert(p.contains("partial_"), p)
+  }
+
   test("exact stats plan as codegen hash-agg + window, no object agg") {
     val p = physicalPlan("q_fn_stats")
     // Spark's `median` would plan an ObjectHashAggregate buffering every
