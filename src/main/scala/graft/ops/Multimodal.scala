@@ -100,6 +100,28 @@ object Multimodal {
       .toDF("media_id", "frame_ts_ms", "frame_ref")
   }
 
+  /** Resize planning for image rows: aspect-preserving fit into a
+    * `maxW`×`maxH` box, never upscaling. The dimension math
+    * (scale factor, rounded output box, half-up) is pure columnar
+    * codegen over the decoded metadata; the pixel resample itself
+    * belongs in the codec stage this container stubs ([[decodeStub]]),
+    * exactly like real pipelines where resize planning drives a batch
+    * GPU/codec call. No shuffle — payload-local like the rest of the
+    * file. */
+  def resizePlan(decoded: Dataset[DecodedMedia], maxW: Int = 512,
+      maxH: Int = 512): DataFrame =
+    decoded.toDF()
+      .filter(col("media_type") === "image")
+      .withColumn("scale",
+        least(lit(maxW.toDouble) / col("width"),
+          lit(maxH.toDouble) / col("height"), lit(1.0)))
+      .select(col("media_id"), col("width"), col("height"),
+        greatest(floor(col("width") * col("scale") + 0.5), lit(1))
+          .cast("long").as("out_width"),
+        greatest(floor(col("height") * col("scale") + 0.5), lit(1))
+          .cast("long").as("out_height"),
+        (col("scale") < 1.0).as("scaled"))
+
   /** Build a synthetic media table from the documents table (binary
     * payload = utf-8 text bytes) — the test-data stand-in for real blob
     * columns. */

@@ -215,6 +215,14 @@ object DataOpsQueries {
       Multimodal.sampleFrames(Multimodal.decode(media))
     }),
 
+    // resize planning: aspect-fit into 512x512, never upscaling —
+    // columnar dimension math over the (stub-)decoded metadata
+    "mm_resize" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s,
+        Tables.load(s, dir, "documents"))
+      Multimodal.resizePlan(Multimodal.decode(media))
+    }),
+
     // --------------------------------------- dedup finishing + curation
     // Connected components over the MinHash-LSH near-dup pairs: every
     // paired doc gets cluster_id = min reachable doc id, so
@@ -769,6 +777,21 @@ object DataOpsQueries {
         |  octet_length(text::BLOB) AS byte_len,
         |  sha256(text) AS sha256
         |FROM documents""".stripMargin,
+
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ('0x' || substr(sha256(text), 1, 8))::BIGINT AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |d AS (SELECT media_id, h % 1920 + 1 AS width,
+        |  (h // 256) % 1080 + 1 AS height FROM m),
+        |s AS (SELECT media_id, width, height,
+        |  least(512.0 / width, 512.0 / height, 1.0) AS sc FROM d)
+        |SELECT media_id, width::INT AS width, height::INT AS height,
+        |  greatest(floor(width * sc + 0.5), 1)::BIGINT AS out_width,
+        |  greatest(floor(height * sc + 0.5), 1)::BIGINT AS out_height,
+        |  sc < 1.0 AS scaled
+        |FROM s""".stripMargin,
 
     "mm_frames" ->
       """WITH m AS (

@@ -270,6 +270,24 @@ class OpsSpec extends AnyFunSuite {
       r.getInt(4) == 1)
   }
 
+  test("resize planning: aspect-preserving fit, never upscaling") {
+    import spark.implicits._
+    import graft.ops.Multimodal.DecodedMedia
+    val decoded = Seq(
+      DecodedMedia(1L, "image", 10L, "aa", 1920, 1080, 0L),
+      DecodedMedia(2L, "image", 10L, "bb", 300, 200, 0L), // fits already
+      DecodedMedia(3L, "video", 10L, "cc", 4000, 4000, 9L)) // not an image
+      .toDS()
+    val out = graft.ops.Multimodal.resizePlan(decoded, 512, 512)
+      .orderBy("media_id").collect()
+    assert(out.length == 2)
+    // 1920x1080 * (512/1920) = 512 x 288
+    assert(out(0).getLong(3) == 512L && out(0).getLong(4) == 288L &&
+      out(0).getBoolean(5))
+    assert(out(1).getLong(3) == 300L && out(1).getLong(4) == 200L &&
+      !out(1).getBoolean(5))
+  }
+
   test("repetition metrics on a crafted document are exact") {
     import spark.implicits._
     import graft.ops.TextAnalysis
