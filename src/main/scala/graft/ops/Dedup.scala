@@ -258,6 +258,34 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means cells over the embedding space, cosine
+    * near-dup pairs only WITHIN a cell, connected components, keep the
+    * min-id representative per duplicate group. Returns the DROP LIST —
+    * `(vec_id, keep_id)` for every vector to remove — so the corpus
+    * scrub is a broadcast-able anti-join.
+    *
+    * Scale shape: clustering is the [[Similarity.kmeansCells]] Lloyd
+    * program (broadcast centroids, one narrow corpus pass per
+    * iteration); the quadratic pair stage is confined within cells (the
+    * `nCentroids` knob bounds expected cell size — at corpus scale use
+    * √N cells; SemDeDup's own recipe); clustering-to-representative is
+    * the O(log d) star contraction of [[dupClusters]]. Deterministic
+    * end-to-end (seeded centroids, DECIMAL means, sequential-fold
+    * cosines), so the full composition is DuckDB-hash-checked. */
+  def semDedup(embs: DataFrame, nCentroids: Int = 16,
+      iterations: Int = 2, threshold: Double = 0.99,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = Similarity.kmeansCells(embs, nCentroids, iterations,
+      idCol, vecCol)
+    val pairs = embeddingCosineDups(cells, blockCol = "cell",
+      idCol = idCol, vecCol = "cv", threshold = threshold)
+    dupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol), col("cluster_id").as("keep_id"))
+  }
+
   /** Connected components over near-dup pairs — the dedup FINISHING
     * step: every document that appears in any (id_a, id_b) pair gets a
     * `cluster_id` = the minimum doc id reachable through the pair graph,

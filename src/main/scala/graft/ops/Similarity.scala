@@ -178,37 +178,37 @@ object Similarity {
     * iteration, and the final search joins on `cell` so candidates
     * never cross cells. The standard trade: `nCentroids` up for
     * speed, `nProbe` up for recall. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, iterations: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("cand_id"),
-      asDouble(col(vecCol)).as("cv"))
+  /** Nearest cells as a per-row argmin over the broadcast centroid
+    * array: sort (−cosine, cell) structs and take the first n. No
+    * window, so the corpus is never shuffled — each assignment pass
+    * is one narrow map over `points`. */
+  private[ops] def nearestCells(centroids: DataFrame)(points: DataFrame,
+      vec: String, n: Int): DataFrame = {
+    val centArr = centroids.agg(collect_list(struct(col("cell"),
+      col("centroid"), norm(col("centroid")).as("cn"))).as("cents"))
+    points
+      .crossJoin(broadcast(centArr))
+      .withColumn("__pn", norm(col(vec)))
+      .withColumn("__near", slice(array_sort(transform(col("cents"),
+        ct => struct(
+          (-(dot(col(vec), ct.getField("centroid")) /
+            (col("__pn") * ct.getField("cn")))).as("negsim"),
+          ct.getField("cell").as("cell")))), 1, n))
+      .select(points.columns.map(col) :+
+        explode(transform(col("__near"), r => r.getField("cell")))
+          .as("cell"): _*)
+  }
+
+  /** Deterministic-seed Lloyd refinement over a `(cand_id, cv)` corpus:
+    * the centroid table stays tiny and broadcast, the corpus is scanned
+    * once per iteration. */
+  private[ops] def lloydCentroids(c: DataFrame, nCentroids: Int,
+      iterations: Int): DataFrame = {
     // deterministic seed: the nCentroids lowest-id vectors
     var centroids = c.orderBy(col("cand_id")).limit(nCentroids)
       .select(col("cand_id").as("cell"), col("cv").as("centroid"))
-
-    // Nearest cells as a per-row argmin over the broadcast centroid
-    // array: sort (−cosine, cell) structs and take the first n. No
-    // window, so the corpus is never shuffled — each Lloyd iteration
-    // is one narrow map pass.
-    def nearestCells(points: DataFrame, vec: String, n: Int): DataFrame = {
-      val centArr = centroids.agg(collect_list(struct(col("cell"),
-        col("centroid"), norm(col("centroid")).as("cn"))).as("cents"))
-      points
-        .crossJoin(broadcast(centArr))
-        .withColumn("__pn", norm(col(vec)))
-        .withColumn("__near", slice(array_sort(transform(col("cents"),
-          ct => struct(
-            (-(dot(col(vec), ct.getField("centroid")) /
-              (col("__pn") * ct.getField("cn")))).as("negsim"),
-            ct.getField("cell").as("cell")))), 1, n))
-        .select(points.columns.map(col) :+
-          explode(transform(col("__near"), r => r.getField("cell")))
-            .as("cell"): _*)
-    }
-
     (1 to iterations).foreach { _ =>
-      val assigned = nearestCells(c, "cv", 1)
+      val assigned = nearestCells(centroids)(c, "cv", 1)
       // element-wise centroid mean via dim explode; exact DECIMAL
       // accumulator so the mean is partitioning-independent and
       // engine-reproducible (see the float determinism convention)
@@ -226,11 +226,33 @@ object Similarity {
         // re-execute the whole Lloyd chain from the corpus scan up
         .localCheckpoint()
     }
+    centroids
+  }
 
-    val cells = nearestCells(c, "cv", 1)
+  /** k-means cell assignment for every corpus vector — the clustering
+    * front half of [[ivfTopK]], exposed for operators that partition by
+    * semantic cell (e.g. [[Dedup.semDedup]]). Returns
+    * `(idCol, cv: ARRAY<DOUBLE>, cell)`. */
+  def kmeansCells(corpus: DataFrame, nCentroids: Int = 16,
+      iterations: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val centroids = lloydCentroids(c, nCentroids, iterations)
+    nearestCells(centroids)(c, "cv", 1)
+      .select(col("cand_id").as(idCol), col("cv"), col("cell"))
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iterations: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val centroids = lloydCentroids(c, nCentroids, iterations)
+    val cells = nearestCells(centroids)(c, "cv", 1)
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
-    val probed = nearestCells(q, "qv", nProbe)
+    val probed = nearestCells(centroids)(q, "qv", nProbe)
     val scored = cells.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),

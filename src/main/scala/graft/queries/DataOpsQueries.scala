@@ -116,6 +116,19 @@ object DataOpsQueries {
         e.unionByName(dup.select(e.columns.map(col): _*)), threshold = 0.99)
     }),
 
+    // SemDeDup: k-means cells -> within-cell cosine pairs -> star
+    // contraction -> drop list. Planted near-dups (vec_id+10000,
+    // 1.001x) must each resolve to keep_id = their original.
+    "p_semdedup" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val dup = e.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+          col("label"))
+      Dedup.semDedup(e.unionByName(dup.select(e.columns.map(col): _*)),
+        nCentroids = 16, iterations = 2, threshold = 0.99)
+    }),
+
     // -------------------------------------------- similarity search
     "s_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -358,36 +371,45 @@ object DataOpsQueries {
     * DECIMAL accumulators, and every cosine is a sequential fold — so
     * the oracle re-runs k-means + probe + search independently and the
     * two engines hash-match. */
-  private def ivfOracleSql: String = {
-    def dot(a: String, b: String) =
-      s"list_reduce(list_transform(generate_series(1, len($a)), " +
-        s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
-    def nrm(a: String) =
-      s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
-    def cos(a: String, b: String) = s"(${dot(a, b)} / (${nrm(a)} * ${nrm(b)}))"
-    def assign(points: String, cents: String, pid: String, vec: String,
-        n: Int) =
-      s"""SELECT $pid, $vec, cell FROM (
-         |  SELECT p.$pid, p.$vec, c.cell,
-         |    ROW_NUMBER() OVER (PARTITION BY p.$pid
-         |      ORDER BY ${cos(s"p.$vec", "c.centroid")} DESC, c.cell) AS rn
-         |  FROM $points p CROSS JOIN $cents c) t WHERE rn <= $n""".stripMargin
-    def lloyd(assigned: String) =
-      s"""SELECT cell, list(m ORDER BY dim) AS centroid FROM (
-         |  SELECT cell, dim, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
-         |    / COUNT(*) AS m
-         |  FROM (SELECT cell, UNNEST(cv) AS x,
-         |    UNNEST(generate_series(1, len(cv))) AS dim FROM $assigned)
-         |  GROUP BY cell, dim) GROUP BY cell""".stripMargin
-    s"""WITH d AS (SELECT vec_id AS cand_id,
-       |    list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings),
-       |c0 AS (SELECT cand_id AS cell, cv AS centroid FROM d
+  // Vector/k-means DuckDB fragments shared by the IVF and SemDeDup
+  // oracles (sequential-fold cosines, deterministic-seed Lloyd with
+  // DECIMAL-exact means — the engine's float conventions)
+  private def dot(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, len($a)), " +
+      s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def nrm(a: String) =
+    s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+  private def cos(a: String, b: String) =
+    s"(${dot(a, b)} / (${nrm(a)} * ${nrm(b)}))"
+  private def assign(points: String, cents: String, pid: String,
+      vec: String, n: Int) =
+    s"""SELECT $pid, $vec, cell FROM (
+       |  SELECT p.$pid, p.$vec, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY p.$pid
+       |      ORDER BY ${cos(s"p.$vec", "c.centroid")} DESC, c.cell) AS rn
+       |  FROM $points p CROSS JOIN $cents c) t WHERE rn <= $n""".stripMargin
+  private def lloyd(assigned: String) =
+    s"""SELECT cell, list(m ORDER BY dim) AS centroid FROM (
+       |  SELECT cell, dim, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+       |    / COUNT(*) AS m
+       |  FROM (SELECT cell, UNNEST(cv) AS x,
+       |    UNNEST(generate_series(1, len(cv))) AS dim FROM $assigned)
+       |  GROUP BY cell, dim) GROUP BY cell""".stripMargin
+  /** Two-iteration Lloyd + final cell assignment over a `d(cand_id, cv)`
+    * CTE — the shared k-means prefix. */
+  private def kmeansCtes: String =
+    s"""c0 AS (SELECT cand_id AS cell, cv AS centroid FROM d
        |  ORDER BY cand_id LIMIT 16),
        |a1 AS (${assign("d", "c0", "cand_id", "cv", 1)}),
        |c1 AS (${lloyd("a1")}),
        |a2 AS (${assign("d", "c1", "cand_id", "cv", 1)}),
        |c2 AS (${lloyd("a2")}),
-       |cells AS (${assign("d", "c2", "cand_id", "cv", 1)}),
+       |cells AS (${assign("d", "c2", "cand_id", "cv", 1)})""".stripMargin
+
+  private def ivfOracleSql: String = {
+    s"""WITH d AS (SELECT vec_id AS cand_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings),
+       |$kmeansCtes,
        |q AS (SELECT cand_id AS query_id, cv AS qv FROM d WHERE cand_id < 50),
        |probed AS (${assign("q", "c2", "query_id", "qv", 4)}),
        |scored AS (
@@ -400,8 +422,34 @@ object DataOpsQueries {
        |WHERE rnk <= 5""".stripMargin
   }
 
+  /** DuckDB replica of the SemDeDup composition: planted-dup base →
+    * shared k-means prefix → within-cell cosine pairs → recursive
+    * transitive closure → drop list. */
+  private def semdedupOracleSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT vec_id AS cand_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS cv FROM (
+       |    SELECT vec_id, embedding FROM embeddings
+       |    UNION ALL SELECT vec_id + 10000,
+       |      list_transform(embedding, x -> x * 1.001::FLOAT)
+       |    FROM embeddings WHERE vec_id % 100 = 0)),
+       |$kmeansCtes,
+       |pairs AS (
+       |  SELECT a.cand_id AS id_a, b.cand_id AS id_b
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.cand_id < b.cand_id
+       |  WHERE ${cos("a.cv", "b.cv")} >= 0.99),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+       |cl AS (SELECT id, min(r) AS keep FROM reach GROUP BY id)
+       |SELECT id AS vec_id, keep AS keep_id FROM cl WHERE id <> keep""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "s_ann_ivf" -> ivfOracleSql,
+    "p_semdedup" -> semdedupOracleSql,
     "d_dedup_exact" ->
       s"""WITH all_docs AS ($docsWithDupsSql)
          |SELECT min(doc_id) AS doc_id, count(*) AS dup_count

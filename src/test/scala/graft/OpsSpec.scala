@@ -270,6 +270,25 @@ class OpsSpec extends AnyFunSuite {
       r.getInt(4) == 1)
   }
 
+  test("semDedup drops each planted near-dup, keeping its original") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val dup = e.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+        col("label"))
+    val dropped = graft.ops.Dedup.semDedup(
+      e.unionByName(dup.select(e.columns.map(col): _*)),
+      nCentroids = 16, iterations = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val planted = dup.select("vec_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    // every planted copy is dropped in favor of its original
+    planted.foreach(id => assert(dropped.get(id).contains(id - 10000),
+      s"planted $id not dropped to ${id - 10000}: ${dropped.get(id)}"))
+    // and no original is ever dropped (random vectors aren't 0.99-close)
+    assert(dropped.keys.forall(_ >= 10000))
+  }
+
   test("resize planning: aspect-preserving fit, never upscaling") {
     import spark.implicits._
     import graft.ops.Multimodal.DecodedMedia
