@@ -270,16 +270,27 @@ object Dedup {
     * program (broadcast centroids, one narrow corpus pass per
     * iteration); the quadratic pair stage is confined within cells (the
     * `nCentroids` knob bounds expected cell size — at corpus scale use
-    * √N cells; SemDeDup's own recipe); clustering-to-representative is
+    * √N cells; SemDeDup's own recipe — and a skew-heavy cell is CAPPED
+    * at `maxCell` members like every bucketed pair generator here: a
+    * boilerplate-embedding cluster cannot produce a B² straggler task,
+    * and dropped volume is auditable via
+    * `oversizedBuckets(cells, Seq("cell"), maxCell)`);
+    * clustering-to-representative is
     * the O(log d) star contraction of [[dupClusters]]. Deterministic
     * end-to-end (seeded centroids, DECIMAL means, sequential-fold
-    * cosines), so the full composition is DuckDB-hash-checked. */
+    * cosines, id-ordered cap), so the full composition is
+    * DuckDB-hash-checked. */
   def semDedup(embs: DataFrame, nCentroids: Int = 16,
       iterations: Int = 2, threshold: Double = 0.99,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      maxCell: Int = 1000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     val cells = Similarity.kmeansCells(embs, nCentroids, iterations,
       idCol, vecCol)
-    val pairs = embeddingCosineDups(cells, blockCol = "cell",
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col(idCol))
+    val capped = cells.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxCell).drop("__rk")
+    val pairs = embeddingCosineDups(capped, blockCol = "cell",
       idCol = idCol, vecCol = "cv", threshold = threshold)
     dupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))

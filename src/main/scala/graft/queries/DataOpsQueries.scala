@@ -434,9 +434,12 @@ object DataOpsQueries {
        |      list_transform(embedding, x -> x * 1.001::FLOAT)
        |    FROM embeddings WHERE vec_id % 100 = 0)),
        |$kmeansCtes,
+       |capped AS (SELECT cand_id, cv, cell FROM cells
+       |  QUALIFY row_number() OVER (PARTITION BY cell
+       |    ORDER BY cand_id) <= 1000),
        |pairs AS (
        |  SELECT a.cand_id AS id_a, b.cand_id AS id_b
-       |  FROM cells a JOIN cells b
+       |  FROM capped a JOIN capped b
        |    ON a.cell = b.cell AND a.cand_id < b.cand_id
        |  WHERE ${cos("a.cv", "b.cv")} >= 0.99),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

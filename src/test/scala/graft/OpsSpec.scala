@@ -289,6 +289,20 @@ class OpsSpec extends AnyFunSuite {
     assert(dropped.keys.forall(_ >= 10000))
   }
 
+  test("semDedup cell cap bounds the pair stage on a planted giant cell") {
+    import spark.implicits._
+    // 10 identical-direction vectors -> one cell, all mutually 1.0-close;
+    // cap 5 confines the pair triangle to the 5 lowest ids
+    val vecs = (0L until 10L).map(i =>
+      (i, Array(1.0f + i * 1e-7f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val dropped = graft.ops.Dedup.semDedup(vecs, nCentroids = 1,
+      iterations = 1, threshold = 0.99, maxCell = 5)
+      .collect().map(_.getLong(0)).sorted
+    // ids 1..4 drop to keeper 0; ids 5..9 are beyond the cap — untouched
+    assert(dropped.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("resize planning: aspect-preserving fit, never upscaling") {
     import spark.implicits._
     import graft.ops.Multimodal.DecodedMedia
