@@ -52,9 +52,10 @@ final class GraftSession(
   val sync = new SyncManager()
   val savings = new SavingsTracker()
   val runSummary = new RunSummary(s"$warehouseRoot/_graft/run_summary.json")
-  /** Task-metric spill accumulator feeding Gate 5's spill clause. */
-  val spillListener = new graft.telemetry.SpillListener
-  spark.sparkContext.addSparkListener(spillListener)
+  /** Task-metric spill accumulator feeding Gate 5's spill clause
+    * (shared per SparkContext — see [[graft.telemetry.SpillListener]]). */
+  val spillListener =
+    graft.telemetry.SpillListener.forContext(spark.sparkContext)
 
   /** Snowflake-dialect SQL entry point. Referenced `schema.table`
     * sources that the session does not know yet are auto-cached first

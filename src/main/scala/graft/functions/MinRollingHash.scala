@@ -7,18 +7,18 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Minimum polynomial rolling hash over all `k`-byte windows of a string
-  * — a native codegen'd Catalyst expression (the (b) tier of the
+/** Minimum polynomial rolling hash over all `k`-CODE-POINT windows of a
+  * string — a native codegen'd Catalyst expression (the (b) tier of the
   * custom-operator preference order: built-ins genuinely can't express
   * this in one pass — `transform`+`substr` materializes every window and
-  * is O(n·k), this is O(n) inside whole-stage codegen).
+  * is O(n·k), this is O(n)).
   *
-  * Hash: h(w) = Σ wⱼ·257^(k-1-j) mod 1_000_000_007 over window bytes,
-  * rolled left-to-right; result is the minimum across windows (the
-  * 1-hash winnowing fingerprint). Null when the input is shorter than
-  * `k`. Bytes are raw UTF-8 — equal to code points for ASCII input, so
-  * the DuckDB oracle (`ord()`-based `list_reduce`) reproduces it exactly
-  * on normalized ASCII text.
+  * Hash: h(w) = Σ cpⱼ·257^(k-1-j) mod 1_000_000_007 over the window's
+  * code points, rolled left-to-right; result is the minimum across
+  * windows (the 1-hash winnowing fingerprint). Null when the input has
+  * fewer than `k` code points. Code-point windows and values match the
+  * DuckDB oracle exactly (`ord()`-based `list_reduce` over char
+  * `substr` windows) on ANY input, ASCII or not.
   */
 case class MinRollingHash(child: Expression, k: Int)
     extends UnaryExpression {
@@ -27,56 +27,18 @@ case class MinRollingHash(child: Expression, k: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "min_rolling_hash"
 
-  private val P = 1000000007L
-  private val B = 257L
-
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    if (bytes.length < k) null
-    else {
-      var pow = 1L
-      var i = 0
-      while (i < k - 1) { pow = pow * B % P; i += 1 }
-      var h = 0L
-      i = 0
-      while (i < k) { h = (h * B + (bytes(i) & 0xff)) % P; i += 1 }
-      var min = h
-      i = k
-      while (i < bytes.length) {
-        h = ((h - (bytes(i - k) & 0xff) * pow % P + P) % P * B +
-          (bytes(i) & 0xff)) % P
-        if (h < min) min = h
-        i += 1
-      }
-      java.lang.Long.valueOf(min)
-    }
-  }
+  override def nullSafeEval(input: Any): Any =
+    MinRollingHash.minRollOrNull(
+      input.asInstanceOf[UTF8String].getBytes, k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, input => {
-      val bytes = ctx.freshName("bytes")
-      val pow = ctx.freshName("pow")
       val h = ctx.freshName("h")
-      val min = ctx.freshName("min")
-      val i = ctx.freshName("i")
       s"""
-         |byte[] $bytes = $input.getBytes();
-         |if ($bytes.length < $k) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long $pow = 1L;
-         |  for (int $i = 0; $i < $k - 1; $i++) $pow = $pow * ${B}L % ${P}L;
-         |  long $h = 0L;
-         |  for (int $i = 0; $i < $k; $i++)
-         |    $h = ($h * ${B}L + ($bytes[$i] & 0xff)) % ${P}L;
-         |  long $min = $h;
-         |  for (int $i = $k; $i < $bytes.length; $i++) {
-         |    $h = (($h - ($bytes[$i - $k] & 0xff) * $pow % ${P}L + ${P}L)
-         |      % ${P}L * ${B}L + ($bytes[$i] & 0xff)) % ${P}L;
-         |    if ($h < $min) $min = $h;
-         |  }
-         |  ${ev.value} = $min;
-         |}
+         |java.lang.Long $h = graft.functions.MinRollingHash.minRollOrNull(
+         |  $input.getBytes(), $k);
+         |if ($h == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $h.longValue(); }
        """.stripMargin
     })
 
@@ -85,24 +47,75 @@ case class MinRollingHash(child: Expression, k: Int)
 }
 
 object MinRollingHash {
+  private val P = 1000000007L
+  private val B = 257L
+
+  /** UTF-8 decode in one pass: code-point values into `cps` (sized
+    * `bytes.length`, the upper bound), returning the count. Lead bytes
+    * are any byte not matching 0b10xxxxxx; malformed sequences decode
+    * byte-wise (garbage in, deterministic garbage out). */
+  private[functions] def decode(bytes: Array[Byte], cps: Array[Int]): Int = {
+    val n = bytes.length
+    var i = 0
+    var m = 0
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      var cp = b
+      var trail = 0
+      if (b >= 0xF0) { cp = b & 0x07; trail = 3 }
+      else if (b >= 0xE0) { cp = b & 0x0f; trail = 2 }
+      else if (b >= 0xC0) { cp = b & 0x1f; trail = 1 }
+      var t = 0
+      while (t < trail && i + 1 < n && (bytes(i + 1) & 0xc0) == 0x80) {
+        cp = (cp << 6) | (bytes(i + 1) & 0x3f)
+        i += 1
+        t += 1
+      }
+      cps(m) = cp
+      m += 1
+      i += 1
+    }
+    m
+  }
+
+  /** Shared interpreted/codegen kernel: min rolling hash over
+    * k-code-point windows; null when fewer than k code points. */
+  def minRollOrNull(bytes: Array[Byte], k: Int): java.lang.Long = {
+    val cps = new Array[Int](bytes.length)
+    val m = decode(bytes, cps)
+    if (m < k) return null
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow = pow * B % P; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + cps(i)) % P; i += 1 }
+    var min = h
+    i = k
+    while (i < m) {
+      h = ((h - cps(i - k) * pow % P + P) % P * B + cps(i)) % P
+      if (h < min) min = h
+      i += 1
+    }
+    java.lang.Long.valueOf(min)
+  }
+
   /** Column form. */
   def minRollingHash(c: Column, k: Int): Column =
     GraftBridge.column(MinRollingHash(GraftBridge.expression(c), k))
 }
 
-/** Minimum h32 over all `k`-byte windows of a string, where h32 is the
-  * repo-wide cross-engine hash convention ([[graft.ops.TextOps.h32]]):
+/** Minimum h32 over all `k`-code-point windows of a string, where h32 is
+  * the repo-wide cross-engine hash convention ([[graft.ops.TextOps.h32]]):
   * the first 8 hex digits of the window's md5 as an unsigned 32-bit
-  * value. Semantically identical to
+  * value; md5 runs over the window's UTF-8 bytes, exactly the bytes
+  * DuckDB's `md5(substr(s, i, k))` hashes. Semantically identical to
   * `array_min(transform(sequence(1, len-k+1), i => h32(substr(s,i,k))))`
   * — the char-k-gram MinHash fingerprint — but evaluated as ONE native
   * codegen'd pass: no per-window UTF8String materialization and no
   * interpreted higher-order evaluator (which is CodegenFallback and
-  * degrades super-linearly under CPU contention). The existing DuckDB
-  * oracles (`('0x'||substr(md5(s),1,8))::BIGINT` per window) stand
-  * unchanged. Null when the input is shorter than `k`. Byte windows ==
-  * char windows on ASCII input, the same convention [[MinRollingHash]]
-  * documents.
+  * degrades super-linearly under CPU contention). Null when the input
+  * has fewer than `k` code points.
   */
 case class MinShingleH32(child: Expression, k: Int)
     extends UnaryExpression {
@@ -111,48 +124,19 @@ case class MinShingleH32(child: Expression, k: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "min_shingle_h32"
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    if (bytes.length < k) null
-    else java.lang.Long.valueOf(MinShingleH32.minH32(bytes, k))
-  }
+  override def nullSafeEval(input: Any): Any =
+    MinShingleH32.minH32OrNull(input.asInstanceOf[UTF8String].getBytes, k)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // one MessageDigest per generated-class instance, reset per window —
-    // getInstance per call would dominate the loop
-    val md = ctx.addMutableState("java.security.MessageDigest", "graftMd5",
-      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
-              |catch (java.security.NoSuchAlgorithmException e) {
-              |  throw new RuntimeException(e);
-              |}""".stripMargin)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, input => {
-      val bytes = ctx.freshName("bytes")
-      val min = ctx.freshName("min")
-      val i = ctx.freshName("i")
-      val d = ctx.freshName("d")
       val h = ctx.freshName("h")
       s"""
-         |byte[] $bytes = $input.getBytes();
-         |if ($bytes.length < $k) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long $min = Long.MAX_VALUE;
-         |  for (int $i = 0; $i + $k <= $bytes.length; $i++) {
-         |    $md.reset();
-         |    $md.update($bytes, $i, $k);
-         |    byte[] $d = $md.digest();
-         |    // stepwise build: Janino misparses `(a & m) << s | …` chains
-         |    long $h = $d[0] & 0xffL;
-         |    $h = ($h << 8) | ($d[1] & 0xffL);
-         |    $h = ($h << 8) | ($d[2] & 0xffL);
-         |    $h = ($h << 8) | ($d[3] & 0xffL);
-         |    if ($h < $min) $min = $h;
-         |  }
-         |  ${ev.value} = $min;
-         |}
+         |java.lang.Long $h = graft.functions.MinShingleH32.minH32OrNull(
+         |  $input.getBytes(), $k);
+         |if ($h == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $h.longValue(); }
        """.stripMargin
     })
-  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -164,22 +148,39 @@ object MinShingleH32 {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Interpreted twin of the generated loop (also used by specs as the
-    * reference implementation). */
-  def minH32(bytes: Array[Byte], k: Int): Long = {
+  /** Shared interpreted/codegen kernel (also the specs' reference
+    * implementation): min h32 over k-code-point windows, md5 over each
+    * window's UTF-8 byte span; null when fewer than k code points. On
+    * pure-ASCII input the offsets are the identity mapping, so byte
+    * windows == char windows and historical hashes are unchanged. */
+  def minH32OrNull(bytes: Array[Byte], k: Int): java.lang.Long = {
+    val n = bytes.length
+    // code-point start offsets + end sentinel
+    var nChars = 0
+    var i = 0
+    while (i < n) { if ((bytes(i) & 0xc0) != 0x80) nChars += 1; i += 1 }
+    if (nChars < k) return null
+    val starts = new Array[Int](nChars + 1)
+    var ci = 0
+    i = 0
+    while (i < n) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(ci) = i; ci += 1 }
+      i += 1
+    }
+    starts(nChars) = n
     val md = mdLocal.get()
     var min = Long.MaxValue
-    var i = 0
-    while (i + k <= bytes.length) {
+    var w = 0
+    while (w + k <= nChars) {
       md.reset()
-      md.update(bytes, i, k)
+      md.update(bytes, starts(w), starts(w + k) - starts(w))
       val d = md.digest()
       val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       if (h < min) min = h
-      i += 1
+      w += 1
     }
-    min
+    java.lang.Long.valueOf(min)
   }
 
   /** Column form. */

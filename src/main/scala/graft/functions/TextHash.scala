@@ -44,8 +44,11 @@ object TextHash {
   }
 
   /** One pass over UTF-8 bytes: tokenize (maximal `[a-z0-9]` runs after
-    * ASCII lowercasing — byte-split-equivalent to the repo tokenizer,
-    * see [[TokenLexMatcher]]) and md5-h32 each token. */
+    * lowercasing — split-equivalent to the repo tokenizer, see
+    * [[TokenLexMatcher]]; multi-byte UTF-8 sequences contain only bytes
+    * ≥ 0x80 and act as separators, EXCEPT the two Unicode characters
+    * whose `lower()` maps into the token alphabet, handled explicitly
+    * below) and md5-h32 each token. */
   def tokenHashes(bytes: Array[Byte]): ArrayData = {
     val md = mdLocal.get()
     val out = new scala.collection.mutable.ArrayBuffer[Long](64)
@@ -54,11 +57,22 @@ object TextHash {
     var inTok = false
     while (i <= n) {
       var c = if (i < n) bytes(i) & 0xff else -1
+      var closeAfter = false
+      // probed against Spark's lower(): U+212A KELVIN SIGN (E2 84 AA)
+      // lowercases to 'k'; U+0130 I-WITH-DOT (C4 B0) lowercases to
+      // 'i' + U+0307 combining dot — the dot is a separator, so the
+      // token closes right after the i
+      if (c == 0xe2 && i + 2 < n && (bytes(i + 1) & 0xff) == 0x84 &&
+          (bytes(i + 2) & 0xff) == 0xaa) { c = 'k'; i += 2 }
+      else if (c == 0xc4 && i + 1 < n && (bytes(i + 1) & 0xff) == 0xb0) {
+        c = 'i'; i += 1; closeAfter = true
+      }
       if (c >= 'A' && c <= 'Z') c += 32
       val isTok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
       if (isTok) {
         if (!inTok) { md.reset(); inTok = true }
         md.update(c.toByte)
+        if (closeAfter) { out += h32(md); inTok = false }
       } else if (inTok) {
         out += h32(md)
         inTok = false

@@ -15,13 +15,16 @@ import org.apache.spark.sql.types._
   * lexicon, plus the quality facets' extra folds), each of which
   * re-walked the token array in the CodegenFallback evaluator.
   *
-  * Tokenization is byte-identical to the repo-wide convention
+  * Tokenization is split-identical to the repo-wide convention
   * ([[graft.ops.TextOps.tokens]] ⇔ DuckDB
   * `list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x<>'')`):
-  * maximal runs of `[a-z0-9]` after ASCII lowercasing. Multi-byte UTF-8
+  * maximal runs of `[a-z0-9]` after lowercasing. Multi-byte UTF-8
   * sequences contain only bytes ≥ 0x80, which are never token bytes, so
   * byte-level scanning splits exactly where the character-level regex
-  * does.
+  * does — except the two Unicode characters whose `lower()` maps INTO
+  * the token alphabet (U+212A → k, U+0130 → i + combining dot), which
+  * the scanner special-cases to match the regex spec (equivalence
+  * asserted on exactly those characters in ScaleSpec).
   *
   * Returns `struct(n_tokens INT, sum_token_len BIGINT, hits ARRAY<BIGINT>)`
   * with `hits(i)` = number of tokens contained in `lexicons(i)`.
@@ -85,37 +88,39 @@ final class TokenLexMatcher(lexicons: Seq[Seq[String]]) extends Serializable {
     var sumLen = 0L
     val hits = new Array[Long](numLex)
     val n = bytes.length
+    val sb = new java.lang.StringBuilder(16)
+    var inTok = false
+    def closeToken(): Unit = {
+      nTokens += 1
+      sumLen += sb.length
+      if (sb.length <= maxWordLen) {
+        val idx = members.get(sb.toString)
+        if (idx != null) {
+          var k = 0
+          while (k < idx.length) { hits(idx(k)) += 1; k += 1 }
+        }
+      }
+      inTok = false
+    }
     var i = 0
-    var start = -1 // current token start, -1 = between tokens
     while (i <= n) {
       var c = if (i < n) bytes(i) & 0xff else -1
+      var closeAfter = false
+      // the two Unicode chars whose lower() maps into the token
+      // alphabet (see TextHash.tokenHashes): U+212A -> 'k';
+      // U+0130 -> 'i' + a combining-dot separator
+      if (c == 0xe2 && i + 2 < n && (bytes(i + 1) & 0xff) == 0x84 &&
+          (bytes(i + 2) & 0xff) == 0xaa) { c = 'k'; i += 2 }
+      else if (c == 0xc4 && i + 1 < n && (bytes(i + 1) & 0xff) == 0xb0) {
+        c = 'i'; i += 1; closeAfter = true
+      }
       if (c >= 'A' && c <= 'Z') c += 32
       val isTok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
       if (isTok) {
-        if (start < 0) start = i
-      } else if (start >= 0) {
-        val len = i - start
-        nTokens += 1
-        sumLen += len
-        if (len <= maxWordLen) {
-          // token bytes are ASCII alnum by construction, but may contain
-          // uppercase in the source — lowercase into the key
-          val sb = new java.lang.StringBuilder(len)
-          var j = start
-          while (j < i) {
-            var b = bytes(j) & 0xff
-            if (b >= 'A' && b <= 'Z') b += 32
-            sb.append(b.toChar)
-            j += 1
-          }
-          val idx = members.get(sb.toString)
-          if (idx != null) {
-            var k = 0
-            while (k < idx.length) { hits(idx(k)) += 1; k += 1 }
-          }
-        }
-        start = -1
-      }
+        if (!inTok) { sb.setLength(0); inTok = true }
+        sb.append(c.toChar)
+        if (closeAfter) closeToken()
+      } else if (inTok) closeToken()
       i += 1
     }
     new GenericInternalRow(Array[Any](nTokens, sumLen,

@@ -36,15 +36,15 @@ object Decontam {
       idCol: String = "doc_id", textCol: String = "text", n: Int = 8,
       broadcastEval: Boolean = true): DataFrame = {
     import graft.functions.TextHash
-    def grams(df: DataFrame) =
+    val grams =
       TextHash.hashedNgrams(TextHash.tokenHashes(col(textCol)), n)
-    val evalGrams = evalDocs.select(explode(grams(evalDocs)).as("g"))
+    val evalGrams = evalDocs.select(explode(grams).as("g"))
       .distinct()
     val probeSide =
       (if (broadcastEval) broadcast(evalGrams) else evalGrams)
         .withColumn("__hit", lit(1))
     train
-      .select(col(idCol), grams(train).as("__sh"))
+      .select(col(idCol), grams.as("__sh"))
       .filter(size(col("__sh")) > 0)
       .select(col(idCol), size(col("__sh")).as("__n"),
         explode(col("__sh")).as("g"))

@@ -114,14 +114,22 @@ object Dedup {
     * groupBy hash on the same keys, so they share one exchange. Dropped
     * volume is auditable via [[oversizedBuckets]]; pairs inside a
     * boilerplate cluster beyond the cap carry no curation signal. */
+  /** The giant-bucket cap shared by every pair generator: rank members
+    * by id within the bucket keys, keep the lowest `max`. The
+    * row_number window hashes on the same keys as the caller's
+    * groupBy/join, so the cap shares that exchange. */
+  private[ops] def capBuckets(df: DataFrame, keys: Seq[String],
+      idCol: String, max: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= max)
+      .drop("__rk")
+  }
+
   private def bucketPairs(bucketed: DataFrame, bucketCols: Seq[String],
       idCol: String, threshold: Double, maxBucket: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))
-    val capped = bucketed
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= maxBucket)
-      .drop("__rk")
+    val capped = capBuckets(bucketed, bucketCols, idCol, maxBucket)
     val m = array_sort(collect_list(struct(col(idCol).as("id"),
       col("sh").as("sh"))))
     val buckets = capped.groupBy(bucketCols.map(col): _*)
@@ -220,10 +228,7 @@ object Dedup {
         .as("tb"))
       .select(col(idCol), col("v"), col("nrm"),
         col("tb.t").as("t"), col("tb.b").as("b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("t"), col("b")).orderBy(col(idCol))
-    val capped = b.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= maxBucket).drop("__rk")
+    val capped = capBuckets(b, Seq("t", "b"), idCol, maxBucket)
     val left = capped.select(col("t"), col("b"), col(idCol).as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val right = capped.select(col("t"), col("b"), col(idCol).as("id_b"),
@@ -286,10 +291,7 @@ object Dedup {
       vecCol: String = "embedding"): DataFrame = {
     val cells = Similarity.kmeansCells(embs, nCentroids, iterations,
       idCol, vecCol)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cell")).orderBy(col(idCol))
-    val capped = cells.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= maxCell).drop("__rk")
+    val capped = capBuckets(cells, Seq("cell"), idCol, maxCell)
     val pairs = embeddingCosineDups(capped, blockCol = "cell",
       idCol = idCol, vecCol = "cv", threshold = threshold)
     dupClusters(pairs)
@@ -371,6 +373,9 @@ object Dedup {
     var edges = pairs
       .select(greatest(col(idA), col(idB)).as("src"),
         least(col(idA), col(idB)).as("dst"))
+      // self-pairs carry no dedup signal and are explicitly ignored
+      // (the contraction ops would silently drop their node anyway)
+      .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(false) // pairs generator runs exactly once...
     var prevSig = signature(edges) // ...materialized by this probe
@@ -390,6 +395,10 @@ object Dedup {
       .select(col("src").as("doc_id"), col("cluster_id"))
     val centers = edges.select(col("dst").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-    (labels.union(centers), r)
+    // one row per node even if the iteration cap fired pre-fixpoint (a
+    // node can then appear as both src and dst); min matches the
+    // closure semantics and is a no-op on a converged star forest
+    (labels.union(centers).groupBy(col("doc_id"))
+      .agg(min(col("cluster_id")).as("cluster_id")), r)
   }
 }

@@ -16,7 +16,9 @@ import scala.collection.mutable
   * `_safe_print` thread-safety contract (console.py:221-225).
   */
 object Verbosity {
-  val Quiet = 0 // errors and final summary only
+  val Quiet = 0 // errors only (the summary block routes through info,
+  // so quiet suppresses it — faithful to the reference, whose
+  // print_run_summary also renders via console.info, console.py:229-232)
   val Normal = 1 // success, warnings, errors, summary (default)
   val Verbose = 2 // everything including step/debug detail
 

@@ -23,3 +23,27 @@ final class SpillListener extends SparkListener {
 
   def totalSpillBytes: Long = spilled.get()
 }
+
+object SpillListener {
+  private val perContext =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, SpillListener]()
+
+  /** One shared listener per SparkContext — sessions come and go (the
+    * CLI builds one per command), so per-session registration would
+    * accrete listeners on the long-lived context forever. The running
+    * total is context-global; before/after deltas attribute spill to a
+    * model because models run serially within a session (concurrent
+    * sessions on one context share attribution — same as the
+    * reference's account-wide QUERY_HISTORY harvest). */
+  def forContext(sc: org.apache.spark.SparkContext): SpillListener =
+    perContext.synchronized {
+      val existing = perContext.get(sc)
+      if (existing != null) existing
+      else {
+        val l = new SpillListener
+        sc.addSparkListener(l)
+        perContext.put(sc, l)
+        l
+      }
+    }
+}

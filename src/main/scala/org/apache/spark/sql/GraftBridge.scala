@@ -19,7 +19,12 @@ object GraftBridge {
   /** Block until queued listener-bus events are delivered
     * (`SparkContext.listenerBus` is `private[spark]`): task-metric
     * listeners (spill telemetry) are asynchronous, so a before/after
-    * metric snapshot around a job must drain the bus on both sides. */
+    * metric snapshot around a job must drain the bus on both sides.
+    * `waitUntilEmpty` gives up after 10 s — a congested bus must not
+    * turn a SUCCESSFUL materialization into a recorded failure, so a
+    * timeout degrades to slightly-misattributed spill bytes instead of
+    * propagating. */
   def drainListenerBus(spark: SparkSession): Unit =
-    spark.sparkContext.listenerBus.waitUntilEmpty()
+    try spark.sparkContext.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => }
 }

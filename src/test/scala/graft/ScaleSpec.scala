@@ -155,4 +155,56 @@ class ScaleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [token_lex_stats"))
   }
+
+  test("kernels match the Column specs on non-ASCII edge inputs") {
+    import spark.implicits._
+    import graft.functions.{MinShingleH32, TextHash}
+    import graft.ops.{TextAnalysis, TextOps}
+    // the two chars whose lower() maps INTO [a-z0-9] (K->k, İ->i+̇ ),
+    // plus ſ (stays non-ASCII -> separator) and multi-byte noise
+    val rows = Seq(
+      "aKb and the der xİy", // K joins a token; İ ends one
+      "aſb é ü 中文 the é", // separators only
+      "Kelvin: 3K and İstanbul",
+      "😀emoji🎈 pad the der die und das ist")
+    val df = rows.toDF("text")
+    // tokenizer: native kernel vs the regex Column spec
+    val tokBad = df.select(
+      TextHash.tokenHashes(col("text")).as("native"),
+      transform(TextOps.tokens(col("text")), t => TextOps.h32(t)).as("spec"))
+      .filter(col("native") =!= col("spec")).count()
+    assert(tokBad == 0, "tokenHashes diverges from the regex spec")
+    // token stats: counts + lengths vs the HOF folds
+    val toks = TextOps.tokens(col("text"))
+    val stBad = df.select(
+      TextAnalysis.tokenLexStats(col("text")).as("st"),
+      size(toks).as("n"),
+      aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("len"))
+      .filter(col("st.n_tokens") =!= col("n") ||
+        col("st.sum_token_len") =!= col("len")).count()
+    assert(stBad == 0, "tokenLexStats diverges from the HOF spec")
+    // char-shingle minhash: code-point windows vs the substr HOF spec
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    val shBad = df.select(
+      MinShingleH32.minShingleH32(norm, 5).as("native"),
+      when(length(norm) >= 5,
+        array_min(transform(sequence(lit(1), length(norm) - 4),
+          i => TextOps.h32(norm.substr(i, lit(5)))))).as("spec"))
+      .filter(col("native") =!= col("spec") ||
+        col("native").isNull =!= col("spec").isNull).count()
+    assert(shBad == 0, "minShingleH32 diverges from the substr spec")
+    // rolling hash: code-point values/windows vs an ord()-style spec
+    import graft.functions.MinRollingHash.minRollingHash
+    val rollSpec = when(length(norm) >= 8,
+      array_min(transform(sequence(lit(1), length(norm) - 7),
+        i => aggregate(
+          transform(sequence(lit(0), lit(7)),
+            j => ascii(norm.substr(i + j, lit(1))).cast("long")),
+          lit(0L), (acc, v) => (acc * 257 + v) % 1000000007L))))
+    val rollBad = df.select(minRollingHash(norm, 8).as("native"),
+      rollSpec.as("spec"))
+      .filter(col("native") =!= col("spec") ||
+        col("native").isNull =!= col("spec").isNull).count()
+    assert(rollBad == 0, "minRollingHash diverges from the ord spec")
+  }
 }
