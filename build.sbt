@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the JVM default locale: Spark's UTF8String.toLowerCase falls
+  // back to String.toLowerCase (default locale) on non-ASCII strings,
+  // and e.g. a Turkish locale maps 'I' -> dotless 'ı' — which would
+  // break the byte-scan kernels' asserted equivalence to their
+  // lower()+regex Column specs (graft.functions.TextHash).
+  "-Duser.language=en", "-Duser.country=US",
 )

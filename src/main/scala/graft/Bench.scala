@@ -48,6 +48,9 @@ object Bench {
       graft.ops.Dedup.dupClusters(graft.ops.Dedup.minhashLsh(tiny))
         .write.format("noop").mode("overwrite").save()
     }
+    // drop the warm-up's localCheckpoint RDD blocks before timing — they
+    // would otherwise hold executor memory for the whole measured run
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

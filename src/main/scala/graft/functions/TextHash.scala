@@ -48,7 +48,15 @@ object TextHash {
     * [[TokenLexMatcher]]; multi-byte UTF-8 sequences contain only bytes
     * ≥ 0x80 and act as separators, EXCEPT the two Unicode characters
     * whose `lower()` maps into the token alphabet, handled explicitly
-    * below) and md5-h32 each token. */
+    * below) and md5-h32 each token.
+    *
+    * LOCALE CONTRACT: equivalence to the `lower()`+regex Column spec
+    * assumes a root-like default locale — Spark's UTF8String lowercasing
+    * delegates to locale-sensitive String.toLowerCase for non-ASCII
+    * strings (Turkish 'I' → dotless 'ı' would diverge from this
+    * ASCII-table scan). The launchers pin `-Duser.language=en
+    * -Duser.country=US` (build.sbt javaOptions); do the same on a
+    * cluster via `spark.{driver,executor}.extraJavaOptions`. */
   def tokenHashes(bytes: Array[Byte]): ArrayData = {
     val md = mdLocal.get()
     val out = new scala.collection.mutable.ArrayBuffer[Long](64)

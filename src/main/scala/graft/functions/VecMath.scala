@@ -15,8 +15,12 @@ import org.apache.spark.sql.types._
   * evaluator into whole-stage codegen.
   */
 object VecMath {
-  /** Σ a(i)·b(i) over doubles, left to right (length = shorter input —
-    * equal by construction everywhere this is used). */
+  /** Σ a(i)·b(i) over doubles, left to right. Callers (the Catalyst
+    * expressions below) enforce the equal-length contract and yield
+    * NULL on ragged inputs — matching the `aggregate(zip_with(…))`
+    * spec, which zips to the shorter array and NULLs the fold when the
+    * lengths differ, so corrupt embedding arrays surface as nulls
+    * instead of plausible-but-wrong cosines. */
   def dotD(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray()
     val y = b.toDoubleArray()
@@ -81,11 +85,16 @@ case class DotD(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "dot_d"
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecMath.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else VecMath.dotD(x, y)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VecMath.dotD($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+      |else { ${ev.value} = graft.functions.VecMath.dotD($a, $b); }
+    """.stripMargin)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
@@ -108,11 +117,16 @@ case class DotLong(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "dot_long"
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecMath.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else VecMath.dotLong(x, y)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VecMath.dotLong($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+      |else { ${ev.value} = graft.functions.VecMath.dotLong($a, $b); }
+    """.stripMargin)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }

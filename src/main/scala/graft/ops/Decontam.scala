@@ -56,4 +56,43 @@ object Decontam {
       .withColumn("hit_frac",
         col("eval_hits").cast(DoubleType) / col("n_ngrams"))
   }
+
+  /** Attribution report — the per-(train-doc, eval-doc) breakdown real
+    * pipelines publish ("contaminated by benchmark X"): for every
+    * contaminated pair, the eval document that matched, the benchmark /
+    * source label carried from the eval corpus (`benchmarkCol`), how
+    * many distinct train n-grams the pair shares, and that count as a
+    * fraction of the train document's n-grams.
+    *
+    * Same scale shape as [[overlap]]: the broadcast side now carries
+    * `(gram, eval_id, benchmark)` — one row per (gram, eval doc), still
+    * eval-corpus-sized — the train side stays a narrow tokenize+hash+
+    * explode pass, and the closing groupBy combines map-side (a train
+    * document's grams stay row-local through the explode), so shuffle
+    * volume ≈ #contaminated pairs, not #n-grams. */
+  def attribution(train: DataFrame, evalDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 8,
+      benchmarkCol: String = "source",
+      broadcastEval: Boolean = true): DataFrame = {
+    import graft.functions.TextHash
+    val grams =
+      TextHash.hashedNgrams(TextHash.tokenHashes(col(textCol)), n)
+    // hashedNgrams is distinct per document, so (g, eval_id) rows are
+    // already unique — no distinct needed before the broadcast
+    val evalGrams = evalDocs.select(col(idCol).as("eval_id"),
+      col(benchmarkCol).as("benchmark"), explode(grams).as("g"))
+    val probeSide =
+      if (broadcastEval) broadcast(evalGrams) else evalGrams
+    train
+      .select(col(idCol), grams.as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol), size(col("__sh")).as("__n"),
+        explode(col("__sh")).as("g"))
+      .join(probeSide, Seq("g"))
+      .groupBy(col(idCol), col("eval_id"), col("benchmark"))
+      .agg(min(col("__n")).as("n_ngrams"),
+        count(lit(1)).as("shared_ngrams"))
+      .withColumn("overlap_frac",
+        col("shared_ngrams").cast(DoubleType) / col("n_ngrams"))
+  }
 }

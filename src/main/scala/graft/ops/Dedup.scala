@@ -228,16 +228,29 @@ object Dedup {
         .as("tb"))
       .select(col(idCol), col("v"), col("nrm"),
         col("tb.t").as("t"), col("tb.b").as("b"))
+    // the shared collect_list pair-triangle ([[bucketPairs]]'s shape):
+    // ONE exchange (the cap's row_number window and the groupBy hash on
+    // the same keys) instead of a two-sided self-join shuffle, and the
+    // vectors are materialized once per bucket member
     val capped = capBuckets(b, Seq("t", "b"), idCol, maxBucket)
-    val left = capped.select(col("t"), col("b"), col(idCol).as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val right = capped.select(col("t"), col("b"), col(idCol).as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    left.join(right, Seq("t", "b"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Similarity.cosinePrenormed(col("va"), col("vb"), col("na"),
-          col("nb")).as("cosine"))
+    val m = array_sort(collect_list(struct(col(idCol).as("id"),
+      col("v").as("v"), col("nrm").as("nrm"))))
+    val buckets = capped.groupBy(col("t"), col("b"))
+      .agg(m.as("m")).filter(size(col("m")) > 1)
+    def mem(i: Column): Column = element_at(col("m"), i + 1)
+    val pairs = buckets.select(explode(flatten(
+      transform(sequence(lit(0), size(col("m")) - 2), i =>
+        transform(sequence(i + 1, size(col("m")) - 1), j =>
+          struct(
+            mem(i).getField("id").as("id_a"),
+            mem(j).getField("id").as("id_b"),
+            Similarity.cosinePrenormed(
+              mem(i).getField("v"), mem(j).getField("v"),
+              mem(i).getField("nrm"), mem(j).getField("nrm"))
+              .as("cosine"))))))
+      .as("p"))
+    pairs.select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+      col("p.cosine").as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct() // a pair collides in several tables; cosine is deterministic
   }
@@ -315,9 +328,10 @@ object Dedup {
     * bounded shuffles, never a cross product.
     *
     * Iterative lineage is TRUNCATED every round via LAZY local
-    * checkpoints, and the convergence probe (edge-set count + order-
-    * independent hash signature) is THE action that materializes each
-    * checkpoint — ONE job per round, no separate driver probe. A stable
+    * checkpoints, and the convergence probe (edge-set count + the EXACT
+    * monotone potential Φ below — ids are numeric by contract) is THE
+    * action that materializes each checkpoint — ONE job per round, no
+    * separate driver probe. A stable
     * round output certifies the closure: Φ = Σ(u+v) over distinct edges
     * never increases under either op and is preserved only by a
     * fixpoint (large-star rewires each edge's larger endpoint to
@@ -335,13 +349,18 @@ object Dedup {
   private[graft] def dupClustersCounted(pairs: DataFrame,
       idA: String = "id_a", idB: String = "id_b",
       iterations: Int = 50): (DataFrame, Int) = {
-    // (count, hash-sum) identifies an edge set; the aggregate is also
-    // the action that materializes the pending lazy checkpoint
+    // (count, Φ) certifies the fixpoint EXACTLY: Φ = Σ(src+dst) over
+    // the distinct edge set is the monotone potential of the docstring's
+    // convergence argument — neither op ever increases any edge's
+    // (src+dst) and a merge only removes positive terms, so Φ is
+    // non-increasing and (count, Φ) can only repeat at the common
+    // fixpoint. DECIMAL accumulator (exact, no float rounding, no hash
+    // collisions — ids are numeric by the operator's contract); the
+    // aggregate is also the action that materializes the pending lazy
+    // checkpoint.
     def signature(e: DataFrame): (Long, BigDecimal) = {
-      // decimal accumulator: full-range Long hashes overflow an ANSI
-      // long sum after only a handful of rows
       val row = e.agg(count(lit(1)),
-        sum(xxhash64(col("src"), col("dst")).cast(DecimalType(38, 0)))).head
+        sum((col("src") + col("dst")).cast(DecimalType(38, 0)))).head
       (row.getLong(0),
         if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)))
     }

@@ -171,15 +171,17 @@ object TextAnalysis {
     * `chunkTokens` whitespace tokens, consecutive windows sharing
     * `chunkTokens − stride` tokens of overlap. Whitespace tokens (case
     * and punctuation preserved — chunk text feeds the model, unlike the
-    * analysis tokens). One narrow pass + explode; the token array is
-    * materialized behind an exchange so the per-chunk slice lambda reads
-    * an attribute. */
+    * analysis tokens). ZERO-exchange narrow pass + explode: the token
+    * array is a named non-cheap producer (CollapseProject refuses to
+    * inline HOF producers into their multiple downstream references,
+    * and Project does not collapse across the Generate), so the
+    * tokenizer runs once per document and the operator streams at scan
+    * speed — no repartition barrier (asserted in PlanAuditSpec). */
   def chunkTable(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", chunkTokens: Int = 64,
       stride: Int = 48): DataFrame = {
     val tk = filter(split(col(textCol), "\\s+"), t => t =!= "")
     val withToks = docs.select(col(idCol), tk.as("__tk"))
-      .repartition(col(idCol)) // barrier: one tokenize pass
     val n = size(col("__tk"))
     val nChunks = when(n > chunkTokens,
       floor((n - chunkTokens + (stride - 1)).cast(DoubleType) / stride)

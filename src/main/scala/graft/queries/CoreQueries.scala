@@ -181,6 +181,72 @@ object CoreQueries {
           |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
     }),
 
+    // §2.3 TPC-H Q3 shape (shipping priority): customer⋈orders⋈lineitem
+    // at real plan depth — the filtered customer side broadcasts, the
+    // lineitem⋈orders shuffle carries only pushed-down survivors, and
+    // the group-by reuses the join keys. Deterministic top-k via the
+    // unique l_orderkey tie-break.
+    "q_tpch_q3" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(l("l_orderkey"), o("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // §2.3 TPC-H Q5 shape (local supplier volume): six tables, the
+    // c_nationkey = s_nationkey cross-branch predicate, dim chain
+    // (nation, region) broadcast — exercises join reordering at real
+    // TPC-H depth.
+    "q_tpch_q5" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val l = Tables.load(s, dir, "lineitem")
+      val su = Tables.load(s, dir, "supplier")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+    }),
+
+    // §2.3 TPC-H Q10 shape (returned items): customer⋈orders⋈lineitem⋈
+    // nation with a tight date window + returnflag filter, wide group-by
+    // keys, deterministic top-20.
+    "q_tpch_q10" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+      val n = Tables.load(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(c("c_custkey"), c("c_name"), c("c_acctbal"), n("n_name"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // ------------------------------------------------------------------
     // §2.5 windows — the flagship dedup pattern
     // (test_auto_router.py:192-211); deterministic via orderkey tie-break
@@ -363,6 +429,48 @@ object CoreQueries {
         |LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000.0) c
         |  ON o_custkey = c_custkey
         |WHERE c_custkey IS NULL""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q_window_dedup" ->
       """WITH ranked AS (

@@ -213,6 +213,17 @@ object DataOpsQueries {
         d.filter(col("doc_id") % 10 === 0), n = 4)
     }),
 
+    // Attribution flavor: WHICH eval document (and its benchmark/source
+    // label) each contaminated train doc overlaps, with the shared-gram
+    // count — the per-benchmark report real pipelines publish.
+    "d_decontaminate_attr" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      graft.ops.Decontam.attribution(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0), n = 4,
+        benchmarkCol = "source")
+    }),
+
     // --------------------------------------------------- multimodal
     "mm_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s,
@@ -820,6 +831,27 @@ object DataOpsQueries {
          |FROM tr LEFT JOIN ev USING (gg)
          |GROUP BY tr.doc_id
          |HAVING count(ev.gg) > 0""".stripMargin,
+
+    "d_decontaminate_attr" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         |th AS (SELECT doc_id, source,
+         |  list_transform(t, x -> ${h32Sql("x")}) AS h FROM toks),
+         |sh AS (SELECT doc_id, source, CASE WHEN len(h) >= 4 THEN
+         |  list_distinct(list_transform(generate_series(1, len(h) - 3),
+         |    i -> (((h[i] * 1000003 + h[i+1]) % 3037000493 * 1000003
+         |      + h[i+2]) % 3037000493 * 1000003 + h[i+3]) % 3037000493))
+         |  ELSE [] END AS s FROM th),
+         |ev AS (SELECT doc_id AS eval_id, source AS benchmark, gg
+         |  FROM sh, unnest(s) u(gg) WHERE doc_id % 10 = 0),
+         |tr AS (SELECT doc_id, len(s) AS n_ngrams, gg
+         |  FROM (SELECT doc_id, s FROM sh
+         |        WHERE doc_id % 10 <> 0 AND len(s) > 0), unnest(s) u(gg))
+         |SELECT tr.doc_id, ev.eval_id, ev.benchmark,
+         |  any_value(tr.n_ngrams) AS n_ngrams,
+         |  count(*) AS shared_ngrams,
+         |  count(*)::DOUBLE / any_value(tr.n_ngrams) AS overlap_frac
+         |FROM tr JOIN ev USING (gg)
+         |GROUP BY tr.doc_id, ev.eval_id, ev.benchmark""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id AS media_id,

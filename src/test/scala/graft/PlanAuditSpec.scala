@@ -108,6 +108,37 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking is a zero-exchange narrow pass") {
+    // the round-3 repartition barrier is gone: tokenize → generate →
+    // project, with the token array a named producer evaluated once
+    val p = physicalPlan("t_chunk")
+    assert(!p.contains("Exchange"), s"t_chunk must not shuffle:\n$p")
+  }
+
+  test("TPC-H join shapes broadcast dims and push filters down") {
+    // q3: filtered customer is the small side — some join must broadcast
+    val q3 = physicalPlan("q_tpch_q3")
+    assert(q3.contains("BroadcastHashJoin"), q3)
+    assert(q3.contains("PushedFilters: [IsNotNull"), q3)
+    // q5: nation + region (and the filtered small sides) broadcast; the
+    // six-table shape must not degenerate into a Cartesian product
+    val q5 = physicalPlan("q_tpch_q5")
+    assert(q5.contains("BroadcastHashJoin"), q5)
+    assert(!q5.contains("CartesianProduct"), q5)
+    // q10: returnflag filter reaches the lineitem scan, nation broadcast
+    val q10 = physicalPlan("q_tpch_q10")
+    assert(q10.contains("BroadcastHashJoin"), q10)
+    assert(q10.contains("l_returnflag"), q10)
+    // all three aggregate map-side before the final exchange
+    Seq(q3, q5, q10).foreach(p => assert(p.contains("partial_"), p))
+  }
+
+  test("decontamination attribution broadcasts eval grams like overlap") {
+    val p = physicalPlan("d_decontaminate_attr")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("repetition metrics plan as one narrow kernel pass") {
     val p = physicalPlan("t_repetition")
     assert(occurrences(p, "repetition_stats(") == 1)
