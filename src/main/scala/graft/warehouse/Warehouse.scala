@@ -10,13 +10,34 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * session-level registry of DataFrames (CREATE OR REPLACE VIEW —
   * `adapters.sql:49-53`).
   *
+  * VERSIONED READS: every replace-type write (CTAS overwrite, rename
+  * promote) ARCHIVES the table's previous directory under
+  * `<schema>/.versions/<table>/<n>` instead of deleting it, keeping the
+  * newest `keepVersions` — the snapshot/time-travel capability the
+  * reference gets from its Iceberg catalog ATTACH (reference
+  * `connections.py:990-1055`; no Iceberg jars ship in this container,
+  * SURVEY §8), re-expressed over plain Parquet dirs. Each archive
+  * appends a ledger line (schema, table, version, label, action) like
+  * the sync history; labels are caller-pinned via [[setVersionLabel]]
+  * (never wall-clock — determinism convention), so [[readAsOf]] can
+  * answer "the state that was live at label L". Archiving is a rename,
+  * so promotes get CHEAPER (the old delete walk is gone); on an object
+  * store these become catalog pointer swaps with the same API.
+  *
   * At cluster scale the root becomes an object-store prefix and
   * `saveAsTable`/Iceberg replace the raw Parquet dirs; the API is kept at
   * that altitude so swapping the backend does not touch callers.
   */
-class Warehouse(val spark: SparkSession, val root: String) {
+class Warehouse(val spark: SparkSession, val root: String,
+    val keepVersions: Int = 2) {
   private val views =
     scala.collection.mutable.Map[(String, String), DataFrame]()
+
+  @volatile private var versionLabel: String = ""
+
+  /** Pin the label recorded for subsequent replace-writes (e.g. the
+    * materializer's injected `now`). */
+  def setVersionLabel(label: String): Unit = versionLabel = label
 
   def tablePath(schema: String, name: String): String =
     s"$root/$schema/$name"
@@ -46,6 +67,7 @@ class Warehouse(val spark: SparkSession, val root: String) {
       : Unit = {
     createSchema(schema)
     views.remove((schema, name))
+    if (mode == SaveMode.Overwrite) archiveCurrent(schema, name, "ctas")
     val w = df.write.mode(mode)
     val withParts = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
     withParts.parquet(tablePath(schema, name))
@@ -80,23 +102,113 @@ class Warehouse(val spark: SparkSession, val root: String) {
 
   /** Promote a staged table directory to its final name by filesystem
     * rename — the reference's tmp-then-swap is a rename too
-    * (incremental.sql:110-123). One data write per rewrite; on an
-    * object store this becomes the catalog pointer swap. */
+    * (incremental.sql:110-123). One data write per rewrite; the
+    * replaced table is archived (a second rename), not deleted; on an
+    * object store both become catalog pointer swaps. */
   def promote(schema: String, tmpName: String, name: String): Unit = {
-    drop(schema, name)
+    views.remove((schema, name))
+    archiveCurrent(schema, name, "promote")
     Files.move(Paths.get(tablePath(schema, tmpName)),
       Paths.get(tablePath(schema, name)))
   }
 
   def drop(schema: String, name: String): Unit = {
     views.remove((schema, name))
-    val p = Paths.get(tablePath(schema, name))
+    deleteRecursive(Paths.get(tablePath(schema, name)))
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(f => Files.deleteIfExists(f))
     }
-  }
 
   def rowCount(schema: String, name: String): Long = read(schema, name).count()
+
+  // ------------------------------------------------------- versioning
+
+  private def versionsDir(schema: String, name: String) =
+    Paths.get(root, schema, ".versions", name)
+
+  /** Archived (previous) version numbers, oldest first. The live table
+    * is always newer than every archived version. */
+  def versions(schema: String, name: String): Seq[Int] = {
+    val d = versionsDir(schema, name)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(d).iterator().asScala
+        .flatMap(p => p.getFileName.toString.toIntOption).toSeq.sorted
+    }
+  }
+
+  /** Move the live table dir into the version archive (a rename — no
+    * data copy), record it in the ledger, prune beyond [[keepVersions]].
+    * The label stored is the label of the REPLACING write, i.e. the
+    * instant this version stopped being live. */
+  private def archiveCurrent(schema: String, name: String,
+      action: String): Unit = if (tableExists(schema, name)) {
+    val next = versions(schema, name).lastOption.getOrElse(0) + 1
+    Files.createDirectories(versionsDir(schema, name))
+    Files.move(Paths.get(tablePath(schema, name)),
+      versionsDir(schema, name).resolve(next.toString))
+    ledgerAppend(schema, name, next, versionLabel, action)
+    versions(schema, name).dropRight(keepVersions).foreach(v =>
+      deleteRecursive(versionsDir(schema, name).resolve(v.toString)))
+  }
+
+  /** Read an archived version by number (from [[versions]]). */
+  def readVersion(schema: String, name: String, version: Int): DataFrame =
+    spark.read.parquet(
+      versionsDir(schema, name).resolve(version.toString).toString)
+
+  /** The table state that was live at `asOfLabel` (labels compare as
+    * strings — use a sortable format, e.g. ISO timestamps): the oldest
+    * retained version whose replacement label is AFTER the target, else
+    * the live table. */
+  def readAsOf(schema: String, name: String, asOfLabel: String): DataFrame = {
+    val replacedAfter = versionLedger
+      .filter(e => e.schema == schema && e.table == name &&
+        e.label > asOfLabel)
+      .map(_.version)
+    val retained = versions(schema, name).toSet
+    replacedAfter.filter(retained).sorted.headOption
+      .map(readVersion(schema, name, _))
+      .getOrElse(read(schema, name))
+  }
+
+  // one JSONL line per archived version — the sync_history analog
+  private def ledgerPath = Paths.get(root, ".version_ledger.jsonl")
+
+  private def ledgerAppend(schema: String, name: String, version: Int,
+      label: String, action: String): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val line = s"""{"schema":"${esc(schema)}","table":"${esc(name)}",""" +
+      s""""version":$version,"label":"${esc(label)}",""" +
+      s""""action":"${esc(action)}"}""" + "\n"
+    Files.write(ledgerPath, line.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  final case class VersionEntry(schema: String, table: String,
+      version: Int, label: String, action: String)
+
+  def versionLedger: Seq[VersionEntry] = {
+    if (!Files.exists(ledgerPath)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    def field(line: String, k: String): String = {
+      val m = ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+        .findFirstMatchIn(line)
+      m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .getOrElse("")
+    }
+    Files.readAllLines(ledgerPath).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      val v = "\"version\":([0-9]+)".r.findFirstMatchIn(l)
+        .map(_.group(1).toInt).getOrElse(0)
+      VersionEntry(field(l, "schema"), field(l, "table"), v,
+        field(l, "label"), field(l, "action"))
+    }
+  }
 }

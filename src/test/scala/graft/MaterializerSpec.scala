@@ -165,6 +165,43 @@ class MaterializerSpec extends AnyFunSuite {
     assert(wh.read("main", "inc_w").count() == 5)
   }
 
+  test("versioned reads: promotes archive previous versions; readAsOf time-travels") {
+    val wh = freshWh()
+    val m = new Materializer(wh)
+    def node(tag: String) = ModelNode("inc_v",
+      ModelConfig("incremental", uniqueKey = Seq("r_regionkey"),
+        incrementalStrategy = "merge"), Nil)(
+      s => Tables.load(s, sf, "region").withColumn("tag", lit(tag)))
+    wh.setVersionLabel("2024-01-01")
+    m.materialize(node("v1")) // CTAS — nothing to archive
+    wh.setVersionLabel("2024-02-01")
+    m.materialize(node("v2")) // archives version 1 = the v1 state
+    wh.setVersionLabel("2024-03-01")
+    m.materialize(node("v3")) // archives version 2 = the v2 state
+    assert(wh.versions("main", "inc_v") == Seq(1, 2))
+    assert(wh.read("main", "inc_v")
+      .filter(col("tag") === "v3").count() == 5)
+    assert(wh.readVersion("main", "inc_v", 2)
+      .filter(col("tag") === "v2").count() == 5)
+    assert(wh.readVersion("main", "inc_v", 1)
+      .filter(col("tag") === "v1").count() == 5)
+    // as-of semantics: the state that was LIVE at the given label
+    assert(wh.readAsOf("main", "inc_v", "2024-01-15")
+      .filter(col("tag") === "v1").count() == 5)
+    assert(wh.readAsOf("main", "inc_v", "2024-02-15")
+      .filter(col("tag") === "v2").count() == 5)
+    assert(wh.readAsOf("main", "inc_v", "2024-04-01")
+      .filter(col("tag") === "v3").count() == 5)
+    // ledger recorded both archives with their replacement labels
+    val entries = wh.versionLedger.filter(_.table == "inc_v")
+    assert(entries.map(e => (e.version, e.label, e.action)) ==
+      Seq((1, "2024-02-01", "promote"), (2, "2024-03-01", "promote")))
+    // a fourth run prunes beyond keepVersions = 2
+    wh.setVersionLabel("2024-04-01")
+    m.materialize(node("v4"))
+    assert(wh.versions("main", "inc_v") == Seq(2, 3))
+  }
+
   test("on_schema_change=append_new_columns evolves incremental tables") {
     val wh = freshWh()
     val m = new Materializer(wh)
