@@ -288,7 +288,10 @@ object Dedup {
     * program (broadcast centroids, one narrow corpus pass per
     * iteration); the quadratic pair stage is confined within cells (the
     * `nCentroids` knob bounds expected cell size — at corpus scale use
-    * √N cells; SemDeDup's own recipe — and a skew-heavy cell is CAPPED
+    * √N cells, SemDeDup's own recipe, served by the two-level
+    * coarse→fine assignment [[Similarity.twoLevelNearestCells]] that
+    * kicks in automatically above [[Similarity.flatCentroidLimit]]
+    * centroids — and a skew-heavy cell is CAPPED
     * at `maxCell` members like every bucketed pair generator here: a
     * boilerplate-embedding cluster cannot produce a B² straggler task,
     * and dropped volume is auditable via

@@ -178,11 +178,26 @@ object Similarity {
     * iteration, and the final search joins on `cell` so candidates
     * never cross cells. The standard trade: `nCentroids` up for
     * speed, `nProbe` up for recall. */
+  /** Above this centroid count the flat per-row argmin (O(C log C) per
+    * row) switches to the two-level coarse→fine assignment (O(√C) per
+    * row) — the √N-cell SemDeDup regime. */
+  private[graft] val flatCentroidLimit = 256
+
+  /** Cell assignment dispatch: flat exact argmin for small centroid
+    * tables, two-level coarse→fine above [[flatCentroidLimit]]. `nCents`
+    * comes from the caller's centroid-count knob — no driver action
+    * needed. Either way the corpus side is one narrow pass: zero
+    * shuffles, zero sorts of `points`. */
+  private[graft] def nearestCells(centroids: DataFrame, nCents: Int)(
+      points: DataFrame, vec: String, n: Int): DataFrame =
+    if (nCents <= flatCentroidLimit) flatNearestCells(centroids)(points, vec, n)
+    else twoLevelNearestCells(centroids, nCents)(points, vec, n)
+
   /** Nearest cells as a per-row argmin over the broadcast centroid
     * array: sort (−cosine, cell) structs and take the first n. No
     * window, so the corpus is never shuffled — each assignment pass
     * is one narrow map over `points`. */
-  private[ops] def nearestCells(centroids: DataFrame)(points: DataFrame,
+  private[graft] def flatNearestCells(centroids: DataFrame)(points: DataFrame,
       vec: String, n: Int): DataFrame = {
     val centArr = centroids.agg(collect_list(struct(col("cell"),
       col("centroid"), norm(col("centroid")).as("cn"))).as("cents"))
@@ -199,6 +214,63 @@ object Similarity {
           .as("cell"): _*)
   }
 
+  /** Two-level (coarse→fine) cell assignment for large centroid tables
+    * — the √N-cell SemDeDup regime where the flat argmin's per-row
+    * O(C log C) array_sort outgrows its design: ~√C coarse anchors
+    * (a deterministic subset of the centroids) partition the fine
+    * centroids; each point scores the √C coarse anchors, keeps the
+    * nearest `coarseProbe`, and arg-sorts only those anchors' fine
+    * lists — O(coarseProbe·√C) per row. Assignment is approximate at
+    * coarse-cell boundaries (standard IVF-style trade, recall-tested in
+    * OpsSpec); the corpus side stays ONE narrow pass — the only
+    * exchanges are centroid-table-sized (the fine-list groupBy), never
+    * a corpus shuffle or sort (plan-audited). Broadcast payload equals
+    * the flat path's (all centroids ship either way); beyond
+    * broadcastability (≫10⁶ cells) replace the one-row map with a
+    * shuffle join of points against the coarse-keyed fine lists —
+    * same program, one corpus exchange. */
+  private[graft] def twoLevelNearestCells(centroids: DataFrame, nCents: Int,
+      coarseProbe: Int = 2)(points: DataFrame, vec: String,
+      n: Int): DataFrame = {
+    val nCoarse = math.max(1, math.ceil(math.sqrt(nCents.toDouble)).toInt)
+    // coarse anchors: the nCoarse lowest-cell centroids — an index for
+    // bucketing, deterministic, not a clustering claim
+    val coarse = centroids.orderBy(col("cell")).limit(nCoarse)
+      .select(col("cell").as("gcell"), col("centroid").as("gcent"))
+    // fine→coarse ownership via the flat argmin over the TINY tables
+    val fines = centroids.select(col("cell").as("fcell"),
+      col("centroid").as("fcent"))
+    val fineCoarse = flatNearestCells(
+      coarse.select(col("gcell").as("cell"), col("gcent").as("centroid")))(
+      fines, "fcent", 1)
+    val lookup = fineCoarse.groupBy(col("cell"))
+      .agg(collect_list(struct(col("fcell"), col("fcent"),
+        norm(col("fcent")).as("fn"))).as("fs"))
+      .agg(map_from_entries(collect_list(struct(col("cell"), col("fs"))))
+        .as("fmap"))
+    val coarseArr = coarse.agg(collect_list(struct(col("gcell"),
+      col("gcent"), norm(col("gcent")).as("gn"))).as("gs"))
+    points
+      .crossJoin(broadcast(coarseArr))
+      .crossJoin(broadcast(lookup))
+      .withColumn("__pn", norm(col(vec)))
+      .withColumn("__gnear", slice(array_sort(transform(col("gs"), g =>
+        struct((-(dot(col(vec), g.getField("gcent")) /
+          (col("__pn") * g.getField("gn")))).as("negsim"),
+          g.getField("gcell").as("gcell")))), 1, coarseProbe))
+      .withColumn("__cand", flatten(filter(
+        transform(col("__gnear"), g =>
+          element_at(col("fmap"), g.getField("gcell"))),
+        x => x.isNotNull)))
+      .withColumn("__near", slice(array_sort(transform(col("__cand"), f =>
+        struct((-(dot(col(vec), f.getField("fcent")) /
+          (col("__pn") * f.getField("fn")))).as("negsim"),
+          f.getField("fcell").as("cell")))), 1, n))
+      .select(points.columns.map(col) :+
+        explode(transform(col("__near"), r => r.getField("cell")))
+          .as("cell"): _*)
+  }
+
   /** Deterministic-seed Lloyd refinement over a `(cand_id, cv)` corpus:
     * the centroid table stays tiny and broadcast, the corpus is scanned
     * once per iteration. */
@@ -208,7 +280,7 @@ object Similarity {
     var centroids = c.orderBy(col("cand_id")).limit(nCentroids)
       .select(col("cand_id").as("cell"), col("cv").as("centroid"))
     (1 to iterations).foreach { _ =>
-      val assigned = nearestCells(centroids)(c, "cv", 1)
+      val assigned = nearestCells(centroids, nCentroids)(c, "cv", 1)
       // element-wise centroid mean via dim explode; exact DECIMAL
       // accumulator so the mean is partitioning-independent and
       // engine-reproducible (see the float determinism convention)
@@ -239,7 +311,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cand_id"),
       asDouble(col(vecCol)).as("cv"))
     val centroids = lloydCentroids(c, nCentroids, iterations)
-    nearestCells(centroids)(c, "cv", 1)
+    nearestCells(centroids, nCentroids)(c, "cv", 1)
       .select(col("cand_id").as(idCol), col("cv"), col("cell"))
   }
 
@@ -249,10 +321,10 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cand_id"),
       asDouble(col(vecCol)).as("cv"))
     val centroids = lloydCentroids(c, nCentroids, iterations)
-    val cells = nearestCells(centroids)(c, "cv", 1)
+    val cells = nearestCells(centroids, nCentroids)(c, "cv", 1)
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
-    val probed = nearestCells(centroids)(q, "qv", nProbe)
+    val probed = nearestCells(centroids, nCentroids)(q, "qv", nProbe)
     val scored = cells.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),

@@ -354,4 +354,65 @@ class OpsSpec extends AnyFunSuite {
     // doc 1 has 3 distinct 4-grams -> hit_frac 1/3
     assert(out.head.getDouble(3) == 1.0 / 3)
   }
+
+  test("decontamination attribution names the matching eval doc + benchmark") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon", "mmlu_ish"),
+      (200L, "one two three four five", "gsm_ish"))
+      .toDF("doc_id", "text", "source")
+    val train = Seq(
+      (1L, "intro alpha beta gamma delta outro one two three four done"),
+      (2L, "nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Decontam.attribution(train, evalDocs, n = 4)
+      .orderBy("eval_id").collect()
+    // train doc 1 overlaps BOTH eval docs, each attributed separately
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getLong(4))).toSeq ==
+      Seq((1L, 100L, "mmlu_ish", 1L), (1L, 200L, "gsm_ish", 1L)))
+  }
+
+  test("two-level cell assignment: 1024 centroids, no corpus shuffle") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // deterministic synthetic corpus: 4000 8-dim vectors
+    val c = spark.range(0, 4000).select(col("id").as("cand_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        (pmod(xxhash64(col("id") * 8 + i), lit(1000)).cast(DoubleType)
+          / 500.0) - 1.0).as("cv"))
+    val cents = c.filter(col("cand_id") < 1024)
+      .select(col("cand_id").as("cell"), col("cv").as("centroid"))
+    assert(1024 > Similarity.flatCentroidLimit) // exercises the new path
+    val two = Similarity.twoLevelNearestCells(cents, 1024)(c, "cv", 1)
+    // exactly one cell per point, all cells legal
+    assert(two.count() == 4000)
+    assert(two.select("cand_id").distinct().count() == 4000)
+    assert(two.filter(col("cell") >= 1024 || col("cell") < 0).count() == 0)
+    // every vector with an identical centroid must land on it (the
+    // coarse router cannot miss an exact match's own cell)
+    val self = two.filter(col("cand_id") < 1024)
+      .filter(col("cell") === col("cand_id")).count()
+    assert(self == 1024, s"only $self of 1024 self-assignments")
+    // agreement with the exact flat argmin stays high away from
+    // coarse-cell boundaries
+    val flat = Similarity.flatNearestCells(cents)(c, "cv", 1)
+      .select(col("cand_id"), col("cell").as("exact_cell"))
+    val agree = two.join(flat, "cand_id")
+      .filter(col("cell") === col("exact_cell")).count()
+    assert(agree >= 2400, s"two-level agreement too low: $agree / 4000")
+    // the corpus side is never shuffled or sorted — the only exchanges
+    // in the plan operate on centroid-table-sized intermediates
+    val plan = two.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(cand_id"),
+      s"corpus shuffled:\n$plan")
+    assert(!plan.contains("rangepartitioning(cand_id"),
+      s"corpus sorted:\n$plan")
+    // dispatch: kmeansCells at 1024 centroids runs end-to-end through
+    // the two-level path (1 Lloyd iteration over the synthetic corpus)
+    val cells = Similarity.kmeansCells(
+      c.select(col("cand_id").as("vec_id"),
+        col("cv").cast(ArrayType(DoubleType)).as("embedding")),
+      nCentroids = 1024, iterations = 1)
+    assert(cells.count() == 4000)
+  }
 }
