@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic scale-up generator: replicates the driver's sf0.1
+  * tables `replicas`× with disjoint key spaces, producing an sf1-shaped
+  * dataset for empirical scaling measurements (BENCH at 10× the bench
+  * scale — the "would the plans survive 100×?" evidence).
+  *
+  * Replication rules preserve the per-replica statistical structure the
+  * operators exercise, while keeping replicas DISJOINT where sharing
+  * would change complexity class rather than size:
+  *
+  *  - `region`/`nation`: fixed-size dims, copied once (TPC-H semantics —
+  *    they do not scale with sf).
+  *  - key columns (`customer`/`supplier`/`part`/`orders`/`lineitem`/
+  *    `events` ids): offset by `replica · 10⁷`, so joins keep exactly
+  *    the source fanout and never cross replicas; modulo-10 query
+  *    predicates (e.g. the decontamination eval split) are preserved
+  *    because the offset is divisible by 10.
+  *  - `documents.text`: every `[A-Za-z0-9]+` token gets a replica
+  *    suffix, so in-replica near-dup structure (what dedup measures) is
+  *    preserved exactly while cross-replica token/shingle/gram spaces
+  *    are disjoint — replicating text verbatim would grow LSH buckets
+  *    10× and pair volume 100×, changing the complexity class instead
+  *    of the data size.
+  *  - `embeddings.embedding`: replica 0 keeps the originals; other
+  *    replicas draw fresh deterministic pseudo-random components
+  *    (xxhash64(vec_id, replica, dim) → uniform in [-1, 1]), because
+  *    any mild perturbation of a copied vector keeps cosine ≈ 1 and
+  *    would plant 10× cross-replica near-dup clusters.
+  *
+  * Everything is a column program — no RNG state, no wall clock — so
+  * the output is bit-reproducible. Usage:
+  *   GenScale [srcDir] [dstDir] [replicas]
+  * defaults: /root/testdata/sf0.1 → testdata/sf1 (repo-local), 10×.
+  */
+object GenScale {
+  private val OFF = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (args.length > 1) args(1) else "testdata/sf1"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
+      println(s"[genscale] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+
+    def replicate(name: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
+      val base = Tables.load(spark, src, name)
+      write((0 until replicas).map(r => tx(base, r))
+        .reduce(_ unionByName _), name)
+    }
+    def shiftKeys(df: DataFrame, r: Int, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * OFF)))
+
+    // fixed dims — one copy
+    write(Tables.load(spark, src, "region"), "region")
+    write(Tables.load(spark, src, "nation"), "nation")
+
+    replicate("customer")((d, r) => shiftKeys(d, r, "c_custkey"))
+    replicate("supplier")((d, r) => shiftKeys(d, r, "s_suppkey"))
+    replicate("part")((d, r) => shiftKeys(d, r, "p_partkey"))
+    replicate("orders")((d, r) => shiftKeys(d, r, "o_orderkey", "o_custkey"))
+    replicate("lineitem")((d, r) =>
+      shiftKeys(d, r, "l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("events")((d, r) => shiftKeys(d, r, "event_id", "user_id"))
+
+    replicate("documents") { (d, r) =>
+      val shifted = shiftKeys(d, r, "doc_id")
+      if (r == 0) shifted
+      else shifted.withColumn("text",
+        regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1" + r.toString))
+    }
+
+    replicate("embeddings") { (d, r) =>
+      val shifted = shiftKeys(d, r, "vec_id")
+      if (r == 0) shifted
+      else shifted.withColumn("embedding",
+        transform(sequence(lit(0), size(col("embedding")) - 1), i =>
+          ((pmod(xxhash64(col("vec_id"), lit(r), i), lit(2001)) - 1000)
+            .cast(DoubleType) / 1000.0).cast(FloatType)))
+    }
+
+    spark.stop()
+  }
+}

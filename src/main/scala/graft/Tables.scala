@@ -18,15 +18,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-      // timestamp type, so read the raw int64 and truncate to micros
-      // (the generator writes micro-resolution values, so truncation is
-      // lossless and matches DuckDB's value).
+      // driver-generated events.ts is parquet TIMESTAMP(NANOS) — Spark
+      // has no nanosecond timestamp type, so read the raw int64 and
+      // truncate to micros (the generator writes micro-resolution
+      // values, so truncation is lossless and matches DuckDB's value).
+      // Rewritten tables (e.g. the GenScale sf1 scale-up) store micros
+      // directly and pass through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val withTs =
+        if (raw.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      withTs.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view named after the table, so SQL-text

@@ -137,10 +137,17 @@ object Dedup {
     // jaccard over SORTED shingle sets (the TextHash.hashedNgrams
     // contract): |a∩b| via the codegen'd merge scan, |a∪b| by
     // inclusion-exclusion — same integers, same single double division
-    // as the array_intersect/array_distinct(concat) formulation
+    // as the array_intersect/array_distinct(concat) formulation. A
+    // size-ratio prefilter (j ≥ t ⇒ min/max ≥ t) skips the merge scan
+    // for hopeless pairs — pairs failing it score -1 and fall to the
+    // threshold filter, which they could never pass anyway, so the
+    // output (and every oracle hash) is unchanged.
     def jacSorted(a: Column, b: Column): Column = {
       val inter = graft.functions.VecMath.sortedIntersectSize(a, b)
-      inter.cast(DoubleType) / (size(a) + size(b) - inter)
+      val ratioOk = least(size(a), size(b)).cast(DoubleType) /
+        greatest(size(a), size(b)) >= threshold
+      when(ratioOk, inter.cast(DoubleType) / (size(a) + size(b) - inter))
+        .otherwise(lit(-1.0))
     }
     val pairs = buckets.select(explode(flatten(
       transform(sequence(lit(0), size(col("m")) - 2), i =>
@@ -228,29 +235,25 @@ object Dedup {
         .as("tb"))
       .select(col(idCol), col("v"), col("nrm"),
         col("tb.t").as("t"), col("tb.b").as("b"))
-    // the shared collect_list pair-triangle ([[bucketPairs]]'s shape):
-    // ONE exchange (the cap's row_number window and the groupBy hash on
-    // the same keys) instead of a two-sided self-join shuffle, and the
-    // vectors are materialized once per bucket member
+    // pair generation is a capped-bucket SELF-JOIN here, unlike
+    // [[bucketPairs]]'s collect_list pair-triangle — a MEASURED choice
+    // (SCALING.md, sf1): the triangle wins for shingle sets, whose
+    // expensive arrays it materializes once per bucket member, but for
+    // dense 64-dim vectors it packs megabyte bucket rows and pays the
+    // interpreted lambda per pair (~19 s at sf1, GC-noisy), while the
+    // self-join keeps every cosine inside whole-stage codegen (~3 s).
+    // The cap's row_number window pre-hashes on the join keys, so the
+    // join reuses that exchange for its left side.
     val capped = capBuckets(b, Seq("t", "b"), idCol, maxBucket)
-    val m = array_sort(collect_list(struct(col(idCol).as("id"),
-      col("v").as("v"), col("nrm").as("nrm"))))
-    val buckets = capped.groupBy(col("t"), col("b"))
-      .agg(m.as("m")).filter(size(col("m")) > 1)
-    def mem(i: Column): Column = element_at(col("m"), i + 1)
-    val pairs = buckets.select(explode(flatten(
-      transform(sequence(lit(0), size(col("m")) - 2), i =>
-        transform(sequence(i + 1, size(col("m")) - 1), j =>
-          struct(
-            mem(i).getField("id").as("id_a"),
-            mem(j).getField("id").as("id_b"),
-            Similarity.cosinePrenormed(
-              mem(i).getField("v"), mem(j).getField("v"),
-              mem(i).getField("nrm"), mem(j).getField("nrm"))
-              .as("cosine"))))))
-      .as("p"))
-    pairs.select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-      col("p.cosine").as("cosine"))
+    val left = capped.select(col("t"), col("b"), col(idCol).as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val right = capped.select(col("t"), col("b"), col(idCol).as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    left.join(right, Seq("t", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosinePrenormed(col("va"), col("vb"), col("na"),
+          col("nb")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct() // a pair collides in several tables; cosine is deterministic
   }
