@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Deterministic Bloom-filter probe over a SPARSE bitmask — the
+  * broadcast-prefilter primitive for set-membership at corpus scale
+  * (e.g. [[graft.ops.Decontam.overlapBloom]]: probe 10¹¹ train grams
+  * against a 2²⁰-bit digest of the eval grams instead of shuffling
+  * them). The bitmask is stored sparse as two parallel SORTED arrays —
+  * 64-bit word indices and word values (only non-zero words) — built by
+  * a plain DataFrame aggregation, so the whole filter is a deterministic
+  * column program: no driver-side sketch objects, no RNG,
+  * engine-reproducible.
+  *
+  * Hash family: bit position i of gram g is
+  * `(g·(2i+1) + 12345·i + 7) mod 4294967311 mod bits` — the same
+  * universal family as MinHash ([[TextHash]]), overflow-free for
+  * g < 2⁶³⁄²ᵏ. No false negatives; false positives only cost work in
+  * the exact verify stage that follows, never correctness.
+  */
+object Bloom {
+  private val P = 4294967311L
+
+  def bitPosition(g: Long, i: Int, bits: Int): Long =
+    java.lang.Math.floorMod((g * (2 * i + 1) + i * 12345L + 7L) % P, bits.toLong)
+
+  /** All `k` positions for one gram — the build side's explode list. */
+  def positions(g: Column, bits: Int, k: Int): Column =
+    org.apache.spark.sql.functions.array((0 until k).map { i =>
+      org.apache.spark.sql.functions.pmod(
+        (g * (2 * i + 1) + i * 12345L + 7L) % P,
+        org.apache.spark.sql.functions.lit(bits.toLong))
+    }: _*)
+
+  /** true iff every one of the gram's k bits is set (binary search per
+    * word over the sorted sparse index). */
+  def mayContain(wordIdx: ArrayData, wordVal: ArrayData, g: Long,
+      bits: Int, k: Int): Boolean = {
+    val keys = wordIdx.toLongArray()
+    val vals = wordVal.toLongArray()
+    var i = 0
+    while (i < k) {
+      val pos = bitPosition(g, i, bits)
+      val w = pos >>> 6
+      val idx = java.util.Arrays.binarySearch(keys, w)
+      if (idx < 0) return false
+      if (((vals(idx) >>> (pos & 63L).toInt) & 1L) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def mayContain(wordIdx: Column, wordVal: Column, g: Column, bits: Int,
+      k: Int): Column =
+    GraftBridge.column(BloomMayContain(GraftBridge.expression(wordIdx),
+      GraftBridge.expression(wordVal), GraftBridge.expression(g), bits, k))
+}
+
+/** (sorted word indices, word values, gram) → may-contain boolean. */
+case class BloomMayContain(first: Expression, second: Expression,
+    third: Expression, bits: Int, k: Int) extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_may_contain"
+  override def nullSafeEval(w: Any, v: Any, g: Any): Any =
+    Bloom.mayContain(w.asInstanceOf[ArrayData], v.asInstanceOf[ArrayData],
+      g.asInstanceOf[Long], bits, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, v, g) =>
+      s"${ev.value} = graft.functions.Bloom.mayContain($w, $v, $g, $bits, $k);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}

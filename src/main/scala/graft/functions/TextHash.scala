@@ -201,6 +201,23 @@ object TextHash {
       Array[Any](n, distinct.size, top2, dup3))
   }
 
+  /** Σ ((h·1000003 + 12345) mod 2001 − 1000) over token hashes — the
+    * hashed-feature linear scorer's accumulator
+    * ([[graft.ops.TextAnalysis.modelScoreTable]]). Weights are exact
+    * integers in [−1000, 1000] derived from the feature hash (h·1000003
+    * < 2⁵² — no overflow), so the sum is engine-exact; the caller's
+    * final division is the only float op. */
+  def linearScoreSum(hashes: ArrayData): Long = {
+    val h = hashes.toLongArray()
+    var acc = 0L
+    var i = 0
+    while (i < h.length) {
+      acc += (h(i) * 1000003L + 12345L) % 2001L - 1000L
+      i += 1
+    }
+    acc
+  }
+
   // ------------------------------------------------------ Column forms
   def tokenHashes(c: Column): Column =
     GraftBridge.column(TokenHashes(GraftBridge.expression(c)))
@@ -212,6 +229,24 @@ object TextHash {
     GraftBridge.column(SimHash32(GraftBridge.expression(c)))
   def repetitionStats(c: Column): Column =
     GraftBridge.column(RepetitionStats(GraftBridge.expression(c)))
+  def linearScoreSum(c: Column): Column =
+    GraftBridge.column(LinearScoreSum(GraftBridge.expression(c)))
+}
+
+/** token-hash array → exact integer linear-model score sum
+  * (see [[TextHash.linearScoreSum]]). */
+case class LinearScoreSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "linear_score_sum"
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      TextHash.linearScoreSum(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.TextHash.linearScoreSum($input);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** text → array of per-token h32 hashes (see [[TextHash.tokenHashes]]). */

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** Train/eval decontamination — the benchmark-overlap scrub every
   * pre-training pipeline runs before the corpus ships (the 13-gram
@@ -49,6 +49,55 @@ object Decontam {
       .select(col(idCol), size(col("__sh")).as("__n"),
         explode(col("__sh")).as("g"))
       .join(probeSide, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(min(col("__n")).as("n_ngrams"),
+        count(col("__hit")).as("eval_hits"))
+      .filter(col("eval_hits") > 0)
+      .withColumn("hit_frac",
+        col("eval_hits").cast(DoubleType) / col("n_ngrams"))
+  }
+
+  /** [[overlap]] for eval corpora too big to broadcast raw — the
+    * Bloom-prefilter design: instead of shipping every eval gram hash
+    * (8 bytes each) to every executor, broadcast a `bits`-wide Bloom
+    * digest of them (2²⁰ bits = 128 KB regardless of eval size, stored
+    * sparse), probe each train gram against it with the codegen'd
+    * [[graft.functions.Bloom.mayContain]], and shuffle-join ONLY the
+    * surviving grams (true hits + the false-positive trickle) against
+    * the eval gram set for exact verification. Bloom filters have no
+    * false negatives and the verify join removes false positives, so
+    * the OUTPUT IS IDENTICAL to [[overlap]] — the oracle is shared —
+    * while shuffle volume drops from #train-grams to
+    * #hits + FPR·#train-grams. */
+  def overlapBloom(train: DataFrame, evalDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 8,
+      bits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    import graft.functions.{Bloom, TextHash}
+    val grams =
+      TextHash.hashedNgrams(TextHash.tokenHashes(col(textCol)), n)
+    val evalGrams = evalDocs.select(explode(grams).as("g")).distinct()
+    // sparse bitmask: only non-zero 64-bit words, as two sorted arrays
+    val words = evalGrams
+      .select(explode(Bloom.positions(col("g"), bits, k)).as("p"))
+      .select(shiftright(col("p"), 6).as("w"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("p"), lit(64)).cast(IntegerType)).as("b"))
+      .groupBy(col("w")).agg(bit_or(col("b")).as("word"))
+    val mask = words
+      .agg(array_sort(collect_list(struct(col("w"), col("word")))).as("ws"))
+      .select(transform(col("ws"), e => e.getField("w")).as("wk"),
+        transform(col("ws"), e => e.getField("word")).as("wv"))
+    train
+      .select(col(idCol), grams.as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol), size(col("__sh")).as("__n"),
+        explode(col("__sh")).as("g"))
+      .crossJoin(broadcast(mask))
+      .filter(Bloom.mayContain(col("wk"), col("wv"), col("g"), bits, k))
+      .select(col(idCol), col("__n"), col("g"))
+      // exact verify: survivors only — the eval side is NOT broadcast
+      // here (this is the huge-eval path); Spark picks a shuffle join
+      .join(evalGrams.withColumn("__hit", lit(1)), Seq("g"), "left")
       .groupBy(col(idCol))
       .agg(min(col("__n")).as("n_ngrams"),
         count(col("__hit")).as("eval_hits"))

@@ -166,6 +166,30 @@ object TextAnalysis {
           .otherwise(0.0).as("dup3gram_frac"))
   }
 
+  /** Model-based quality scoring — the fasttext-classifier-shaped
+    * stage of production curation pipelines (a linear model over hashed
+    * token features, thresholded into a keep decision), with a
+    * deterministic placeholder weight table (integer weights in
+    * [−1, 1]·10⁻³ derived from the feature hash) standing in for
+    * learned weights. The PLUMBING is the production shape: md5-h32
+    * feature hashing, one codegen'd scan-speed accumulator pass
+    * ([[graft.functions.TextHash.linearScoreSum]] — exact integer sum,
+    * so the operator is DuckDB-hash-checkable), a single float division,
+    * a threshold. Swapping in learned weights = replacing the weight
+    * formula with a broadcast lookup; nothing else changes. */
+  def modelScoreTable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.0): DataFrame = {
+    val th = graft.functions.TextHash.tokenHashes(col(textCol))
+    docs.select(col(idCol), th.as("__th"))
+      .select(col(idCol), size(col("__th")).as("n_tokens"),
+        graft.functions.TextHash.linearScoreSum(col("__th")).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          col("__s").cast(DoubleType) / (col("n_tokens") * 1000.0))
+          .otherwise(0.0).as("score"))
+      .withColumn("keep", col("score") >= threshold)
+  }
+
   /** Overlapping token-window chunking — the context-window prep step:
     * each document becomes ceil((n−chunk)/stride)+1 windows of
     * `chunkTokens` whitespace tokens, consecutive windows sharing

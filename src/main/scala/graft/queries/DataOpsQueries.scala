@@ -189,6 +189,12 @@ object DataOpsQueries {
           TextAnalysis.qualityScoreFromFacets(col("f")).as("quality"))
     }),
 
+    // Model-based quality scoring: hashed-feature linear classifier
+    // (fasttext-filter shape) with deterministic placeholder weights —
+    // one codegen'd accumulator pass, exact integer sum, hash-checked.
+    "t_quality_model" -> ((s, dir) =>
+      TextAnalysis.modelScoreTable(Tables.load(s, dir, "documents"))),
+
     "t_token_count" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -209,6 +215,17 @@ object DataOpsQueries {
     "d_decontaminate" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       graft.ops.Decontam.overlap(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0), n = 4)
+    }),
+
+    // Bloom-prefilter flavor: broadcast a 128 KB Bloom digest of the
+    // eval grams instead of the raw set, exact-verify survivors with a
+    // (non-broadcast) join — identical output, shared oracle; the
+    // scale path for eval corpora too big to broadcast.
+    "d_decontaminate_bloom" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      graft.ops.Decontam.overlapBloom(
         d.filter(col("doc_id") % 10 =!= 0),
         d.filter(col("doc_id") % 10 === 0), n = 4)
     }),
@@ -460,6 +477,31 @@ object DataOpsQueries {
        |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
        |cl AS (SELECT id, min(r) AS keep FROM reach GROUP BY id)
        |SELECT id AS vec_id, keep AS keep_id FROM cl WHERE id <> keep""".stripMargin
+
+  /** Exact decontamination oracle — shared by `d_decontaminate` and its
+    * Bloom-prefiltered twin (the Bloom has no false negatives and the
+    * exact-verify join removes false positives, so both queries produce
+    * the same rows). */
+  private val decontaminateOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |th AS (SELECT doc_id,
+       |  list_transform(t, x -> ${h32Sql("x")}) AS h FROM toks),
+       |sh AS (SELECT doc_id, CASE WHEN len(h) >= 4 THEN
+       |  list_distinct(list_transform(generate_series(1, len(h) - 3),
+       |    i -> (((h[i] * 1000003 + h[i+1]) % 3037000493 * 1000003
+       |      + h[i+2]) % 3037000493 * 1000003 + h[i+3]) % 3037000493))
+       |  ELSE [] END AS s FROM th),
+       |ev AS (SELECT DISTINCT gg FROM sh, unnest(s) u(gg)
+       |  WHERE doc_id % 10 = 0),
+       |tr AS (SELECT doc_id, len(s) AS n_ngrams, gg
+       |  FROM (SELECT doc_id, s FROM sh
+       |        WHERE doc_id % 10 <> 0 AND len(s) > 0), unnest(s) u(gg))
+       |SELECT tr.doc_id, any_value(tr.n_ngrams) AS n_ngrams,
+       |  count(ev.gg) AS eval_hits,
+       |  count(ev.gg)::DOUBLE / any_value(tr.n_ngrams) AS hit_frac
+       |FROM tr LEFT JOIN ev USING (gg)
+       |GROUP BY tr.doc_id
+       |HAVING count(ev.gg) > 0""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "s_ann_ivf" -> ivfOracleSql,
@@ -764,6 +806,22 @@ object DataOpsQueries {
          |  (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.3 AS DOUBLE) AS quality
          |FROM f""".stripMargin,
 
+    "t_quality_model" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |th AS (SELECT doc_id,
+         |  list_transform(t, x -> ${h32Sql("x")}) AS h FROM toks),
+         |sc AS (SELECT doc_id, len(h) AS n_tokens,
+         |  COALESCE(list_aggregate(list_transform(h,
+         |    x -> (x * 1000003 + 12345) % 2001 - 1000), 'sum'), 0) AS s
+         |  FROM th)
+         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         |  CASE WHEN n_tokens > 0
+         |    THEN s::DOUBLE / (n_tokens * 1000.0) ELSE 0.0 END AS score,
+         |  (CASE WHEN n_tokens > 0
+         |    THEN s::DOUBLE / (n_tokens * 1000.0) ELSE 0.0 END) >= 0.0
+         |    AS keep
+         |FROM sc""".stripMargin,
+
     "t_token_count" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
@@ -811,26 +869,11 @@ object DataOpsQueries {
          |    ELSE 0.0 END AS dup3gram_frac
          |FROM g LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)""".stripMargin,
 
-    "d_decontaminate" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |th AS (SELECT doc_id,
-         |  list_transform(t, x -> ${h32Sql("x")}) AS h FROM toks),
-         |sh AS (SELECT doc_id, CASE WHEN len(h) >= 4 THEN
-         |  list_distinct(list_transform(generate_series(1, len(h) - 3),
-         |    i -> (((h[i] * 1000003 + h[i+1]) % 3037000493 * 1000003
-         |      + h[i+2]) % 3037000493 * 1000003 + h[i+3]) % 3037000493))
-         |  ELSE [] END AS s FROM th),
-         |ev AS (SELECT DISTINCT gg FROM sh, unnest(s) u(gg)
-         |  WHERE doc_id % 10 = 0),
-         |tr AS (SELECT doc_id, len(s) AS n_ngrams, gg
-         |  FROM (SELECT doc_id, s FROM sh
-         |        WHERE doc_id % 10 <> 0 AND len(s) > 0), unnest(s) u(gg))
-         |SELECT tr.doc_id, any_value(tr.n_ngrams) AS n_ngrams,
-         |  count(ev.gg) AS eval_hits,
-         |  count(ev.gg)::DOUBLE / any_value(tr.n_ngrams) AS hit_frac
-         |FROM tr LEFT JOIN ev USING (gg)
-         |GROUP BY tr.doc_id
-         |HAVING count(ev.gg) > 0""".stripMargin,
+    // identical output to d_decontaminate by construction (the Bloom is
+    // a no-false-negative prefilter + exact verify) — shared oracle
+    "d_decontaminate_bloom" -> decontaminateOracle,
+
+    "d_decontaminate" -> decontaminateOracle,
 
     "d_decontaminate_attr" ->
       s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),

@@ -126,6 +126,39 @@ class Warehouse(val spark: SparkSession, val root: String,
 
   def rowCount(schema: String, name: String): Long = read(schema, name).count()
 
+  /** Table maintenance — the small-files compaction + clustering rewrite
+    * every long-lived table needs (incremental appends accumulate tiny
+    * files; at 100 TB the scan's task count and footer overhead follow
+    * the file count, not the byte count). Rewrites the table into
+    * ⌈rows / targetFileRows⌉ files; with `clusterBy`, range-partitions
+    * and sorts within files on those columns so parquet min/max stats
+    * prune like a coarse z-order. One data write promoted by rename —
+    * the pre-compaction table is archived like any replace, so
+    * maintenance never loses a version. */
+  def compact(schema: String, name: String, targetFileRows: Long,
+      clusterBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val df = read(schema, name)
+    val files = math.max(1L,
+      (df.count() + targetFileRows - 1) / targetFileRows).toInt
+    val arranged =
+      if (clusterBy.nonEmpty)
+        df.repartitionByRange(files, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else df.repartition(files)
+    val tmp = name + "__compact"
+    createTableAs(arranged, schema, tmp)
+    promote(schema, tmp, name)
+  }
+
+  /** Data files of a table (compaction telemetry). */
+  def dataFiles(schema: String, name: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(tablePath(schema, name))).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.endsWith(".parquet") && !f.startsWith("_")).toSeq
+  }
+
   // ------------------------------------------------------- versioning
 
   private def versionsDir(schema: String, name: String) =

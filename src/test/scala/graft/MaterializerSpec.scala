@@ -202,6 +202,27 @@ class MaterializerSpec extends AnyFunSuite {
     assert(wh.versions("main", "inc_v") == Seq(2, 3))
   }
 
+  test("compact rewrites small files into clustered big ones, versioned") {
+    val wh = freshWh()
+    // simulate append-accumulated small files: 8 partitions of orders
+    wh.createTableAs(
+      Tables.load(spark, sf, "orders").repartition(8), "main", "ord")
+    assert(wh.dataFiles("main", "ord").size == 8)
+    val before = wh.rowCount("main", "ord")
+    wh.compact("main", "ord", targetFileRows = before,
+      clusterBy = Seq("o_orderdate"))
+    assert(wh.dataFiles("main", "ord").size == 1)
+    assert(wh.rowCount("main", "ord") == before)
+    // the pre-compaction state was archived as a version
+    assert(wh.versions("main", "ord") == Seq(1))
+    assert(wh.readVersion("main", "ord", 1).count() == before)
+    // clustered: the single file is sorted by the cluster column
+    val ts = wh.read("main", "ord")
+      .selectExpr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")
+      .collect().map(_.getLong(0))
+    assert(ts.sameElements(ts.sorted), "not sorted within file")
+  }
+
   test("on_schema_change=append_new_columns evolves incremental tables") {
     val wh = freshWh()
     val m = new Materializer(wh)

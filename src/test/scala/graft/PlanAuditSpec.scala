@@ -30,9 +30,12 @@ class PlanAuditSpec extends AnyFunSuite {
   // drops into the LSH-bucketed join instead); IVF's "cross join" is
   // the one-row broadcast of the collected centroid array
   // (Similarity.nearestCells) — a scalar-broadcast pattern, not a
-  // pairing of two relations.
+  // pairing of two relations. d_decontaminate_bloom's is the same
+  // scalar-broadcast shape: the one-row sparse Bloom bitmask
+  // (Decontam.overlapBloom) crossed into the train-gram stream.
   private val denseByDesign =
-    Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8")
+    Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8",
+      "d_decontaminate_bloom")
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -131,6 +134,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q10.contains("l_returnflag"), q10)
     // all three aggregate map-side before the final exchange
     Seq(q3, q5, q10).foreach(p => assert(p.contains("partial_"), p))
+  }
+
+  test("bloom decontamination probes via the codegen kernel before the join") {
+    val p = physicalPlan("d_decontaminate_bloom")
+    assert(occurrences(p, "bloom_may_contain(") == 1, p)
+    // exact verify of survivors still partial-aggs map-side
+    assert(p.contains("partial_"), p)
+  }
+
+  test("model quality scoring is one narrow kernel pass") {
+    val p = physicalPlan("t_quality_model")
+    assert(occurrences(p, "linear_score_sum(") == 1, p)
+    assert(!p.contains("Exchange"), "t_quality_model must be a narrow pass")
   }
 
   test("decontamination attribution broadcasts eval grams like overlap") {
