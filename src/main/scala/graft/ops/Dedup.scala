@@ -77,7 +77,18 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleLen: Int = 3, numHashes: Int = 16,
       bands: Int = 4, threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    bucketPairs(
+      minhashBands(docs, idCol, textCol, shingleLen, numHashes, bands),
+      Seq("band_idx", "band_hash"), idCol, threshold, maxBucket)
+      .distinct()
+
+  /** The banded `(id, sh, band_idx, band_hash)` table that feeds
+    * [[minhashLsh]]'s pair stage — exposed so cap audits
+    * ([[oversizedBuckets]]) can inspect the PRE-cap bucket sizes. */
+  def minhashBands(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleLen: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
     import graft.functions.TextHash
     val rowsPerBand = numHashes / bands
     // tokenize→md5→shingle-combine→k-minima are native one-pass codegen
@@ -92,13 +103,10 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val sigDf = sh
       .withColumn("sig", TextHash.minHashSig(col("sh"), numHashes))
-    val banded = sigDf
+    sigDf
       .select(col(idCol), col("sh"),
         posexplode(lshBands(col("sig"), bands, rowsPerBand))
           .as(Seq("band_idx", "band_hash")))
-    bucketPairs(banded, Seq("band_idx", "band_hash"), idCol, threshold,
-      maxBucket)
-      .distinct()
   }
 
   /** Emit verified (id_a, id_b, jaccard) pairs inside each bucket with a

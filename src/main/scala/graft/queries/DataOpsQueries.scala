@@ -241,7 +241,47 @@ object DataOpsQueries {
         benchmarkCol = "source")
     }),
 
+    // Web-curation domain stages (C4/RefinedWeb shape): deterministic
+    // synthetic URLs over documents → blocklist scrub → 30-docs-per-
+    // domain cap. Narrow regex passes + one window exchange on the
+    // (low-cardinality) domain key.
+    "t_url_curation" -> ((s, dir) => {
+      val pool = Seq("news.example.com", "blog.example.org",
+        "spam.example.net", "ads.tracker.io", "docs.example.edu",
+        "forum.example.co", "shop.example.biz", "wiki.example.info")
+      val withUrl = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), concat(lit("https://"),
+          element_at(array(pool.map(lit): _*),
+            (col("doc_id") % 8 + 1).cast(IntegerType)),
+          lit("/doc/"), col("doc_id").cast(StringType)).as("url"))
+      val clean = graft.ops.UrlOps.dropBlockedDomains(withUrl, "url",
+        Seq("spam.example.net", "ads.tracker.io"))
+      graft.ops.UrlOps.domainCap(clean, "doc_id", "url", 30)
+        .select(col("doc_id"), col("domain"))
+    }),
+
+    // Cap-audit ledger: buckets whose membership exceeded the pair cap,
+    // with the dropped volume — the skip-with-counter report that makes
+    // the bounded-work guarantee auditable (cap 1 here so sf0.01
+    // produces rows; production uses the operators' 1000).
+    "d_dedup_oversized" -> ((s, dir) =>
+      Dedup.oversizedBuckets(
+        Dedup.minhashBands(Tables.load(s, dir, "documents"),
+          shingleLen = 3, numHashes = 16, bands = 4),
+        Seq("band_idx", "band_hash"), maxBucket = 1)),
+
     // --------------------------------------------------- multimodal
+    // Exact payload dedup over binary media (sha256 hash-groupBy) —
+    // the media twin of d_dedup_exact.
+    "mm_dedup" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s,
+        docsWithDups(s, dir).withColumn("source", lit("synthetic")))
+      Multimodal.extractFeatures(media).toDF()
+        .groupBy(col("sha256"))
+        .agg(min(col("media_id")).as("media_id"),
+          count(lit(1)).as("dup_count"))
+    }),
+
     "mm_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s,
         Tables.load(s, dir, "documents"))
@@ -895,6 +935,58 @@ object DataOpsQueries {
          |  count(*)::DOUBLE / any_value(tr.n_ngrams) AS overlap_frac
          |FROM tr JOIN ev USING (gg)
          |GROUP BY tr.doc_id, ev.eval_id, ev.benchmark""".stripMargin,
+
+    "t_url_curation" ->
+      """WITH u AS (SELECT doc_id,
+        |  (['news.example.com','blog.example.org','spam.example.net',
+        |    'ads.tracker.io','docs.example.edu','forum.example.co',
+        |    'shop.example.biz','wiki.example.info'])[
+        |    CAST(doc_id % 8 + 1 AS INT)] AS dom
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |  'https://' || dom || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM u WHERE dom NOT IN ('spam.example.net', 'ads.tracker.io'))
+        |SELECT doc_id,
+        |  regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS domain
+        |FROM f
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)
+        |  ORDER BY doc_id) <= 30""".stripMargin,
+
+    "d_dedup_oversized" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |th AS (
+         |  SELECT doc_id, list_transform(t, x -> ${h32Sql("x")}) AS h
+         |  FROM toks),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(h) >= 3 THEN
+         |    list_distinct(list_transform(generate_series(1, len(h) - 2),
+         |      i -> ((h[i] * 1000003 + h[i+1]) % 3037000493 * 1000003
+         |        + h[i+2]) % 3037000493))
+         |  ELSE [] END AS s FROM th),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0, 15), p ->
+         |      list_aggregate(list_transform(s, h ->
+         |        (h * (p * 2 + 1) + p * 12345 + 7) % 4294967311),
+         |        'min')) AS sg
+         |  FROM sh WHERE len(s) > 0),
+         |banded AS (
+         |  SELECT doc_id, CAST(bi AS INT) AS band_idx,
+         |    md5(array_to_string(list_transform(
+         |      list_slice(sg, bi * 4 + 1, bi * 4 + 4), v -> v::VARCHAR),
+         |      ',')) AS band_hash
+         |  FROM sig, unnest(generate_series(0, 3)) u(bi))
+         |SELECT band_idx, band_hash, count(*) AS members,
+         |  count(*) - 1 AS dropped_members
+         |FROM banded GROUP BY band_idx, band_hash
+         |HAVING count(*) > 1""".stripMargin,
+
+    "mm_dedup" ->
+      s"""WITH all_docs AS ($docsWithDupsSql)
+         |SELECT sha256(text) AS sha256, min(doc_id) AS media_id,
+         |  count(*) AS dup_count
+         |FROM all_docs GROUP BY sha256(text)""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id AS media_id,

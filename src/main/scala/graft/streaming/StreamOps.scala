@@ -109,4 +109,26 @@ object StreamOps {
       dimKey: String): DataFrame =
     events.alias("__s").join(broadcast(dim.alias("__d")),
       col(s"__s.$eventKey") === col(s"__d.$dimKey"), "left")
+
+  /** Stream-stream interval join — the attribution shape (e.g. click
+    * joins its impression within a time window): right-side rows match
+    * left-side rows with the same key whose timestamp falls in
+    * `[leftTs, leftTs + withinSeconds]`. BOTH sides carry watermarks and
+    * the join condition carries the time range, which is exactly what
+    * Spark needs to bound both state stores — without the range, state
+    * grows forever. Output columns are prefixed `l_`/`r_` (stream-stream
+    * joins forbid post-join disambiguation tricks that reshuffle). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String = "ts", watermark: String = "1 hour",
+      withinSeconds: Long = 600): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) =>
+      d.withColumnRenamed(c, s"l_$c")).withWatermark(s"l_$tsCol", watermark)
+    val r = right.columns.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"r_$c")).withWatermark(s"r_$tsCol", watermark)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") +
+          expr(s"INTERVAL $withinSeconds SECONDS"))
+  }
 }

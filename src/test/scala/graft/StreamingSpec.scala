@@ -85,6 +85,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 5L))
   }
 
+  test("stream-stream interval join attributes clicks to impressions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp, Long)] // (imp_id, ts, user)
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamOps.intervalJoin(
+      imps.toDF().toDF("imp_id", "ts", "user_id"),
+      clicks.toDF().toDF("click_id", "ts", "user_id"),
+      key = "user_id", withinSeconds = 600)
+    val q = joined.select(col("l_imp_id"), col("r_click_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attributed").start()
+    imps.addData((100L, ts(0), 1L), (101L, ts(0), 2L))
+    clicks.addData(
+      (200L, ts(5), 1L), // 5 min after user 1's impression -> match
+      (201L, ts(30), 2L), // 30 min after -> outside the 10-min window
+      (202L, ts(3), 3L)) // no impression for user 3
+    q.processAllAvailable()
+    val rows = spark.table("attributed").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(rows == Set((100L, 200L)))
+  }
+
   test("stream-static enrich joins the broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
