@@ -17,25 +17,41 @@ import org.apache.spark.sql.types._
   * column program: no driver-side sketch objects, no RNG,
   * engine-reproducible.
   *
-  * Hash family: bit position i of gram g is
-  * `(g·(2i+1) + 12345·i + 7) mod 4294967311 mod bits` — the same
-  * universal family as MinHash ([[TextHash]]), overflow-free for
-  * g < 2⁶³⁄²ᵏ. No false negatives; false positives only cost work in
-  * the exact verify stage that follows, never correctness.
+  * Hash family: a QUADRATIC (mid-square) family — with `g₁ = g mod
+  * (2³¹−1)` and `q = g₁² mod 4294967311`, bit position i is
+  * `(q·(2i+1) + g₁·(12345·i + 7) + 999331·i) mod 4294967311 mod bits`.
+  * The quadratic term matters: a purely affine family (the MinHash
+  * one) maps arithmetic-progression gram sets to clustered positions
+  * and measured ~10× the theoretical false-positive rate on structured
+  * probes; squaring first restores near-theory FPR (asserted in
+  * KernelPropertySpec). Every intermediate stays < 2⁶² — overflow-free
+  * under ANSI semantics in both the kernel and the Column form. No
+  * false negatives; false positives only cost work in the exact verify
+  * stage that follows, never correctness.
   */
 object Bloom {
   private val P = 4294967311L
+  private val M1 = 2147483647L // 2^31 − 1
 
-  def bitPosition(g: Long, i: Int, bits: Int): Long =
-    java.lang.Math.floorMod((g * (2 * i + 1) + i * 12345L + 7L) % P, bits.toLong)
+  def bitPosition(g: Long, i: Int, bits: Int): Long = {
+    val g1 = java.lang.Math.floorMod(g, M1)
+    val q = (g1 * g1) % P
+    java.lang.Math.floorMod(
+      (q * (2 * i + 1) + g1 * (12345L * i + 7L) + 999331L * i) % P,
+      bits.toLong)
+  }
 
-  /** All `k` positions for one gram — the build side's explode list. */
-  def positions(g: Column, bits: Int, k: Int): Column =
-    org.apache.spark.sql.functions.array((0 until k).map { i =>
-      org.apache.spark.sql.functions.pmod(
-        (g * (2 * i + 1) + i * 12345L + 7L) % P,
-        org.apache.spark.sql.functions.lit(bits.toLong))
+  /** All `k` positions for one gram — the build side's explode list
+    * (same arithmetic as [[bitPosition]], as Column expressions). */
+  def positions(g: Column, bits: Int, k: Int): Column = {
+    import org.apache.spark.sql.functions.{array, lit, pmod}
+    val g1 = pmod(g, lit(M1))
+    val q = (g1 * g1) % P
+    array((0 until k).map { i =>
+      pmod((q * (2 * i + 1) + g1 * (12345L * i + 7L) + 999331L * i) % P,
+        lit(bits.toLong))
     }: _*)
+  }
 
   /** true iff every one of the gram's k bits is set (binary search per
     * word over the sorted sparse index). */

@@ -220,6 +220,28 @@ object TextAnalysis {
           lit(chunkTokens))).as("n_tokens"))
   }
 
+  /** Apply a tokenizer vocabulary — the tokenization stage between
+    * curation and training: encode each document (with ≥1 token) as
+    * the id array of its analysis tokens, OOV → 0. `vocab` is a
+    * `(token, tok_id)` table (e.g. ranks of the [[graft.queries
+    * .DataOpsQueries]] vocabulary query).
+    *
+    * Scale shape: tokens explode WITH POSITION, broadcast-join the
+    * vocabulary (real vocabularies are ≤10⁶ rows — broadcast range),
+    * then regroup per document ordering by position — ONE exchange
+    * keyed on the doc id; the corpus never shuffles for the lookup. */
+  def encodeTokens(docs: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "token")))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        coalesce(col("tok_id"), lit(0)).as("tid")))).as("pt"))
+      .select(col(idCol),
+        transform(col("pt"), e => e.getField("tid")).as("ids"))
+  }
+
   /** PII patterns for redaction/counting — RE2-safe syntax (no
     * lookaround, `[0-9]` classes) so the same pattern text runs
     * identically on Spark (java.util.regex) and DuckDB (RE2). Order

@@ -330,6 +330,23 @@ object DataOpsQueries {
       TextAnalysis.chunkTable(Tables.load(s, dir, "documents"),
         chunkTokens = 64, stride = 48)),
 
+    // Tokenization: encode every document as token-id arrays against
+    // the corpus top-100 vocabulary (ids = vocab rank, OOV -> 0) — the
+    // apply-the-tokenizer stage; broadcast vocab join, one doc-keyed
+    // exchange, arrays serialized to JSON for the driver's hash.
+    "t_tokenize_ids" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val vocab = d
+        .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token")).limit(100)
+        .select(col("token"), row_number().over(
+          Window.orderBy(col("tf").desc, col("token"))).as("tok_id"))
+      TextAnalysis.encodeTokens(d, vocab)
+        .select(col("doc_id"), to_json(col("ids")).as("ids_json"))
+    }),
+
     // Corpus vocabulary: top-100 tokens by term frequency with document
     // frequency — the two-stage (partial + final) aggregation shape that
     // builds tokenizer vocabularies at scale.
@@ -594,6 +611,17 @@ object DataOpsQueries {
          |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM toks GROUP BY token
          |ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    "t_tokenize_ids" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tf AS (SELECT token, count(*) AS tf FROM (
+         |    SELECT unnest(t) AS token FROM toks) GROUP BY token
+         |  ORDER BY tf DESC, token LIMIT 100),
+         |vl AS (SELECT list(token ORDER BY tf DESC, token) AS vt FROM tf)
+         |SELECT doc_id,
+         |  to_json(list_transform(t,
+         |    x -> coalesce(list_position(vt, x), 0))) AS ids_json
+         |FROM toks, vl WHERE len(t) > 0""".stripMargin,
 
     "p_curation_pipeline" ->
       s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),

@@ -99,6 +99,37 @@ class KernelPropertySpec extends AnyFunSuite {
       s"tokenLexStats divergence on: ${stBad.map(s => s"<$s>").mkString(", ")}")
   }
 
+  test("bloom: zero false negatives, theoretical-order FPR on generated sets") {
+    import spark.implicits._
+    import graft.functions.Bloom
+    val bits = 1 << 16
+    val k = 3
+    val members = (1 to 2000).map(i => (i.toLong * 2654435761L) ^ (i * 97L))
+    val memberSet = members.toSet
+    val nonMembers = (1 to 20000).map(i => i.toLong * 1000003L + 7L)
+      .filterNot(memberSet)
+    // build the sparse mask exactly as Decontam.overlapBloom does
+    val words = members.toDF("g")
+      .select(explode(Bloom.positions(col("g"), bits, k)).as("p"))
+      .select(shiftright(col("p"), 6).as("w"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("p"), lit(64)).cast("int")).as("b"))
+      .groupBy(col("w")).agg(bit_or(col("b")).as("word"))
+    val mask = words
+      .agg(array_sort(collect_list(struct(col("w"), col("word")))).as("ws"))
+      .select(transform(col("ws"), e => e.getField("w")).as("wk"),
+        transform(col("ws"), e => e.getField("word")).as("wv"))
+    val falseNeg = members.toDF("g").crossJoin(broadcast(mask))
+      .filter(!Bloom.mayContain(col("wk"), col("wv"), col("g"), bits, k))
+      .count()
+    assert(falseNeg == 0, s"$falseNeg false negatives — must be impossible")
+    val falsePos = nonMembers.toDF("g").crossJoin(broadcast(mask))
+      .filter(Bloom.mayContain(col("wk"), col("wv"), col("g"), bits, k))
+      .count()
+    // theory: (1 - e^(-kn/m))^k ≈ 6.7e-4 → ~13 expected over 20k probes
+    assert(falsePos < 100, s"FPR too high: $falsePos / ${nonMembers.size}")
+  }
+
   test(s"property: char-shingle kernels equal their specs on $N generated strings") {
     import spark.implicits._
     import graft.functions.{MinRollingHash, MinShingleH32}
