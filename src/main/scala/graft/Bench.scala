@@ -48,6 +48,18 @@ object Bench {
       graft.ops.Dedup.dupClusters(graft.ops.Dedup.minhashLsh(tiny))
         .write.format("noop").mode("overwrite").save()
     }
+    // ... and the Bloom decontamination shape (positions explode +
+    // bit_or mask agg + broadcast-nested-loop probe + verify join):
+    // measured ~7 s of one-time codegen/JIT on d_decontaminate_bloom
+    // without this, vs a ~3.5 s steady-state query
+    locally {
+      import org.apache.spark.sql.functions.col
+      val tiny = Tables.load(spark, sfDir, "documents").limit(64)
+      graft.ops.Decontam.overlapBloom(
+        tiny.filter(col("doc_id") % 10 =!= 0),
+        tiny.filter(col("doc_id") % 10 === 0), n = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
     // drop the warm-up's localCheckpoint RDD blocks before timing — they
     // would otherwise hold executor memory for the whole measured run
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

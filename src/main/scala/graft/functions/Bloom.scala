@@ -54,18 +54,29 @@ object Bloom {
   }
 
   /** true iff every one of the gram's k bits is set (binary search per
-    * word over the sorted sparse index). */
+    * word over the sorted sparse index). Reads the sorted word-index
+    * array in place via `getLong` — no `toLongArray` copy, since this
+    * runs once per probed gram and the mask is ~2^14 words. */
   def mayContain(wordIdx: ArrayData, wordVal: ArrayData, g: Long,
       bits: Int, k: Int): Boolean = {
-    val keys = wordIdx.toLongArray()
-    val vals = wordVal.toLongArray()
+    val n = wordIdx.numElements()
     var i = 0
     while (i < k) {
       val pos = bitPosition(g, i, bits)
       val w = pos >>> 6
-      val idx = java.util.Arrays.binarySearch(keys, w)
-      if (idx < 0) return false
-      if (((vals(idx) >>> (pos & 63L).toInt) & 1L) == 0L) return false
+      var lo = 0
+      var hi = n - 1
+      var found = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val mk = wordIdx.getLong(mid)
+        if (mk < w) lo = mid + 1
+        else if (mk > w) hi = mid - 1
+        else { found = mid; lo = hi + 1 }
+      }
+      if (found < 0) return false
+      if (((wordVal.getLong(found) >>> (pos & 63L).toInt) & 1L) == 0L)
+        return false
       i += 1
     }
     true
