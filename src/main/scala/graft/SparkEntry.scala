@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{CoreQueries, DataOpsQueries, EventQueries,
-  ExtraQueries, FunctionQueries, MaterializeQueries}
+  ExtraQueries, FunctionQueries, MaterializeQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
     (MaterializeQueries.defs, MaterializeQueries.oracle),
     (DataOpsQueries.defs, DataOpsQueries.oracle),
     (EventQueries.defs, EventQueries.oracle),
-    (ExtraQueries.defs, ExtraQueries.oracle)
+    (ExtraQueries.defs, ExtraQueries.oracle),
+    (PipelineQueries.defs, PipelineQueries.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -434,4 +434,49 @@ object Dedup {
     (labels.union(centers).groupBy(col("doc_id"))
       .agg(min(col("cluster_id")).as("cluster_id")), r)
   }
+
+  /** Corpus-wide segment-level dedup (the CCNet/RefinedWeb "drop
+    * repeated paragraphs everywhere they recur" stage, ref's data-prep
+    * gap): split every document into fixed `segTokens`-token segments
+    * (the paragraph stand-in for newline-free corpora), keep each
+    * distinct segment ONLY at its first occurrence corpus-wide — first
+    * = lowest (doc, position), so reruns are deterministic — and
+    * reassemble each document from its surviving segments in order.
+    *
+    * Scale shape: two shuffles total, both on keys that partition
+    * evenly — (1) segment-hash for the first-occurrence window (a
+    * running `min` over an unbounded partition: no per-key sort
+    * semantics needed beyond the hash grouping), (2) doc id for
+    * reassembly. Boilerplate mega-segments (the skew case) cost one hot
+    * reduce key each, not a pair explosion — there is no pairing stage
+    * at all, which is what makes segment dedup cheaper than document
+    * MinHash at the same scale. */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", segTokens: Int = 8): DataFrame = {
+    val tk = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val nseg = ((size(col("__tk")) + lit(segTokens - 1)) / lit(segTokens))
+      .cast(IntegerType)
+    val segs = docs
+      .select(col(idCol), tk.as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(col(idCol), nseg.cast(LongType).as("n_segments"),
+        posexplode(transform(sequence(lit(0), nseg - 1),
+          i => concat_ws(" ",
+            slice(col("__tk"), i * segTokens + 1, lit(segTokens)))))
+          .as(Seq("seg_idx", "seg")))
+    // first corpus-wide occurrence: min (doc, position) composite per
+    // segment hash (seg_idx < 10^6 by construction at any sane segTokens)
+    val ord = col(idCol) * 1000000L + col("seg_idx")
+    import org.apache.spark.sql.expressions.Window
+    val firstOrd = min(ord).over(Window.partitionBy(md5(col("seg"))))
+    segs
+      .withColumn("__keep", ord === firstOrd)
+      .filter(col("__keep"))
+      .groupBy(col(idCol))
+      .agg(min(col("n_segments")).as("n_segments"),
+        count(lit(1)).as("kept_segments"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          e => e.getField("seg")), " ").as("text_dedup"))
+  }
 }

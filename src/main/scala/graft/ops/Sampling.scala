@@ -37,4 +37,33 @@ object Sampling {
     }
     df.filter(pmod(h32(col(keyCol).cast("string")), lit(10000)) < threshold)
   }
+
+  /** Temperature-τ=0.5 domain rebalancing (the multilingual-/domain-
+    * mixing stage: sample domain s with probability ∝ n_s^τ instead of
+    * n_s, flattening the head without dropping the tail). Realized as
+    * downsampling-only: every domain keeps fraction √(n_min/n_s) of its
+    * rows — the smallest domain keeps 100%, a 100×-larger one keeps 10%
+    * — which yields post-mix counts ∝ √n_s exactly. The keep decision
+    * is the deterministic [[hashSample]] hash on the row key, and the
+    * per-domain fraction uses only division + IEEE-exact `sqrt`, so the
+    * sampled set is engine-reproducible (DuckDB-oracle-checkable) and
+    * stable across reruns/partitionings.
+    *
+    * Scale shape: one map-side-combined count per domain (tiny result),
+    * broadcast back, then a single narrow filter over the corpus — no
+    * corpus shuffle at all. */
+  def temperatureResample(df: DataFrame, keyCol: String,
+      domainCol: String): DataFrame = {
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("domain_docs"))
+    val nmin = counts.agg(min(col("domain_docs")).as("__nmin"))
+    val thresholds = counts.crossJoin(broadcast(nmin))
+      .select(col(domainCol), col("domain_docs"),
+        floor(sqrt(col("__nmin").cast("double") /
+          col("domain_docs").cast("double")) * 10000)
+          .cast("long").as("keep_bp"))
+    df.join(broadcast(thresholds), Seq(domainCol))
+      .filter(pmod(h32(col(keyCol).cast("string")), lit(10000)) <
+        col("keep_bp"))
+  }
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import TextOps.tokens
+
+/** Keyword relevance search — Okapi BM25 top-k over the corpus, the
+  * lexical-retrieval twin of the embedding ANN family in
+  * [[Similarity]] (dense + sparse retrieval are the two halves of any
+  * corpus search stack).
+  *
+  * Scale shape: the corpus side is ONE narrow pass — per-document term
+  * frequencies for the (few) query terms are computed in-row with
+  * array `filter`/`size`, no corpus explode and no shuffle keyed by
+  * term. The only aggregations are the two tiny ones (corpus doc
+  * count/average length; per-term document frequencies — at most
+  * |query| rows), both map-side combined and broadcast back. The
+  * final top-k is Spark's TakeOrderedAndProject (per-partition heads,
+  * no global sort).
+  *
+  * Engine-exact scoring (differentially checkable against DuckDB):
+  * `ln` is NOT bit-identical across engines, so the per-term idf —
+  * the only transcendental — is quantized to 9 dp (|query| values,
+  * not |corpus|), every other factor is IEEE-exact arithmetic on
+  * integers, and the per-document sum of term scores runs through a
+  * DECIMAL(18,6) accumulator so partial-aggregation order cannot
+  * perturb the result.
+  */
+object Search {
+
+  /** Top-`k` documents by BM25 score for `queryTerms`, with the
+    * standard k1=1.2, b=0.75 parameters. Output: doc_id, score
+    * (descending), matched_tf (total term occurrences). */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text",
+      topK: Int = 100): DataFrame = {
+    val k1 = lit(1.2)
+    val b = lit(0.75)
+    val withTf = docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).cast(LongType).as("dl"),
+        array(queryTerms.map(t =>
+          struct(lit(t).as("term"),
+            size(filter(col("__t"), x => x === lit(t)))
+              .cast(LongType).as("tf"))): _*).as("__tfs"))
+      .select(col(idCol), col("dl"), explode(col("__tfs")).as("e"))
+      .select(col(idCol), col("dl"), col("e.term").as("term"),
+        col("e.tf").as("tf"))
+      .filter(col("tf") > 0)
+    val stats = docs
+      .select(size(tokens(col(textCol))).cast(LongType).as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("sum_dl"))
+    val dfreq = withTf.groupBy(col("term"))
+      .agg(count(lit(1)).as("dfreq"))
+      .crossJoin(broadcast(stats))
+      // idf quantized to 9 dp: the one non-IEEE-exact factor, one value
+      // per query term
+      .select(col("term"),
+        round(log((col("n_docs") - col("dfreq") + lit(0.5)) /
+          (col("dfreq") + lit(0.5)) + lit(1.0)), 9).as("idf"),
+        (col("sum_dl").cast(DoubleType) / col("n_docs")).as("avgdl"))
+    val termScore =
+      (col("idf") * (col("tf") * (k1 + lit(1.0)) /
+        (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))))
+        .cast(DecimalType(18, 6))
+    withTf.join(broadcast(dfreq), Seq("term"))
+      .groupBy(col(idCol))
+      .agg(sum(termScore).cast(DoubleType).as("score"),
+        sum(col("tf")).as("matched_tf"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+}

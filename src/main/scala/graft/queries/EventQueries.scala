@@ -50,6 +50,23 @@ object EventQueries {
           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
             .as("total_value"))),
 
+    // sliding windows: 1-hour windows advancing every 15 minutes (each
+    // event lands in 4 overlapping windows) — the batch twin of
+    // Structured Streaming's window(ts, "1 hour", "15 minutes"). The
+    // 4× row expansion happens map-side in the window generator; the
+    // aggregation combines partially before the one exchange on the
+    // (window, event_type) key.
+    "e_sliding_count" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("total_value"))
+        .select(col("w.start").as("window_start"),
+          col("w.end").as("window_end"), col("event_type"), col("n"),
+          col("total_value"))),
+
     // funnel: users whose first signup precedes a later purchase
     "e_funnel" -> ((s, dir) => {
       val evs = Tables.load(s, dir, "events")
@@ -140,6 +157,20 @@ object EventQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // every event belongs to the 4 15-min-aligned windows covering it;
+    // DuckDB time_bucket's origin (2000-01-01) and Spark's (epoch) are
+    // a whole number of days apart, so 15-minute boundaries coincide
+    "e_sliding_count" ->
+      """WITH w AS (SELECT event_type, value,
+        |  time_bucket(INTERVAL '15 minutes', ts)
+        |    - (i * INTERVAL '15 minutes') AS window_start
+        |  FROM events, unnest(generate_series(0, 3)) g(i))
+        |SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+        |  CAST(window_start + INTERVAL '1 hour' AS TIMESTAMP) AS window_end,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
 
     "e_funnel" ->
       """WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events

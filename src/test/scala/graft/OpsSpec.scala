@@ -415,4 +415,71 @@ class OpsSpec extends AnyFunSuite {
       nCentroids = 1024, iterations = 1)
     assert(cells.count() == 4000)
   }
+
+  test("paragraph dedup keeps each segment only at its first occurrence") {
+    import spark.implicits._
+    // doc 1 and doc 2 share segment "e f g h"; doc 3 repeats doc 1's
+    // first segment AND has a unique one
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "e f g h x y z w"),
+      (3L, "a b c d q r s t")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.paragraphDedup(docs, segTokens = 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(byId(1L) == ((2L, 2L, "a b c d e f g h"))) // first wins whole
+    assert(byId(2L) == ((2L, 1L, "x y z w"))) // shared seg dropped
+    assert(byId(3L) == ((2L, 1L, "q r s t"))) // repeat of doc1 dropped
+    // idempotent: re-running on the deduped text drops nothing
+    val again = graft.ops.Dedup.paragraphDedup(
+      graft.ops.Dedup.paragraphDedup(docs, segTokens = 4)
+        .select(col("doc_id"), col("text_dedup").as("text")),
+      segTokens = 4)
+    assert(again.filter(col("kept_segments") =!= col("n_segments"))
+      .count() == 0)
+  }
+
+  test("temperature resample keeps the smallest domain whole, head ~ sqrt") {
+    import spark.implicits._
+    // 3 domains with 1600/400/100 rows: keep_bp = 2500/5000/10000
+    val rows = (0 until 1600).map(i => (i.toLong, "web")) ++
+      (2000 until 2400).map(i => (i.toLong, "books")) ++
+      (3000 until 3100).map(i => (i.toLong, "wiki"))
+    val df = rows.toDF("doc_id", "domain")
+    val out = graft.ops.Sampling.temperatureResample(df, "doc_id", "domain")
+    val bp = out.select("domain", "keep_bp").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bp == Map("web" -> 2500L, "books" -> 5000L, "wiki" -> 10000L))
+    val kept = out.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("wiki") == 100) // smallest domain fully kept
+    // hash sampling realizes ~bp/10000 per domain (exact count is
+    // data-dependent; bound loosely)
+    assert(kept("web") > 300 && kept("web") < 500, kept.toString)
+    assert(kept("books") > 140 && kept("books") < 260, kept.toString)
+    // deterministic: identical output on a different partitioning
+    val re = graft.ops.Sampling.temperatureResample(
+      df.repartition(7), "doc_id", "domain")
+    assert(re.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("bm25 ranks the term-dense document first and bounds top-k") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark merge window"),
+      (2L, "spark table row column agg"),
+      (3L, "table row column agg join"),
+      (4L, "window merge table row column join key value part batch")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Search.bm25(docs, Seq("spark", "window", "merge"),
+      topK = 2).collect()
+    assert(out.length == 2) // topK respected; doc 3 (no match) absent
+    assert(out.head.getLong(0) == 1L) // all three terms, high tf
+    assert(out.map(_.getDouble(1)).forall(_ > 0))
+    assert(out(0).getDouble(1) > out(1).getDouble(1))
+  }
 }

@@ -33,9 +33,14 @@ class PlanAuditSpec extends AnyFunSuite {
   // pairing of two relations. d_decontaminate_bloom's is the same
   // scalar-broadcast shape: the one-row sparse Bloom bitmask
   // (Decontam.overlapBloom) crossed into the train-gram stream.
+  // d_resample_temp and s_bm25 cross only one-row aggregates into
+  // domain/term tables of at most a few dozen rows (the corpus side
+  // never enters a dense join): Sampling.temperatureResample attaches
+  // min(domain count) to the per-domain thresholds; Search.bm25
+  // attaches corpus doc-count/avg-length to the per-term idf rows.
   private val denseByDesign =
     Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8",
-      "d_decontaminate_bloom")
+      "d_decontaminate_bloom", "d_resample_temp", "s_bm25")
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
