@@ -31,6 +31,11 @@ import org.apache.spark.sql.types._
   *    (xxhash64(vec_id, replica, dim) → uniform in [-1, 1]), because
   *    any mild perturbation of a copied vector keeps cosine ≈ 1 and
   *    would plant 10× cross-replica near-dup clusters.
+  *  - `embeddings.label`: offset like a key — it is the block column of
+  *    the within-block cosine baseline, and sharing it across replicas
+  *    would grow each block 10× and its pair volume 100× (complexity
+  *    class, not size). Disjoint labels model what block keys do on a
+  *    real corpus: their cardinality grows with the data.
   *
   * Everything is a column program — no RNG state, no wall clock — so
   * the output is bit-reproducible. Usage:
@@ -87,7 +92,7 @@ object GenScale {
     }
 
     replicate("embeddings") { (d, r) =>
-      val shifted = shiftKeys(d, r, "vec_id")
+      val shifted = shiftKeys(d, r, "vec_id", "label")
       if (r == 0) shifted
       else shifted.withColumn("embedding",
         transform(sequence(lit(0), size(col("embedding")) - 1), i =>

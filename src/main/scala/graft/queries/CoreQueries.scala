@@ -247,6 +247,28 @@ object CoreQueries {
         .limit(20)
     }),
 
+    // §2.3 TPC-H Q18 shape (large-volume customers): the aggregate-
+    // filtered IN subquery plans as a semi-join against a partial-agg
+    // result — lineitem aggregates once for the filter (map-side
+    // combined), the surviving orderkeys semi-join back, and the outer
+    // aggregation groups on the wide customer/order key.
+    "q_tpch_q18" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val big = l.groupBy(col("l_orderkey").as("__bk"))
+        .agg(sum(dec(col("l_quantity"))).as("__qty"))
+        .filter(col("__qty") > 250)
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      l.join(big, l("l_orderkey") === big("__bk"), "left_semi")
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(c("c_name"), c("c_custkey"), o("o_orderkey"),
+          o("o_orderdate"), o("o_totalprice"))
+        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // ------------------------------------------------------------------
     // §2.5 windows — the flagship dedup pattern
     // (test_auto_router.py:192-211); deterministic via orderkey tie-break
@@ -471,6 +493,19 @@ object CoreQueries {
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE)
+        |    AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(24,6))) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q_window_dedup" ->
       """WITH ranked AS (

@@ -36,6 +36,19 @@ object StreamOps {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Watermarked sliding-window counts/sums per event type — each event
+    * lands in `window_/slide` overlapping windows (4 at the 1h/15min
+    * default). The expansion happens map-side in the window generator;
+    * state per key is bounded by the watermark exactly as in
+    * [[tumblingCounts]], just `window_/slide`× wider. Batch twin:
+    * `e_sliding_count` in [[graft.queries.EventQueries]]. */
+  def slidingCounts(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
   /** Gap-based streaming sessionization via per-user state: a session
     * closes after `gapSeconds` idle (event-time on the arriving batch)
     * or — when `idleTimeout` is set — on processing-time timeout,

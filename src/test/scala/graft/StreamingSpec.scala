@@ -42,6 +42,30 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 01:00:00", "view", 1L)))
   }
 
+  test("sliding windows land each event in every covering window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(20), 1, "click", 1.0), // windows starting 23:30..00:15
+      Event(2, ts(50), 1, "click", 2.0)) // windows starting 00:00..00:45
+    val q = StreamOps.slidingCounts(in.toDF(), "1 hour", "15 minutes",
+      "2 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding").start()
+    q.processAllAvailable()
+    val rows = spark.table("sliding")
+      .select(col("window.start").cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    q.stop()
+    // 4 windows each; the 00:00 and 00:15 windows cover both events
+    assert(rows.size == 6, rows.toString)
+    assert(rows("2024-01-01 00:00:00") == 2L)
+    assert(rows("2024-01-01 00:15:00") == 2L)
+    assert(rows("2023-12-31 23:30:00") == 1L)
+    assert(rows("2024-01-01 00:45:00") == 1L)
+  }
+
   test("stateful sessionizer closes sessions across the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
