@@ -111,6 +111,107 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Product-quantization ANN — the corpus-compression lever past int8:
+    * each vector is encoded as `numSub` sub-space codeword ids (d·4
+    * bytes → numSub bytes at codebookSize ≤ 256; 64-dim float → 4
+    * bytes at the defaults here), the candidate scan scores against
+    * PQ-RECONSTRUCTED vectors, and the final top-k is exact-rescored
+    * on the float originals (same scan-then-rescore contract as
+    * [[int8TopK]]).
+    *
+    * Training is per-subspace Lloyd under the standard L2 objective —
+    * `argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2)`, so assignment reuses the
+    * codegen'd dot kernel — seeded from the `codebookSize` lowest-id
+    * vectors' subvectors, means through the DECIMAL(38,18) accumulator:
+    * fully deterministic, so codebooks, codes, reconstructions, and
+    * the whole result are DuckDB-hash-checkable like the rest of the
+    * family. Scale shape: codebooks are numSub·codebookSize rows
+    * (broadcast everywhere); per Lloyd round the corpus makes one
+    * narrow pass + one (sub, code, dim)-keyed mean (map-side
+    * combined); encoding/reconstruction is one cand_id-keyed exchange;
+    * the scan itself is the dense baseline (allowlisted like
+    * [[bruteForceTopK]]/[[int8TopK]]) — at corpus scale the PQ scoring
+    * drops into the LSH-bucketed candidate join unchanged, which is
+    * the point: candidates are scored from bytes, only the final
+    * rescore touches floats. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numSub: Int = 4, codebookSize: Int = 8, iterations: Int = 2,
+      rescore: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cv"))
+
+    def subRows(df: DataFrame, id: String, vec: String): DataFrame = {
+      val sd = (size(col(vec)) / numSub).cast(IntegerType)
+      df.select(col(id), posexplode(transform(
+        sequence(lit(0), lit(numSub - 1)),
+        j => slice(col(vec), j * sd + 1, sd))).as(Seq("sub", "sv")))
+    }
+
+    // seed codebooks: the codebookSize lowest-id vectors' subvectors
+    var books = subRows(c.orderBy(col("cand_id")).limit(codebookSize),
+      "cand_id", "cv")
+      .withColumn("code", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("cand_id"))) - 1)
+      .select(col("sub"), col("code"), col("sv").as("cw"))
+      .localCheckpoint()
+
+    // L2 codeword assignment: argmax (sv·cw − cw·cw/2), code tie-break
+    def assign(pts: DataFrame, pid: String): DataFrame = {
+      val w = Window.partitionBy(col(pid), col("sub"))
+        .orderBy(col("__s").desc, col("code"))
+      pts.join(broadcast(books), Seq("sub"))
+        .withColumn("__s", dot(col("sv"), col("cw"))
+          - dot(col("cw"), col("cw")) / 2.0)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(pid), col("sub"), col("sv"), col("code"))
+    }
+
+    val subs = subRows(c, "cand_id", "cv")
+    (1 to iterations).foreach { _ =>
+      books = assign(subs, "cand_id")
+        .select(col("sub"), col("code"),
+          posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("code"), col("dim"))
+        .agg((sum(col("x").cast(DecimalType(38, 18))).cast(DoubleType) /
+          count(lit(1))).as("m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("sub"), col("code"),
+          transform(col("dm"), e => e.getField("m")).as("cw"))
+        .localCheckpoint()
+    }
+
+    // encode + reconstruct: x̂ = concat of assigned codewords in sub order
+    val recon = assign(subs, "cand_id")
+      .join(broadcast(books), Seq("sub", "code"))
+      .groupBy(col("cand_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("cw")))),
+        e => e.getField("cw"))).as("rv"))
+
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val approx = recon.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qv"), col("rv")) / norm(col("rv"))).as("approx"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("cand_id"))
+    val cand = approx.withColumn("r0", row_number().over(wA))
+      .filter(col("r0") <= rescore).select(col("query_id"), col("cand_id"))
+    val cv = c.withColumn("cn", norm(col("cv")))
+    val qv = q.withColumn("qn", norm(col("qv")))
+    val scored = cand.join(cv, "cand_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Exact top-k neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

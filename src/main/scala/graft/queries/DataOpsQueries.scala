@@ -164,6 +164,15 @@ object DataOpsQueries {
         rescore = 32)
     }),
 
+    // product-quantization ANN: 4 subspaces x 8 codewords (64-dim float
+    // -> 4 bytes/vector), per-subspace deterministic L2 Lloyd, scan on
+    // PQ reconstructions, exact rescore of the top-32.
+    "s_ann_pq" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.pqTopK(e.filter(col("vec_id") < 50), e, k = 5,
+        rescore = 32)
+    }),
+
     // ------------------------------------------------ text analysis
     // one TokenLexStats pass per row, materialized as __st; the derived
     // columns reference the attribute (CollapseProject keeps non-cheap
@@ -491,6 +500,60 @@ object DataOpsQueries {
        |c2 AS (${lloyd("a2")}),
        |cells AS (${assign("d", "c2", "cand_id", "cv", 1)})""".stripMargin
 
+  /** DuckDB replica of the PQ pipeline: 4 fixed 16-dim subspaces
+    * (mirrors pqTopK's dynamic size(cv)/numSub on the 64-dim table),
+    * seeded codebooks, two L2 Lloyd rounds per subspace
+    * (argmax (sv·cw − ‖cw‖²/2) with code tie-break), codeword
+    * reconstruction, approx scan, exact rescore. */
+  private def pqOracleSql: String = {
+    def assignPq(pts: String, books: String, pid: String) =
+      s"""SELECT $pid, sub, sv, code FROM (
+         |  SELECT p.$pid, p.sub, p.sv, b.code,
+         |    ROW_NUMBER() OVER (PARTITION BY p.$pid, p.sub
+         |      ORDER BY (${dot("p.sv", "b.cw")} -
+         |        ${dot("b.cw", "b.cw")} / 2.0) DESC, b.code) AS rn
+         |  FROM $pts p JOIN $books b ON p.sub = b.sub) t
+         |WHERE rn = 1""".stripMargin
+    def lloydPq(assigned: String) =
+      s"""SELECT sub, code, list(m ORDER BY dim) AS cw FROM (
+         |  SELECT sub, code, dim, CAST(SUM(CAST(x AS DECIMAL(38,18)))
+         |    AS DOUBLE) / COUNT(*) AS m
+         |  FROM (SELECT sub, code, UNNEST(sv) AS x,
+         |    UNNEST(generate_series(1, len(sv))) AS dim FROM $assigned)
+         |  GROUP BY sub, code, dim) GROUP BY sub, code""".stripMargin
+    s"""WITH d AS (SELECT vec_id AS cand_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings),
+       |subs AS (SELECT cand_id, CAST(j AS INT) AS sub,
+       |    list_slice(cv, j*16 + 1, j*16 + 16) AS sv
+       |  FROM d, unnest(generate_series(0, 3)) g(j)),
+       |b0 AS (SELECT sub,
+       |    CAST(row_number() OVER (PARTITION BY sub ORDER BY cand_id) - 1
+       |      AS INT) AS code, sv AS cw
+       |  FROM subs WHERE cand_id IN (
+       |    SELECT cand_id FROM d ORDER BY cand_id LIMIT 8)),
+       |a1 AS (${assignPq("subs", "b0", "cand_id")}),
+       |b1 AS (${lloydPq("a1")}),
+       |a2 AS (${assignPq("subs", "b1", "cand_id")}),
+       |b2 AS (${lloydPq("a2")}),
+       |codes AS (${assignPq("subs", "b2", "cand_id")}),
+       |recon AS (SELECT cand_id, flatten(list(cw ORDER BY sub)) AS rv
+       |  FROM codes JOIN b2 USING (sub, code) GROUP BY cand_id),
+       |qs AS (SELECT cand_id AS query_id, cv AS qv FROM d
+       |  WHERE cand_id < 50),
+       |approx AS (SELECT query_id, cand_id,
+       |    ${dot("qv", "rv")} / ${nrm("rv")} AS approx
+       |  FROM recon JOIN qs ON query_id <> cand_id),
+       |cand AS (SELECT query_id, cand_id FROM approx
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY approx DESC, cand_id) <= 32),
+       |scored AS (SELECT query_id, cand_id, ${cos("qv", "cv")} AS cosine
+       |  FROM cand JOIN d USING (cand_id) JOIN qs USING (query_id))
+       |SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id) AS rnk FROM scored)
+       |WHERE rnk <= 5""".stripMargin
+  }
+
   private def ivfOracleSql: String = {
     s"""WITH d AS (SELECT vec_id AS cand_id,
        |    list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings),
@@ -562,6 +625,7 @@ object DataOpsQueries {
 
   val oracle: Map[String, String] = Map(
     "s_ann_ivf" -> ivfOracleSql,
+    "s_ann_pq" -> pqOracleSql,
     "p_semdedup" -> semdedupOracleSql,
     "d_dedup_exact" ->
       s"""WITH all_docs AS ($docsWithDupsSql)

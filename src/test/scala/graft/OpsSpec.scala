@@ -416,6 +416,35 @@ class OpsSpec extends AnyFunSuite {
     assert(cells.count() == 4000)
   }
 
+  test("PQ ANN: planted near-dups survive the byte scan and rescore to rank 1") {
+    val e = Tables.load(spark, sf, "embeddings")
+    // plant 1.001x copies; their PQ codes coincide with the originals',
+    // so the reconstruction scan must carry them into the rescore set,
+    // and the exact rescore must rank them first (cosine ~ 1.0)
+    val dup = e.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+        col("label"))
+    val corpus = e.unionByName(dup.select(e.columns.map(col): _*))
+    val queries = e.filter(col("vec_id") % 100 === 0)
+    val top = graft.ops.Similarity.pqTopK(queries, corpus, k = 5)
+      .collect()
+    val byQuery = top.groupBy(_.getLong(0))
+    assert(byQuery.size == queries.count())
+    byQuery.foreach { case (qid, rows) =>
+      val first = rows.minBy(_.getInt(3))
+      assert(first.getLong(1) == qid + 10000,
+        s"query $qid rank-1 was ${first.getLong(1)}")
+      assert(first.getDouble(2) > 0.999)
+    }
+    // compression contract: 4 sub-codes of 8 codewords = 2^12 possible
+    // reconstructions; determinism: a re-run returns identical rows
+    val again = graft.ops.Similarity.pqTopK(queries, corpus, k = 5)
+      .collect()
+    assert(top.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+
   test("paragraph dedup keeps each segment only at its first occurrence") {
     import spark.implicits._
     // doc 1 and doc 2 share segment "e f g h"; doc 3 repeats doc 1's

@@ -39,7 +39,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // min(domain count) to the per-domain thresholds; Search.bm25
   // attaches corpus doc-count/avg-length to the per-term idf rows.
   private val denseByDesign =
-    Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8",
+    Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8", "s_ann_pq",
       "d_decontaminate_bloom", "d_resample_temp", "s_bm25")
 
   test("no accidental Cartesian product in any registered query") {
