@@ -72,4 +72,32 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    * merge lexical (BM25) and dense (ANN) retrieval into one hybrid
+    * ranking: each input ranking contributes `1/(kConst + rank)` and
+    * documents absent from a ranking contribute 0.
+    *
+    * Deterministic by construction: ranks are integers, each
+    * contribution is one exact IEEE division, and the fused score is a
+    * FIXED-ORDER fold over the rankings (successive outer joins in
+    * input order, not an aggregation) — so it hash-matches across
+    * engines with no quantization. Each ranking is top-k-bounded and
+    * the joins are id-keyed; at corpus scale the inputs are already
+    * tiny (k rows per query source). */
+  def rrfFuse(rankings: Seq[(String, DataFrame)],
+      idCol: String = "doc_id", kConst: Int = 60,
+      topK: Int = 50): DataFrame = {
+    val contribs = rankings.map { case (name, df) =>
+      df.select(col(idCol), col("rank").cast(LongType).as(s"${name}_rank"))
+    }
+    val joined = contribs.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(kConst) + col(s"${name}_rank")), lit(0.0))
+    }.reduce(_ + _)
+    joined
+      .withColumn("rrf", score)
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
 }

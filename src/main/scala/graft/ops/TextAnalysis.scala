@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -275,4 +276,44 @@ object TextAnalysis {
       .withColumn("quality", qualityScore(col(textCol)))
       .withColumn("tokens", tokenCounts(col(textCol)))
       .withColumn("fp", fingerprint(col(textCol)))
+
+  /** Sequence-packing manifest — the concat-then-chunk packing LLM
+    * pretraining uses (all documents concatenated in id order, the
+    * token stream cut into fixed `seqLen` sequences): for every
+    * document, its global token offset and the first/last training
+    * sequence it lands in. `seqLen` should be a power of two (the
+    * 256/512/1024/... convention) so the offset division is IEEE-exact
+    * and the manifest is engine-reproducible.
+    *
+    * Scale shape: the global ordered cumulative sum — the part a naive
+    * `Window.orderBy(id)` would serialize onto ONE partition — is
+    * two-level: an in-bucket cumsum windowed by `id div bucketSize`
+    * (shuffle keyed by bucket, even partitions by construction) plus a
+    * bucket-offset table of N/bucketSize rows whose own prefix sum runs
+    * on the tiny side and broadcasts back. No corpus-wide sort, no
+    * single-partition stage. */
+  def packManifest(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", seqLen: Int = 256,
+      bucketSize: Int = 1000): DataFrame = {
+    val n = docs
+      .select(col(idCol), size(TextOps.tokens(col(textCol)))
+        .cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("__bucket", floor(col(idCol) / lit(bucketSize)))
+    val inBucket = Window.partitionBy(col("__bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = n.withColumn("__cum", sum(col("n_tokens")).over(inBucket))
+    val offsets = n.groupBy(col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(
+        Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__off"))
+    withCum.join(broadcast(offsets), Seq("__bucket"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__off") + col("__cum") - col("n_tokens")).as("tok_offset"))
+      .withColumn("seq_first", floor(col("tok_offset") / lit(seqLen)))
+      .withColumn("seq_last",
+        floor((col("tok_offset") + col("n_tokens") - 1) / lit(seqLen)))
+  }
 }

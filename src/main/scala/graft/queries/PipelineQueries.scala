@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Sampling, Search}
+import graft.ops.{Dedup, Sampling, Search, Similarity, TextAnalysis}
 
 /** Round-4 pipeline additions: corpus-wide segment (paragraph) dedup,
   * temperature-based domain rebalancing, and BM25 lexical retrieval —
@@ -33,6 +33,42 @@ object PipelineQueries {
       .when(col("doc_id") % 100 < 95, "code")
       .otherwise("wiki")
 
+  // sequential-fold dot / norm mirroring graft.functions.VecMath
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, len($a)), " +
+      s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def nrmSql(a: String) =
+    s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+
+  /** Shared BM25 CTE chain ending in `sc(doc_id, ts DECIMAL, tf)` —
+    * the per-(doc, term) quantized score rows both `s_bm25` and the
+    * hybrid fusion aggregate. */
+  private def bm25Ctes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |l AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM t),
+       |s AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+       |  FROM l),
+       |q AS (SELECT unnest(['spark', 'window', 'merge']) AS term),
+       |tf AS (SELECT doc_id, dl, term,
+       |    CAST(len(list_filter(tk, x -> x = term)) AS BIGINT) AS tf
+       |  FROM l, q),
+       |tfp AS (SELECT * FROM tf WHERE tf > 0),
+       |dfq AS (SELECT term, count(*) AS dfreq FROM tfp GROUP BY term),
+       |idf AS (SELECT term,
+       |    round(ln((s.n_docs - dfreq + CAST(0.5 AS DOUBLE)) /
+       |      (dfreq + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 9)
+       |      AS idf,
+       |    CAST(s.sum_dl AS DOUBLE) / s.n_docs AS avgdl
+       |  FROM dfq, s),
+       |sc AS (SELECT doc_id,
+       |    CAST(idf * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+       |      (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+       |        - CAST(0.75 AS DOUBLE)
+       |        + CAST(0.75 AS DOUBLE) * dl / avgdl)))
+       |      AS DECIMAL(18,6)) AS ts,
+       |    tf
+       |  FROM tfp JOIN idf USING (term))""".stripMargin
+
   val defs: Map[String, Q] = Map(
     // CCNet/RefinedWeb-style corpus-wide segment dedup: every 8-token
     // segment survives only at its first (doc, position) occurrence;
@@ -55,7 +91,29 @@ object PipelineQueries {
     // BM25 top-100 lexical retrieval for a 3-term query.
     "s_bm25" -> ((s, dir) =>
       Search.bm25(Tables.load(s, dir, "documents"),
-        Seq("spark", "window", "merge"), topK = 100))
+        Seq("spark", "window", "merge"), topK = 100)),
+
+    // Sequence-packing manifest: concat-then-chunk at 256 tokens, the
+    // two-level bucketed cumsum standing in for the global ordered
+    // window a naive plan would serialize.
+    "t_pack_manifest" -> ((s, dir) =>
+      TextAnalysis.packManifest(Tables.load(s, dir, "documents"),
+        seqLen = 256, bucketSize = 100)),
+
+    // Hybrid retrieval: BM25 lexical ranks fused with dense ANN ranks
+    // (query = embedding 0) by reciprocal-rank fusion.
+    "s_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = Search.bm25(Tables.load(s, dir, "documents"),
+        Seq("spark", "window", "merge"), topK = 100)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
+      val e = Tables.load(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") === 0), e, k = 100)
+        .select(col("cand_id").as("doc_id"), col("rnk").as("rank"))
+      Search.rrfFuse(Seq("lex" -> lex, "dense" -> dense), topK = 50)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -91,33 +149,51 @@ object PipelineQueries {
          |WHERE ${h32Sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < f.keep_bp""".stripMargin,
 
     "s_bm25" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |l AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM t),
-         |s AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
-         |  FROM l),
-         |q AS (SELECT unnest(['spark', 'window', 'merge']) AS term),
-         |tf AS (SELECT doc_id, dl, term,
-         |    CAST(len(list_filter(tk, x -> x = term)) AS BIGINT) AS tf
-         |  FROM l, q),
-         |tfp AS (SELECT * FROM tf WHERE tf > 0),
-         |dfq AS (SELECT term, count(*) AS dfreq FROM tfp GROUP BY term),
-         |idf AS (SELECT term,
-         |    round(ln((s.n_docs - dfreq + CAST(0.5 AS DOUBLE)) /
-         |      (dfreq + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 9)
-         |      AS idf,
-         |    CAST(s.sum_dl AS DOUBLE) / s.n_docs AS avgdl
-         |  FROM dfq, s),
-         |sc AS (SELECT doc_id,
-         |    CAST(idf * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
-         |      (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
-         |        - CAST(0.75 AS DOUBLE)
-         |        + CAST(0.75 AS DOUBLE) * dl / avgdl)))
-         |      AS DECIMAL(18,6)) AS ts,
-         |    tf
-         |  FROM tfp JOIN idf USING (term))
+      s"""WITH $bm25Ctes
          |SELECT doc_id, CAST(SUM(ts) AS DOUBLE) AS score,
          |  CAST(SUM(tf) AS BIGINT) AS matched_tf
          |FROM sc GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+         |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+
+    "t_pack_manifest" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT)
+         |    AS n_tokens FROM documents),
+         |f AS (SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_offset
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens, tok_offset,
+         |  CAST(floor(tok_offset / 256.0) AS BIGINT) AS seq_first,
+         |  CAST(floor((tok_offset + n_tokens - 1) / 256.0) AS BIGINT)
+         |    AS seq_last
+         |FROM f""".stripMargin,
+
+    "s_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |bm AS (SELECT doc_id, CAST(SUM(ts) AS DOUBLE) AS score
+         |  FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 100),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank FROM bm),
+         |ev AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |qv AS (SELECT v AS qvec FROM ev WHERE vec_id = 0),
+         |cosd AS (SELECT ev.vec_id,
+         |    ${dotSql("qvec", "ev.v")} / (${nrmSql("qvec")} *
+         |      ${nrmSql("ev.v")}) AS cosine
+         |  FROM ev, qv WHERE ev.vec_id <> 0),
+         |dense AS (SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+         |      AS BIGINT) AS dense_rank
+         |  FROM cosd
+         |  QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 100)
+         |SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+         |  lex_rank, dense_rank,
+         |  COALESCE(1.0::DOUBLE / (60 + lex_rank), 0.0::DOUBLE) +
+         |  COALESCE(1.0::DOUBLE / (60 + dense_rank), 0.0::DOUBLE) AS rrf
+         |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+         |ORDER BY rrf DESC, COALESCE(lex.doc_id, dense.doc_id)
+         |LIMIT 50""".stripMargin
   )
 }

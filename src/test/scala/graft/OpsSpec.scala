@@ -496,6 +496,47 @@ class OpsSpec extends AnyFunSuite {
       out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("pack manifest: offsets are the ordered cumsum, bucket-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(5)("a").mkString(" ")),    // offset 0
+      (2L, Seq.fill(250)("b").mkString(" ")),  // offset 5
+      (3L, Seq.fill(10)("c").mkString(" "))    // offset 255, straddles
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.packManifest(docs, seqLen = 256,
+      bucketSize = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 0L, 0L, 0L),
+      (2L, 250L, 5L, 0L, 0L),
+      (3L, 10L, 255L, 0L, 1L))) // crosses the 256 boundary
+    // the bucketed two-level cumsum is a pure strategy choice: any
+    // bucket size yields the identical manifest
+    val big = graft.ops.TextAnalysis.packManifest(docs, seqLen = 256,
+      bucketSize = 1000).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(big.toSeq == out.toSeq)
+  }
+
+  test("rrf fusion rewards presence in both rankings, handles absences") {
+    import spark.implicits._
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val dense = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val out = graft.ops.Search.rrfFuse(
+      Seq("lex" -> lex, "dense" -> dense), topK = 10).collect()
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // doc 20 is in both rankings -> highest fused score
+    assert(out.head.getLong(0) == 20L)
+    assert(math.abs(byId(20L) - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(byId(10L) - 1.0 / 61) < 1e-15) // lex only
+    assert(math.abs(byId(40L) - 1.0 / 62) < 1e-15) // dense only
+    // absent ranks are null, not zero
+    val r40 = out.find(_.getLong(0) == 40L).get
+    assert(r40.isNullAt(1) && r40.getLong(2) == 2L)
+  }
+
   test("bm25 ranks the term-dense document first and bounds top-k") {
     import spark.implicits._
     val docs = Seq(
