@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Link-graph operators for web-corpus curation — the domain/page
+  * authority signal Common-Crawl-scale pipelines mix into quality
+  * scoring (alongside the content-level scores in [[TextAnalysis]]).
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank with damping `d`: r₀ = 1/N,
+    * rₖ₊₁(v) = (1−d)/N + d·Σ_{u→v} rₖ(u)/outdeg(u).
+    *
+    * A FIXED iteration count (not convergence-tested) keeps the
+    * operator a pure deterministic dataflow — per-edge contributions
+    * are exact IEEE divisions/products on identical operands and every
+    * per-node sum runs through a DECIMAL(38,18) accumulator, so ranks
+    * are bit-identical across engines and partitionings
+    * (DuckDB-hash-checkable like the rest of the library). Callers pick
+    * `iterations` for their graph diameter; errors decay as dᵏ.
+    *
+    * Scale shape per iteration: one join of edges⋈ranks on src (both
+    * sides shuffle-partitioned on the join key — the standard giant-
+    * graph layout; neither side is collected or broadcast), one
+    * map-side-combined groupBy(dst), and one left join back to the
+    * node set for nodes with no in-links (teleport mass only). Rank
+    * lineage is checkpoint-truncated per round like [[Dedup
+    * .dupClusters]]. Nodes with out-degree 0 (dangling) are supported:
+    * their mass leaks rather than redistributes — the common
+    * simplification; pipelines that need mass conservation add a
+    * dangling-sum term, at the cost of one extra tiny aggregate per
+    * round. */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", damping: Double = 0.85,
+      iterations: Int = 5): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst")))
+      .distinct()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // N as a literal-free one-row table: the node count must come from
+    // the data, and a broadcast scalar join keeps the program collect-free
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
+      .localCheckpoint()
+    (1 to iterations).foreach { _ =>
+      val contrib = e
+        .join(outDeg, Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          (lit(damping) * (col("rank") / col("outdeg"))).as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c").cast(DecimalType(38, 18))).cast(DoubleType)
+          .as("inflow"))
+      ranks = nodes.crossJoin(broadcast(n))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) / col("n_nodes") +
+            coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -100,6 +100,22 @@ object PipelineQueries {
       TextAnalysis.packManifest(Tables.load(s, dir, "documents"),
         seqLen = 256, bucketSize = 100)),
 
+    // Domain-authority PageRank over a deterministic synthetic link
+    // graph (two hash-derived out-edges per document), 5 fixed
+    // iterations, DECIMAL-exact rank sums.
+    "p_pagerank" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val n = d.agg(count(lit(1)).as("cnt"))
+      val base = d.crossJoin(broadcast(n))
+      val edges = base.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 31 + 7, col("cnt")).as("dst"))
+        .unionByName(base.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 17 + 3, col("cnt")).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      graft.ops.Graph.pageRank(edges, iterations = 5)
+        .select(col("node").as("doc_id"), col("rank"))
+    }),
+
     // Hybrid retrieval: BM25 lexical ranks fused with dense ANN ranks
     // (query = embedding 0) by reciprocal-rank fusion.
     "s_hybrid_rrf" -> ((s, dir) => {
@@ -115,6 +131,39 @@ object PipelineQueries {
       Search.rrfFuse(Seq("lex" -> lex, "dense" -> dense), topK = 50)
     })
   )
+
+  /** DuckDB replica of the fixed-iteration PageRank: same synthetic
+    * edge derivation, 5 unrolled iteration CTEs, DECIMAL(38,18) rank
+    * sums, all literals forced DOUBLE (bare decimals parse as DECIMAL
+    * in DuckDB and would change the arithmetic). */
+  private def pagerankOracleSql: String = {
+    def iter(prev: String, i: Int): String =
+      s"""c$i AS (SELECT e.dst AS node,
+         |    CAST(SUM(CAST(CAST(0.85 AS DOUBLE) * (r.rank / od.outdeg)
+         |      AS DECIMAL(38,18))) AS DOUBLE) AS inflow
+         |  FROM e JOIN od USING (src) JOIN $prev r ON r.node = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT nodes.node,
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n_nodes +
+         |      COALESCE(inflow, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.node = c$i.node)"""
+        .stripMargin
+    s"""WITH n AS (SELECT count(*) AS cnt FROM documents),
+       |e0 AS (
+       |  SELECT doc_id AS src, (doc_id * 31 + 7) % cnt AS dst
+       |  FROM documents, n
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 17 + 3) % cnt FROM documents, n),
+       |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n_nodes AS rank
+       |  FROM nodes CROSS JOIN nn),
+       |${(1 to 5).map(i => iter(s"r${i - 1}", i)).mkString(",\n")}
+       |SELECT node AS doc_id, rank FROM r5""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "d_dedup_paragraph" ->
@@ -154,6 +203,8 @@ object PipelineQueries {
          |  CAST(SUM(tf) AS BIGINT) AS matched_tf
          |FROM sc GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+
+    "p_pagerank" -> pagerankOracleSql,
 
     "t_pack_manifest" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT)

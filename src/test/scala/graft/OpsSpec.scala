@@ -496,6 +496,22 @@ class OpsSpec extends AnyFunSuite {
       out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("pagerank: cycle symmetry, hub accumulation, dangling leak") {
+    import spark.implicits._
+    // 3-cycle: perfectly symmetric, every rank stays exactly 1/3
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val rc = graft.ops.Graph.pageRank(cycle, iterations = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rc.values.toSet.size == 1)
+    assert(math.abs(rc(1L) - 1.0 / 3) < 1e-12)
+    // star into node 1, node 1 dangling: hub collects, mass leaks
+    val star = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val rs = graft.ops.Graph.pageRank(star, iterations = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rs(1L) > rs(2L) && rs(2L) == rs(3L) && rs(3L) == rs(4L))
+    assert(rs.values.sum < 1.0) // dangling node 1 leaks its mass
+  }
+
   test("pack manifest: offsets are the ordered cumsum, bucket-invariant") {
     import spark.implicits._
     val docs = Seq(

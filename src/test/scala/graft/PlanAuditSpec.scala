@@ -38,11 +38,13 @@ class PlanAuditSpec extends AnyFunSuite {
   // never enters a dense join): Sampling.temperatureResample attaches
   // min(domain count) to the per-domain thresholds; Search.bm25
   // attaches corpus doc-count/avg-length to the per-term idf rows.
-  // s_hybrid_rrf embeds the brute-force dense scan as its ANN side.
+  // s_hybrid_rrf embeds the brute-force dense scan as its ANN side;
+  // p_pagerank crosses only the one-row node-count aggregate into the
+  // node set (scalar-broadcast, collect-free N).
   private val denseByDesign =
     Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8", "s_ann_pq",
       "d_decontaminate_bloom", "d_resample_temp", "s_bm25",
-      "s_hybrid_rrf")
+      "s_hybrid_rrf", "p_pagerank")
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
