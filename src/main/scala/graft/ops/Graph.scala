@@ -35,12 +35,20 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", damping: Double = 0.85,
       iterations: Int = 5): DataFrame = {
+    // loop invariants are checkpointed ONCE: every iteration's eager
+    // rank checkpoint is its own job, and without this each round would
+    // re-run the edge distinct, the degree aggregation, and the node
+    // union from the source — the iterative-graph convention (cache the
+    // edge structure, iterate only the rank vector)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst")))
       .distinct()
+      .localCheckpoint()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     // N as a literal-free one-row table: the node count must come from
     // the data, and a broadcast scalar join keeps the program collect-free
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
