@@ -277,6 +277,63 @@ object TextAnalysis {
       .withColumn("tokens", tokenCounts(col(textCol)))
       .withColumn("fp", fingerprint(col(textCol)))
 
+  /** Bigram-LM cross-entropy scoring — the CCNet-style perplexity
+    * quality filter: train an add-one-smoothed bigram language model on
+    * a reference corpus (CCNet uses Wikipedia; callers pass any clean
+    * split), score every target document by its average negative
+    * log-probability, and filter/bucket on the score (low = fluent,
+    * high = noise).
+    *
+    * Engine-exact like [[Search.bm25]]: each bigram's
+    * `ln((c(ab)+1)/(c(a)+V))` is quantized to 6 dp — the distinct
+    * argument set is bounded by the LM's (pair count, prefix count)
+    * combinations, not corpus size — and the 6-dp values sum EXACTLY
+    * through a DECIMAL(18,6) accumulator (a 6-dp-rounded double casts
+    * to DECIMAL(18,6) losslessly), so the per-doc order of bigrams
+    * cannot perturb the score.
+    *
+    * Scale shape: LM training is two map-side-combined counts over the
+    * (small) reference corpus; the model broadcasts; the target corpus
+    * makes one narrow tokenize+explode pass, one broadcast join, and
+    * one doc-keyed aggregation — shuffle volume is per-document rows,
+    * never per-bigram. */
+  def bigramCrossEntropy(target: DataFrame, reference: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def bigrams(tk: Column): Column =
+      when(size(tk) >= 2, transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"),
+          element_at(tk, i + 1).as("w2"))))
+        .otherwise(array().cast(ArrayType(
+          StructType(Seq(StructField("w1", StringType),
+            StructField("w2", StringType))))))
+    val refToks = reference.select(tokens(col(textCol)).as("__t"))
+    val uni = refToks.select(explode(col("__t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bi = refToks.select(explode(bigrams(col("__t"))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val vocabSize = uni.agg(count(lit(1)).as("v"))
+    val tgt = target
+      .select(col(idCol), bigrams(tokens(col(textCol))).as("__b"))
+      .filter(size(col("__b")) > 0)
+      .select(col(idCol), size(col("__b")).cast(LongType).as("n_bigrams"),
+        explode(col("__b")).as("b"))
+      .select(col(idCol), col("n_bigrams"), col("b.w1"), col("b.w2"))
+    val logp = round(log(
+      (coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+        (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
+    tgt
+      .join(broadcast(uni), Seq("w1"), "left")
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(vocabSize))
+      .select(col(idCol), col("n_bigrams"),
+        logp.cast(DecimalType(18, 6)).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(min(col("n_bigrams")).as("n_bigrams"),
+        (-sum(col("__lp")).cast(DoubleType) /
+          min(col("n_bigrams"))).as("cross_entropy"))
+  }
+
   /** Sequence-packing manifest — the concat-then-chunk packing LLM
     * pretraining uses (all documents concatenated in id order, the
     * token stream cut into fixed `seqLen` sequences): for every

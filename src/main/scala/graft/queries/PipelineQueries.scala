@@ -100,6 +100,16 @@ object PipelineQueries {
       TextAnalysis.packManifest(Tables.load(s, dir, "documents"),
         seqLen = 256, bucketSize = 100)),
 
+    // CCNet-style perplexity quality filter: add-one bigram LM trained
+    // on the doc_id % 10 = 0 split (the same "clean reference" split
+    // the decontamination queries use), cross-entropy-scores the rest.
+    "t_perplexity" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      TextAnalysis.bigramCrossEntropy(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0))
+    }),
+
     // Domain-authority PageRank over a deterministic synthetic link
     // graph (two hash-derived out-edges per document), 5 fixed
     // iterations, DECIMAL-exact rank sums.
@@ -205,6 +215,30 @@ object PipelineQueries {
          |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
 
     "p_pagerank" -> pagerankOracleSql,
+
+    "t_perplexity" ->
+      s"""WITH ref AS (SELECT $toksSql AS t FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |uni AS (SELECT w1, count(*) AS c1 FROM (
+         |    SELECT unnest(t) AS w1 FROM ref) GROUP BY w1),
+         |bi AS (SELECT w1, w2, count(*) AS c2 FROM (
+         |    SELECT t[i] AS w1, t[i+1] AS w2
+         |    FROM ref, unnest(generate_series(1, len(t) - 1)) g(i))
+         |  GROUP BY w1, w2),
+         |vs AS (SELECT count(*) AS v FROM uni),
+         |tgt AS (SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS n_bigrams,
+         |    t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents
+         |    WHERE doc_id % 10 <> 0) d,
+         |    unnest(generate_series(1, len(t) - 1)) g(i)),
+         |lp AS (SELECT doc_id, n_bigrams,
+         |    CAST(round(ln((COALESCE(c2, 0) + CAST(1.0 AS DOUBLE)) /
+         |      (COALESCE(c1, 0) + v)), 6) AS DECIMAL(18,6)) AS lp
+         |  FROM tgt LEFT JOIN uni USING (w1)
+         |  LEFT JOIN bi USING (w1, w2) CROSS JOIN vs)
+         |SELECT doc_id, MIN(n_bigrams) AS n_bigrams,
+         |  -CAST(SUM(lp) AS DOUBLE) / MIN(n_bigrams) AS cross_entropy
+         |FROM lp GROUP BY doc_id""".stripMargin,
 
     "t_pack_manifest" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT)

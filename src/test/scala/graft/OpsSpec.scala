@@ -496,6 +496,21 @@ class OpsSpec extends AnyFunSuite {
       out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("bigram LM: in-distribution text scores lower cross-entropy than noise") {
+    import spark.implicits._
+    val ref = Seq((0L, "the cat sat on the mat the cat ran"))
+      .toDF("doc_id", "text")
+    val tgt = Seq(
+      (1L, "the cat sat on the mat"), // every bigram seen in ref
+      (2L, "zz qq ww ee rr tt")       // nothing seen
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.bigramCrossEntropy(tgt, ref)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) < out(2L),
+      s"fluent ${out(1L)} should beat noise ${out(2L)}")
+    assert(out.values.forall(_ > 0))
+  }
+
   test("pagerank: cycle symmetry, hub accumulation, dangling leak") {
     import spark.implicits._
     // 3-cycle: perfectly symmetric, every rank stays exactly 1/3

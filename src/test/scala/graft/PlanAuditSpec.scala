@@ -39,12 +39,13 @@ class PlanAuditSpec extends AnyFunSuite {
   // min(domain count) to the per-domain thresholds; Search.bm25
   // attaches corpus doc-count/avg-length to the per-term idf rows.
   // s_hybrid_rrf embeds the brute-force dense scan as its ANN side;
-  // p_pagerank crosses only the one-row node-count aggregate into the
-  // node set (scalar-broadcast, collect-free N).
+  // p_pagerank and t_perplexity cross only one-row aggregates (node
+  // count / vocabulary size) into row streams — the scalar-broadcast
+  // pattern, collect-free.
   private val denseByDesign =
     Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8", "s_ann_pq",
       "d_decontaminate_bloom", "d_resample_temp", "s_bm25",
-      "s_hybrid_rrf", "p_pagerank")
+      "s_hybrid_rrf", "p_pagerank", "t_perplexity")
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
