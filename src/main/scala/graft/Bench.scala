@@ -60,6 +60,17 @@ object Bench {
         tiny.filter(col("doc_id") % 10 === 0), n = 4)
         .write.format("noop").mode("overwrite").save()
     }
+    // ... and the bigram-LM shape (posexplode + element_at pairing +
+    // broadcast LM joins + decimal sum): ~10 s of one-time codegen on
+    // t_perplexity without this, vs a ~2 s steady-state query
+    locally {
+      import org.apache.spark.sql.functions.col
+      val tiny = Tables.load(spark, sfDir, "documents").limit(64)
+      graft.ops.TextAnalysis.bigramCrossEntropy(
+        tiny.filter(col("doc_id") % 10 =!= 0),
+        tiny.filter(col("doc_id") % 10 === 0))
+        .write.format("noop").mode("overwrite").save()
+    }
     // drop the warm-up's localCheckpoint RDD blocks before timing — they
     // would otherwise hold executor memory for the whole measured run
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

@@ -299,26 +299,29 @@ object TextAnalysis {
     * never per-bigram. */
   def bigramCrossEntropy(target: DataFrame, reference: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def bigrams(tk: Column): Column =
-      when(size(tk) >= 2, transform(sequence(lit(1), size(tk) - 1),
-        i => struct(element_at(tk, i).as("w1"),
-          element_at(tk, i + 1).as("w2"))))
-        .otherwise(array().cast(ArrayType(
-          StructType(Seq(StructField("w1", StringType),
-            StructField("w2", StringType))))))
+    // bigram rows WITHOUT a higher-order lambda: posexplode the token
+    // array (a named attribute — Generate keeps it a reference, not a
+    // copy) and pair each position with element_at(t, i+2). Everything
+    // stays in whole-stage codegen; the first formulation (transform
+    // lambda building struct pairs) ran interpreted and re-evaluated
+    // the array expression per element — 26 s vs ~2 s at sf0.1.
+    def bigramRows(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.filter(size(col("__t")) >= 2)
+        .select(extra ++ Seq((size(col("__t")) - 1).cast(LongType)
+          .as("n_bigrams"), col("__t"),
+          posexplode(col("__t")).as(Seq("__i", "w1"))): _*)
+        .filter(col("__i") < col("n_bigrams"))
+        .select(extra ++ Seq(col("n_bigrams"), col("w1"),
+          element_at(col("__t"), col("__i") + 2).as("w2")): _*)
     val refToks = reference.select(tokens(col(textCol)).as("__t"))
     val uni = refToks.select(explode(col("__t")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val bi = refToks.select(explode(bigrams(col("__t"))).as("b"))
-      .select(col("b.w1"), col("b.w2"))
+    val bi = bigramRows(refToks, Seq.empty)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val vocabSize = uni.agg(count(lit(1)).as("v"))
-    val tgt = target
-      .select(col(idCol), bigrams(tokens(col(textCol))).as("__b"))
-      .filter(size(col("__b")) > 0)
-      .select(col(idCol), size(col("__b")).cast(LongType).as("n_bigrams"),
-        explode(col("__b")).as("b"))
-      .select(col(idCol), col("n_bigrams"), col("b.w1"), col("b.w2"))
+    val tgt = bigramRows(
+      target.select(col(idCol), tokens(col(textCol)).as("__t")),
+      Seq(col(idCol)))
     val logp = round(log(
       (coalesce(col("c2"), lit(0L)) + lit(1.0)) /
         (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
