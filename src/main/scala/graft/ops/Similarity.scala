@@ -111,6 +111,57 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** The production 100-TB ANN configuration — LSH-bucketed candidate
+    * generation composed with int8 candidate scoring and exact float
+    * rescore: candidates only form inside shared (table, bucket) cells
+    * (never a dense scan), the candidate scoring reads the 4×-smaller
+    * int8 arrays with the exact integer-dot kernel, and only the
+    * `rescore` survivors per query touch float vectors. This is the
+    * composition [[int8TopK]]'s scaladoc promises ("at corpus scale
+    * the int8 scoring drops into the LSH-bucketed candidate join
+    * unchanged") — implemented and oracle-checked rather than claimed.
+    * Candidate pairs are distinct-ed on ids BEFORE vectors are
+    * attached, so the multi-table collision dedup never hashes arrays. */
+  def lshInt8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numPlanes: Int = 8, numTables: Int = 8, rescore: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def buckets(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as), asDouble(col(vecCol)).as("__v"))
+        .select(col(as),
+          explode(tableBuckets(col("__v"), numPlanes, numTables)).as("tb"))
+        .select(col(as), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = buckets(corpus, "cand_id")
+      .join(broadcast(buckets(queries, "query_id")), Seq("t", "b"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+      .distinct() // a pair may collide in several tables
+    val qz = quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("scale").as("qsc"),
+        col("q").as("qq"))
+    val cz = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col("scale").as("csc"),
+        col("q").as("cq"))
+    val approx = cand.join(cz, "cand_id").join(broadcast(qz), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        ((graft.functions.VecMath.dotLong(col("qq"), col("cq"))
+          .cast(DoubleType) * col("qsc")) * col("csc")).as("approx"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("cand_id"))
+    val keep = approx.withColumn("r0", row_number().over(wA))
+      .filter(col("r0") <= rescore).select(col("query_id"), col("cand_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")).withColumn("qn", norm(col("qv")))
+    val cv = corpus.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cv")).withColumn("cn", norm(col("cv")))
+    val scored = keep.join(cv, "cand_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Product-quantization ANN — the corpus-compression lever past int8:
     * each vector is encoded as `numSub` sub-space codeword ids (d·4
     * bytes → numSub bytes at codebookSize ≤ 256; 64-dim float → 4

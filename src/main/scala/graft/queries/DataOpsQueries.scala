@@ -164,6 +164,14 @@ object DataOpsQueries {
         rescore = 32)
     }),
 
+    // the production composition: LSH-bucketed candidates + int8
+    // candidate scoring + exact float rescore of the top-32.
+    "s_ann_lsh_int8" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.lshInt8TopK(e.filter(col("vec_id") < 50), e, k = 5,
+        numPlanes = 6, numTables = 8, rescore = 32)
+    }),
+
     // product-quantization ANN: 4 subspaces x 8 codewords (64-dim float
     // -> 4 bytes/vector), per-subspace deterministic L2 Lloyd, scan on
     // PQ reconstructions, exact rescore of the top-32.
@@ -554,6 +562,51 @@ object DataOpsQueries {
        |WHERE rnk <= 5""".stripMargin
   }
 
+  /** DuckDB replica of the LSH+int8+rescore composition: LSH bucket
+    * candidates (generated-hyperplane case expression), int8
+    * approximate scoring of distinct candidate pairs, exact cosine
+    * rescore of the per-query top-32. */
+  private def lshInt8OracleSql: String = {
+    val numTables = 8
+    val bucketCase = lshBucketCase(numTables, numPlanes = 6, dims = 64)
+    s"""WITH d AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, v, u.t, $bucketCase AS bucket
+       |  FROM d, unnest(generate_series(0, ${numTables - 1})) u(t)),
+       |qb AS (SELECT vec_id AS query_id, t, bucket FROM b WHERE vec_id < 50),
+       |cb AS (SELECT vec_id AS cand_id, t, bucket FROM b),
+       |cand AS (
+       |  SELECT DISTINCT query_id, cand_id FROM qb
+       |  JOIN cb USING (t, bucket) WHERE query_id <> cand_id),
+       |sc AS (SELECT vec_id, v,
+       |  list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0
+       |    AS scale FROM d),
+       |z AS (SELECT vec_id, v, scale,
+       |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+       |    ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+       |    END AS q FROM sc),
+       |approx AS (SELECT query_id, cand_id, zq.v AS qv, zc.v AS cv,
+       |  (list_reduce(list_transform(generate_series(1, len(zq.q)),
+       |    i -> CAST(zq.q[i] * zc.q[i] AS BIGINT)), (a, b) -> a + b)::DOUBLE
+       |    * zq.scale) * zc.scale AS approx
+       |  FROM cand JOIN z zq ON zq.vec_id = query_id
+       |  JOIN z zc ON zc.vec_id = cand_id),
+       |keep AS (SELECT query_id, cand_id, qv, cv FROM approx
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY approx DESC, cand_id) <= 32),
+       |scored AS (SELECT query_id, cand_id,
+       |  list_reduce(list_transform(generate_series(1, len(qv)),
+       |    i -> qv[i] * cv[i]), (x, y) -> x + y) /
+       |  (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)) *
+       |   sqrt(list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y)))
+       |  AS cosine FROM keep)
+       |SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id) AS rnk FROM scored) t
+       |WHERE rnk <= 5""".stripMargin
+  }
+
   private def ivfOracleSql: String = {
     s"""WITH d AS (SELECT vec_id AS cand_id,
        |    list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings),
@@ -626,6 +679,7 @@ object DataOpsQueries {
   val oracle: Map[String, String] = Map(
     "s_ann_ivf" -> ivfOracleSql,
     "s_ann_pq" -> pqOracleSql,
+    "s_ann_lsh_int8" -> lshInt8OracleSql,
     "p_semdedup" -> semdedupOracleSql,
     "d_dedup_exact" ->
       s"""WITH all_docs AS ($docsWithDupsSql)

@@ -41,6 +41,22 @@ class OpsSpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("LSH+int8 composition recalls like plain LSH despite byte scoring") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, e, k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val composed = Similarity.lshInt8TopK(queries, e, k = 5,
+      numPlanes = 5, numTables = 12)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(composed).size.toDouble / exact.size
+    // same candidate buckets as lshTopK; the int8 approximation only
+    // reorders within the rescored set, and the exact rescore repairs it
+    assert(recall > 0.4, s"recall=$recall")
+  }
+
   test("LSH buckets partition the corpus (no all-in-one-bucket collapse)") {
     val e = Tables.load(spark, sf, "embeddings")
     val buckets = e.select(Similarity.lshBuckets(
