@@ -397,6 +397,35 @@ object DataOpsQueries {
       TextAnalysis.chunkTable(sampled, chunkTokens = 64, stride = 48)
     }),
 
+    // Funnel attribution for the curation pipeline: for EVERY document,
+    // the first stage that dropped it ('quality' | 'dedup' | 'sample')
+    // or 'kept' — the auditability report published alongside any
+    // production curation run. Same deterministic stage logic as
+    // p_curation_pipeline; one extra left join on doc_id.
+    "p_curation_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // planted-dup base + one junk doc so every funnel branch carries
+      // rows (the clean synthetic corpus has no exact dups and passes
+      // the quality gate wholesale)
+      val d = docsWithDups(s, dir).unionByName(
+        s.range(1).select(lit(99999L).as("doc_id"), lit("x").as("text")))
+      val ranked = d
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .filter(col("q") >= 0.7)
+        .withColumn("__th",
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("__th")).orderBy(col("doc_id"))))
+        .select(col("doc_id"), col("__rk"))
+      d.join(ranked, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__rk").isNull, "quality")
+            .when(col("__rk") > 1, "dedup")
+            .when(pmod(graft.ops.TextOps.h32(col("doc_id").cast("string")),
+              lit(10000)) >= 5000, "sample")
+            .otherwise("kept").as("stage"))
+    }),
+
     // PII redaction over text with synthesized deterministic PII (the
     // corpus itself is clean) — email, SSN, phone, IPv4.
     "t_pii_redact" -> ((s, dir) => {
@@ -774,6 +803,34 @@ object DataOpsQueries {
          |  CAST(len(list_slice(tk, (i-1)*48 + 1, (i-1)*48 + 64)) AS INT)
          |    AS n_tokens
          |FROM c, unnest(generate_series(1, nc)) g(i)""".stripMargin,
+
+    "p_curation_funnel" ->
+      s"""WITH base AS ($docsWithDupsSql
+         |  UNION ALL SELECT 99999, 'x'),
+         |toks AS (SELECT doc_id, text, $toksSql AS t FROM base),
+         |f AS (SELECT doc_id, text,
+         |  len(t) AS n_tokens,
+         |  CASE WHEN len(t) > 0 THEN
+         |    COALESCE(list_aggregate(list_transform(t, x -> length(x)),
+         |      'sum'), 0)::DOUBLE / len(t) ELSE 0.0 END AS mean_token_len,
+         |  CASE WHEN length(text) > 0 THEN
+         |    length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE /
+         |      length(text) ELSE 0.0 END AS punct_ratio
+         |  FROM toks),
+         |q AS (SELECT doc_id, text FROM f WHERE
+         |  (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+         |  (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.3 +
+         |  (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.3 >= 0.7),
+         |ranked AS (SELECT doc_id, row_number() OVER (PARTITION BY
+         |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+         |    ORDER BY doc_id) AS rk FROM q)
+         |SELECT d.doc_id,
+         |  CASE WHEN r.rk IS NULL THEN 'quality'
+         |       WHEN r.rk > 1 THEN 'dedup'
+         |       WHEN ${h32Sql("CAST(d.doc_id AS VARCHAR)")} % 10000 >= 5000
+         |         THEN 'sample'
+         |       ELSE 'kept' END AS stage
+         |FROM base d LEFT JOIN ranked r ON d.doc_id = r.doc_id""".stripMargin,
 
     "t_pii_redact" ->
       """WITH p AS (SELECT doc_id,
