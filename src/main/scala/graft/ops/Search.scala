@@ -32,7 +32,9 @@ object Search {
 
   /** Top-`k` documents by BM25 score for `queryTerms`, with the
     * standard k1=1.2, b=0.75 parameters. Output: doc_id, score
-    * (descending), matched_tf (total term occurrences). */
+    * (descending), matched_tf (total term occurrences).
+    * `queryTerms` must be distinct (a repeated term would double-count
+    * its contribution, per the classic bag-of-words formulation). */
   def bm25(docs: DataFrame, queryTerms: Seq[String],
       idCol: String = "doc_id", textCol: String = "text",
       topK: Int = 100): DataFrame = {

@@ -584,6 +584,27 @@ class OpsSpec extends AnyFunSuite {
     assert(r40.isNullAt(1) && r40.getLong(2) == 2L)
   }
 
+  test("rrf fusion with three rankings stays a fixed-order fold") {
+    import spark.implicits._
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val c = Seq((3L, 1L), (1L, 2L)).toDF("doc_id", "rank")
+    val out = graft.ops.Search.rrfFuse(
+      Seq("a" -> a, "b" -> b, "c" -> c), topK = 10).collect()
+    // fused score column is last (id + one rank column per ranking)
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // each doc is rank 1 in one ranking and rank 2 in another: the
+    // three-term sums must be the exact left-to-right fold of the
+    // 1/(60+r) contributions, identical for all three docs
+    val expect = 1.0 / 61 + 1.0 / 62
+    assert(byId.values.forall(v => math.abs(v - expect) < 1e-15))
+    // deterministic under repartitioning
+    val again = graft.ops.Search.rrfFuse(
+      Seq("a" -> a.repartition(5), "b" -> b, "c" -> c.repartition(3)),
+      topK = 10).collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(again == byId)
+  }
+
   test("bm25 ranks the term-dense document first and bounds top-k") {
     import spark.implicits._
     val docs = Seq(
