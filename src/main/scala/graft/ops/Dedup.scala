@@ -435,6 +435,32 @@ object Dedup {
       .agg(min(col("cluster_id")).as("cluster_id")), r)
   }
 
+  /** Leakage-free train/val/test split: documents are assigned to
+    * splits by the deterministic hash of their NEAR-DUP CLUSTER
+    * representative (from [[dupClusters]]), not their own id — so two
+    * near-duplicate documents can never land in different splits. The
+    * classic eval-leakage bug (a paraphrase of a test document sitting
+    * in train) is structurally impossible under this assignment;
+    * documents in no cluster are their own representative.
+    *
+    * Scale shape: one doc-keyed left join against the cluster table
+    * (near-dup members only — a small fraction of the corpus) and a
+    * narrow hash filter; reproducible on any partitioning like every
+    * split/sample here. */
+  def leakFreeSplit(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id", trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    val rep = coalesce(col("cluster_id"), col(idCol))
+    docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol), rep.as("cluster_id"),
+        pmod(h32(rep.cast("string")), lit(100)).as("__h"))
+      .select(col(idCol), col("cluster_id"),
+        when(col("__h") < trainPct, "train")
+          .when(col("__h") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Corpus-wide segment-level dedup (the CCNet/RefinedWeb "drop
     * repeated paragraphs everywhere they recur" stage, ref's data-prep
     * gap): split every document into fixed `segTokens`-token segments

@@ -331,6 +331,17 @@ object DataOpsQueries {
         Dedup.minhashLsh(Tables.load(s, dir, "documents"),
           shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.5))),
 
+    // Leakage-free split: near-dup clusters (minhash-LSH + star
+    // contraction) assign every member the same train/val/test bucket
+    // via the representative's hash — paraphrase leakage across splits
+    // is structurally impossible.
+    "d_split_leakfree" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.leakFreeSplit(docs,
+        Dedup.dupClusters(Dedup.minhashLsh(docs, shingleLen = 3,
+          numHashes = 16, bands = 4, threshold = 0.5)))
+    }),
+
     // Deterministic hash-stratified sampling: downsample 'en' to 25%,
     // everything else to 50% — reproducible on any partitioning.
     "d_sample_stratified" -> ((s, dir) =>
@@ -732,6 +743,29 @@ object DataOpsQueries {
          |  UNION
          |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "d_split_leakfree" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM good
+         |  UNION SELECT id_b, id_a FROM good),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+         |  FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |  COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+         |  CASE WHEN ${h32Sql(
+              "CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)")} % 100
+             < 90 THEN 'train'
+         |    WHEN ${h32Sql(
+              "CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)")} % 100
+             < 95 THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin,
 
     "d_sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents

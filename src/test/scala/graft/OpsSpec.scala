@@ -461,6 +461,27 @@ class OpsSpec extends AnyFunSuite {
       again.map(_.toString).sorted.toSeq)
   }
 
+  test("leak-free split: planted near-dups always share a split") {
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val docs = d.unionByName(planted)
+    val split = graft.ops.Dedup.leakFreeSplit(docs,
+      graft.ops.Dedup.dupClusters(graft.ops.Dedup.minhashLsh(docs)))
+    val byId = split.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId.size == docs.count())
+    // identical-text pairs are near-dups by construction: every pair
+    // must land in the same split, whatever the splits are
+    planted.collect().map(_.getLong(0)).foreach { dup =>
+      assert(byId(dup) == byId(dup - 10000),
+        s"pair (${dup - 10000}, $dup) split across ${byId(dup - 10000)}/${byId(dup)}")
+    }
+    // and all three buckets exist over the 500-doc corpus
+    assert(byId.values.toSet == Set("train", "val", "test"))
+  }
+
   test("paragraph dedup keeps each segment only at its first occurrence") {
     import spark.implicits._
     // doc 1 and doc 2 share segment "e f g h"; doc 3 repeats doc 1's
