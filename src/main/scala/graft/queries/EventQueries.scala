@@ -50,6 +50,22 @@ object EventQueries {
           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
             .as("total_value"))),
 
+    // native session windows: Catalyst's SessionWindow operator (merge
+    // events whose ts falls before the running session end = last ts +
+    // gap; a gap of EXACTLY 30 min starts a new session — the >= break
+    // the oracle mirrors). The stateful streaming twin is
+    // StreamOps.sessionize; this exercises the built-in batch operator.
+    "e_session_window" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("session_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"),
+          col("session_value"))),
+
     // sliding windows: 1-hour windows advancing every 15 minutes (each
     // event lands in 4 overlapping windows) — the batch twin of
     // Structured Streaming's window(ts, "1 hour", "15 minutes"). The
@@ -157,6 +173,27 @@ object EventQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "e_session_window" ->
+      """WITH o AS (SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN prev_ts IS NULL OR
+        |    epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |    THEN 1 ELSE 0 END AS brk FROM o),
+        |s AS (SELECT user_id, ts, value,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP)
+        |    AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS session_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     // every event belongs to the 4 15-min-aligned windows covering it;
     // DuckDB time_bucket's origin (2000-01-01) and Spark's (epoch) are
