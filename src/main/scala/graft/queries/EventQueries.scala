@@ -83,6 +83,24 @@ object EventQueries {
           col("w.end").as("window_end"), col("event_type"), col("n"),
           col("total_value"))),
 
+    // weekly retention cohorts: users grouped by first-activity week,
+    // distinct actives counted at each week offset — the classic
+    // retention matrix. Two shuffles (per-user first week, cohort
+    // grouping), offsets exact (both engines truncate weeks to Monday
+    // so the day difference is an exact multiple of 7).
+    "e_retention" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val firstWeek = e.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = e.select(col("user_id"),
+        date_trunc("week", col("ts")).as("week")).distinct()
+      active.join(firstWeek, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7)
+            .cast(IntegerType).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+    }),
+
     // funnel: users whose first signup precedes a later purchase
     "e_funnel" -> ((s, dir) => {
       val evs = Tables.load(s, dir, "events")
@@ -208,6 +226,20 @@ object EventQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+
+    "e_retention" ->
+      """WITH fw AS (SELECT user_id,
+        |    CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        |  FROM events)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, week) / 7 AS INT)
+        |    AS week_offset,
+        |  COUNT(DISTINCT user_id) AS active_users
+        |FROM a JOIN fw USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "e_funnel" ->
       """WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events

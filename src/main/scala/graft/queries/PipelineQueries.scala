@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.Tables
 import graft.ops.{Dedup, Sampling, Search, Similarity, TextAnalysis}
@@ -126,6 +127,33 @@ object PipelineQueries {
         .select(col("node").as("doc_id"), col("rank"))
     }),
 
+    // Length-bucketed batching manifest: documents grouped into
+    // power-of-two padding buckets (the pad-to-16/32/64/128 batching
+    // that keeps attention matrices dense), sharded by hash, batch
+    // index within (bucket, shard). Windows partition on
+    // (bucket, shard) — cardinality grows with the shard knob, never a
+    // global sort; everything integer, engine-exact.
+    "t_length_batches" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(graft.ops.TextOps.tokens(col("text"))).cast(LongType)
+            .as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val padLen = when(col("n_tokens") <= 16, 16)
+        .when(col("n_tokens") <= 32, 32)
+        .when(col("n_tokens") <= 64, 64)
+        .when(col("n_tokens") <= 128, 128)
+        .otherwise(256)
+      val sharded = n.withColumn("pad_len", padLen)
+        .withColumn("shard", pmod(graft.ops.TextOps.h32(
+          col("doc_id").cast("string")), lit(8)).cast(IntegerType))
+      val w = Window.partitionBy(col("pad_len"), col("shard"))
+        .orderBy(col("n_tokens"), col("doc_id"))
+      sharded.withColumn("batch_idx",
+        floor((row_number().over(w) - 1) / lit(32)))
+    }),
+
     // Hybrid retrieval: BM25 lexical ranks fused with dense ANN ranks
     // (query = embedding 0) by reciprocal-rank fusion.
     "s_hybrid_rrf" -> ((s, dir) => {
@@ -239,6 +267,23 @@ object PipelineQueries {
          |SELECT doc_id, MIN(n_bigrams) AS n_bigrams,
          |  -CAST(SUM(lp) AS DOUBLE) / MIN(n_bigrams) AS cross_entropy
          |FROM lp GROUP BY doc_id""".stripMargin,
+
+    "t_length_batches" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT)
+         |    AS n_tokens FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |  CASE WHEN n_tokens <= 16 THEN 16
+         |       WHEN n_tokens <= 32 THEN 32
+         |       WHEN n_tokens <= 64 THEN 64
+         |       WHEN n_tokens <= 128 THEN 128
+         |       ELSE 256 END AS pad_len,
+         |  CAST(${h32Sql("CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens, pad_len, shard,
+         |  CAST(floor((row_number() OVER (PARTITION BY pad_len, shard
+         |    ORDER BY n_tokens, doc_id) - 1) / 32.0) AS BIGINT)
+         |    AS batch_idx
+         |FROM b""".stripMargin,
 
     "t_pack_manifest" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT)
