@@ -83,6 +83,27 @@ object EventQueries {
           col("w.end").as("window_end"), col("event_type"), col("n"),
           col("total_value"))),
 
+    // trailing-window anomaly detection: each event's value against the
+    // mean/σ of the user's previous 10 events (a bounded trailing ROWS
+    // frame EXCLUDING the current row — the self-exclusion every
+    // online anomaly check needs). Moments through DECIMAL window sums
+    // (exact), σ via IEEE-exact sqrt, so z-scores hash-match.
+    "e_anomaly" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-10, -1)
+      val dv = col("value").cast(DecimalType(18, 2))
+      Tables.load(s, dir, "events")
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("mu", sum(dv).over(w).cast(DoubleType) / col("n"))
+        .withColumn("m2", sum(dv * dv).over(w).cast(DoubleType) / col("n"))
+        .filter(col("n") >= 10)
+        .withColumn("sigma", sqrt(col("m2") - col("mu") * col("mu")))
+        .filter(col("sigma") > 0)
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("user_id"), col("value"), col("z"))
+    }),
+
     // weekly retention cohorts: users grouped by first-activity week,
     // distinct actives counted at each week offset — the classic
     // retention matrix. Two shuffles (per-user first week, cohort
@@ -226,6 +247,25 @@ object EventQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+
+    "e_anomaly" ->
+      """WITH w AS (SELECT event_id, user_id, value,
+        |    COUNT(*) OVER win AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) OVER win AS s1,
+        |    SUM(CAST(value AS DECIMAL(18,2)) *
+        |        CAST(value AS DECIMAL(18,2))) OVER win AS s2
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT event_id, user_id, value, n,
+        |    CAST(s1 AS DOUBLE) / n AS mu, CAST(s2 AS DOUBLE) / n AS m2
+        |  FROM w WHERE n >= 10),
+        |sg AS (SELECT event_id, user_id, value, mu,
+        |    sqrt(m2 - mu * mu) AS sigma FROM m),
+        |z AS (SELECT event_id, user_id, value,
+        |    (value - mu) / sigma AS z FROM sg WHERE sigma > 0)
+        |SELECT event_id, user_id, value, z FROM z
+        |WHERE abs(z) > CAST(2.5 AS DOUBLE)""".stripMargin,
 
     "e_retention" ->
       """WITH fw AS (SELECT user_id,
