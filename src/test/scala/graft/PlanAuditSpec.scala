@@ -128,6 +128,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"t_chunk must not shuffle:\n$p")
   }
 
+  test("round-4 operators keep their declared exchange budgets") {
+    def shuffles(name: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(physicalPlan(name)).length
+    // paragraph dedup: segment-hash window + doc reassembly, nothing else
+    assert(shuffles("d_dedup_paragraph") == 2,
+      s"d_dedup_paragraph budget is 2, got ${shuffles("d_dedup_paragraph")}")
+    // anomaly z-scores: exactly the user-keyed window exchange
+    assert(shuffles("e_anomaly") == 1)
+    // length batching: exactly the (bucket, shard) window exchange
+    assert(shuffles("t_length_batches") == 1)
+    // temperature resample: the corpus is never shuffled — only the tiny
+    // per-domain count aggregate exchanges; no corpus key partitioning
+    val rt = physicalPlan("d_resample_temp")
+    assert(!rt.contains("rangepartitioning"), "corpus sorted")
+    assert(!rt.contains("hashpartitioning(doc_id"), "corpus shuffled")
+  }
+
   test("TPC-H join shapes broadcast dims and push filters down") {
     // q3: filtered customer is the small side — some join must broadcast
     val q3 = physicalPlan("q_tpch_q3")
