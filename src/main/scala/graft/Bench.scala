@@ -71,6 +71,15 @@ object Bench {
         tiny.filter(col("doc_id") % 10 === 0))
         .write.format("noop").mode("overwrite").save()
     }
+    // ... and the int8-LSH embedding-dedup shape (sign-bucket explode +
+    // cap window + int8 quantize/dot_long scoring + dot_d rescore):
+    // d_dedup_embed_lsh runs alphabetically before the s_ann_* family,
+    // so it would otherwise absorb the integer-dot kernel's first JIT
+    locally {
+      val tiny = Tables.load(spark, sfDir, "embeddings").limit(64)
+      graft.ops.Dedup.embeddingLshDups(tiny)
+        .write.format("noop").mode("overwrite").save()
+    }
     // drop the warm-up's localCheckpoint RDD blocks before timing — they
     // would otherwise hold executor memory for the whole measured run
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

@@ -237,33 +237,71 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val v = embs.select(col(idCol),
       col(vecCol).cast(ArrayType(DoubleType)).as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
-    val b = v.select(col(idCol), col("v"), col("nrm"),
+    // int8 payload through the bucket stage ([[Similarity.quantizeInt8]]
+    // recipe): the bucket exchange, cap window, and pair self-join carry
+    // the 2×-smaller integer arrays plus four scalars — never the dense
+    // float64 vectors the earlier shape shipped (the inventory's
+    // GC-noisiest query: 12–21 s run-to-run at sf1). Candidate
+    // collisions score INLINE in the join with the codegen'd integer
+    // dot, and survivors are kept by a CONSERVATIVE error bound so the
+    // exact-cosine filter below reproduces the all-float result
+    // bit-for-bit. With a_i = sa·qa_i + ea_i (|ea_i| ≤ sa/2, same for
+    // b):
+    //   |dot(a,b) − sa·sb·Σqa_i·qb_i|
+    //     ≤ (sb·‖a‖₁ + sa·‖b‖₁)/2 + 3d·sa·sb/4
+    // so any pair with exact cosine ≥ t satisfies
+    // approx + bound ≥ t·na·nb (bound inflated 1e-6 relative to absorb
+    // its own float rounding). No true pair can be dropped. Only the
+    // few bound-survivors are distinct-ed (multi-table collisions) and
+    // pay float vector traffic in the rescore joins.
+    val prep = v
+      .select(col(idCol), col("v"),
+        (array_max(transform(col("v"), x => abs(x))) / 127.0).as("scale"),
+        Similarity.norm(col("v")).as("nrm"),
+        aggregate(col("v"), lit(0.0), (acc, x) => acc + abs(x)).as("l1"),
+        size(col("v")).cast(DoubleType).as("nd"))
+      .select(col(idCol), col("v"), col("scale"), col("nrm"), col("l1"),
+        col("nd"),
+        when(col("scale") === 0.0, transform(col("v"), _ => lit(0)))
+          .otherwise(transform(col("v"),
+            x => floor(x / col("scale") + 0.5).cast(IntegerType)))
+          .as("q"))
+    val b = prep.select(col(idCol), col("scale"), col("nrm"), col("l1"),
+      col("nd"), col("q"),
       explode(Similarity.tableBuckets(col("v"), numPlanes, numTables))
         .as("tb"))
-      .select(col(idCol), col("v"), col("nrm"),
-        col("tb.t").as("t"), col("tb.b").as("b"))
-    // pair generation is a capped-bucket SELF-JOIN here, unlike
-    // [[bucketPairs]]'s collect_list pair-triangle — a MEASURED choice
-    // (SCALING.md, sf1): the triangle wins for shingle sets, whose
-    // expensive arrays it materializes once per bucket member, but for
-    // dense 64-dim vectors it packs megabyte bucket rows and pays the
-    // interpreted lambda per pair (~19 s at sf1, GC-noisy), while the
-    // self-join keeps every cosine inside whole-stage codegen (~3 s).
-    // The cap's row_number window pre-hashes on the join keys, so the
-    // join reuses that exchange for its left side.
+      .select(col(idCol), col("scale"), col("nrm"), col("l1"), col("nd"),
+        col("q"), col("tb.t").as("t"), col("tb.b").as("b"))
     val capped = capBuckets(b, Seq("t", "b"), idCol, maxBucket)
     val left = capped.select(col("t"), col("b"), col(idCol).as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
+      col("scale").as("sa"), col("nrm").as("na"), col("l1").as("la"),
+      col("nd").as("da"), col("q").as("qa"))
     val right = capped.select(col("t"), col("b"), col(idCol).as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    left.join(right, Seq("t", "b"))
+      col("scale").as("sb"), col("nrm").as("nb"), col("l1").as("lb"),
+      col("q").as("qb"))
+    val survivors = left.join(right, Seq("t", "b"))
       .filter(col("id_a") < col("id_b"))
+      .filter(
+        graft.functions.VecMath.dotLong(col("qa"), col("qb"))
+          .cast(DoubleType) * col("sa") * col("sb") +
+        ((col("sb") * col("la") + col("sa") * col("lb")) / 2.0 +
+          lit(0.75) * col("da") * col("sa") * col("sb")) * lit(1.000001)
+        >= lit(threshold) * col("na") * col("nb"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // exact rescore on the float originals — only bound-survivors pay
+    // float vector traffic; cosine is the same prenormed kernel as
+    // before, so values (and every oracle hash) are unchanged
+    val fv = v.withColumn("nrm", Similarity.norm(col("v")))
+    survivors
+      .join(fv.select(col(idCol).as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(fv.select(col(idCol).as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         Similarity.cosinePrenormed(col("va"), col("vb"), col("na"),
           col("nb")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct() // a pair collides in several tables; cosine is deterministic
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking column
@@ -490,9 +528,11 @@ object Dedup {
           i => concat_ws(" ",
             slice(col("__tk"), i * segTokens + 1, lit(segTokens)))))
           .as(Seq("seg_idx", "seg")))
-    // first corpus-wide occurrence: min (doc, position) composite per
-    // segment hash (seg_idx < 10^6 by construction at any sane segTokens)
-    val ord = col(idCol) * 1000000L + col("seg_idx")
+    // first corpus-wide occurrence: min (doc, position) lexicographic
+    // struct per segment hash — struct ordering (not arithmetic
+    // packing, which would collide past 1e6 segments/doc and overflow
+    // Long for doc ids past ~9.2e12)
+    val ord = struct(col(idCol), col("seg_idx"))
     import org.apache.spark.sql.expressions.Window
     val firstOrd = min(ord).over(Window.partitionBy(md5(col("seg"))))
     segs

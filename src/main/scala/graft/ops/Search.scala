@@ -11,11 +11,17 @@ import TextOps.tokens
   * [[Similarity]] (dense + sparse retrieval are the two halves of any
   * corpus search stack).
   *
-  * Scale shape: the corpus side is ONE narrow pass — per-document term
-  * frequencies for the (few) query terms are computed in-row with
-  * array `filter`/`size`, no corpus explode and no shuffle keyed by
-  * term. The only aggregations are the two tiny ones (corpus doc
-  * count/average length; per-term document frequencies — at most
+  * Scale shape: tokenization is written ONCE and each scan of the
+  * corpus is one narrow pass — a single set-membership filter over the
+  * token array keeps only query-term occurrences, and per-term
+  * frequencies are then counted over that (tiny) matched array, so
+  * query-term count multiplies the matched tokens, not the corpus
+  * tokens. No shuffle is keyed by term. The plan still evaluates the
+  * corpus lineage twice (once under the tiny broadcast stats/dfreq
+  * aggregate, once as the probe side) — inherent to two-phase BM25
+  * without caching. The only aggregations are the two tiny ones
+  * (corpus doc count/average length, derived exactly from the
+  * pre-filter term rows; per-term document frequencies — at most
   * |query| rows), both map-side combined and broadcast back. The
   * final top-k is Spark's TakeOrderedAndProject (per-partition heads,
   * no global sort).
@@ -40,20 +46,32 @@ object Search {
       topK: Int = 100): DataFrame = {
     val k1 = lit(1.2)
     val b = lit(0.75)
-    val withTf = docs
+    // one tokenized projection; a single membership pass keeps only
+    // query-term tokens so the per-term counts below scan the matched
+    // array (|matches|), not the full token array (|tokens|)
+    val perDoc = docs
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol), size(col("__t")).cast(LongType).as("dl"),
+        filter(col("__t"), x => x.isin(queryTerms: _*)).as("__m"))
+    val termRows = perDoc
+      .select(col(idCol), col("dl"),
         array(queryTerms.map(t =>
           struct(lit(t).as("term"),
-            size(filter(col("__t"), x => x === lit(t)))
+            size(filter(col("__m"), x => x === lit(t)))
               .cast(LongType).as("tf"))): _*).as("__tfs"))
       .select(col(idCol), col("dl"), explode(col("__tfs")).as("e"))
       .select(col(idCol), col("dl"), col("e.term").as("term"),
         col("e.tf").as("tf"))
-      .filter(col("tf") > 0)
-    val stats = docs
-      .select(size(tokens(col(textCol))).cast(LongType).as("__dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("sum_dl"))
+    val withTf = termRows.filter(col("tf") > 0)
+    // every document contributes exactly one pre-filter row per query
+    // term, so conditioning on the first term counts each doc once —
+    // exact integer aggregation, no second tokenize
+    val firstTerm = queryTerms.head
+    val stats = termRows.agg(
+      sum(when(col("term") === firstTerm, lit(1L)).otherwise(lit(0L)))
+        .as("n_docs"),
+      sum(when(col("term") === firstTerm, col("dl")).otherwise(lit(0L)))
+        .as("sum_dl"))
     val dfreq = withTf.groupBy(col("term"))
       .agg(count(lit(1)).as("dfreq"))
       .crossJoin(broadcast(stats))
@@ -63,9 +81,12 @@ object Search {
         round(log((col("n_docs") - col("dfreq") + lit(0.5)) /
           (col("dfreq") + lit(0.5)) + lit(1.0)), 9).as("idf"),
         (col("sum_dl").cast(DoubleType) / col("n_docs")).as("avgdl"))
+    // round to 6 dp BEFORE the DECIMAL(18,6) cast so the cast is
+    // lossless — cross-engine agreement no longer hinges on the two
+    // engines' double→decimal conversions tying identically at 6 dp
     val termScore =
-      (col("idf") * (col("tf") * (k1 + lit(1.0)) /
-        (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))))
+      round(col("idf") * (col("tf") * (k1 + lit(1.0)) /
+        (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))), 6)
         .cast(DecimalType(18, 6))
     withTf.join(broadcast(dfreq), Seq("term"))
       .groupBy(col(idCol))

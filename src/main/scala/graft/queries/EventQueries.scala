@@ -97,7 +97,11 @@ object EventQueries {
         .withColumn("mu", sum(dv).over(w).cast(DoubleType) / col("n"))
         .withColumn("m2", sum(dv * dv).over(w).cast(DoubleType) / col("n"))
         .filter(col("n") >= 10)
-        .withColumn("sigma", sqrt(col("m2") - col("mu") * col("mu")))
+        // m2 - mu² can double-round to a tiny negative when the trailing
+        // values are identical; clamp BEFORE sqrt (DuckDB aborts on
+        // sqrt(negative), Spark returns NaN which passes > comparisons)
+        .withColumn("sigma",
+          sqrt(greatest(col("m2") - col("mu") * col("mu"), lit(0.0))))
         .filter(col("sigma") > 0)
         .withColumn("z", (col("value") - col("mu")) / col("sigma"))
         .filter(abs(col("z")) > 2.5)
@@ -261,7 +265,8 @@ object EventQueries {
         |    CAST(s1 AS DOUBLE) / n AS mu, CAST(s2 AS DOUBLE) / n AS m2
         |  FROM w WHERE n >= 10),
         |sg AS (SELECT event_id, user_id, value, mu,
-        |    sqrt(m2 - mu * mu) AS sigma FROM m),
+        |    sqrt(greatest(m2 - mu * mu, CAST(0.0 AS DOUBLE))) AS sigma
+        |  FROM m),
         |z AS (SELECT event_id, user_id, value,
         |    (value - mu) / sigma AS z FROM sg WHERE sigma > 0)
         |SELECT event_id, user_id, value, z FROM z

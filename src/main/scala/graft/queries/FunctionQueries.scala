@@ -161,13 +161,23 @@ object FunctionQueries {
     // exact distinct counts plus booleans proving the HLL estimate landed
     // within ±10% of exact; DuckDB asserts TRUE. HLL is deterministic
     // given the data, so the hash check is stable.
+    // Expand-free shape: two countDistincts + two HLLs in ONE agg force
+    // a 4-way Expand of lineitem (every row quadrupled before the
+    // shuffle). Instead each key gets a distinct-first two-level agg —
+    // (flag, key) partial-dedup shuffle, then a tiny per-flag count +
+    // HLL over the distinct values (HLL sketches are
+    // duplicate-insensitive, so the estimate is bit-identical) — and
+    // the two 3-row results broadcast-join on l_returnflag.
     "q_approx_distinct" -> ((s, dir) => {
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("ap"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_suppkey")).as("asup"),
-          countDistinct(col("l_suppkey")).as("exact_supps"))
+      val li = Tables.load(s, dir, "lineitem")
+      def distinctAgg(key: String, exact: String, approx: String) =
+        li.select(col("l_returnflag"), col(key)).distinct()
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as(exact),
+            approx_count_distinct(col(key)).as(approx))
+      distinctAgg("l_partkey", "exact_parts", "ap")
+        .join(broadcast(distinctAgg("l_suppkey", "exact_supps", "asup")),
+          Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
           (abs(col("ap") - col("exact_parts")) <=
             col("exact_parts") * 0.10).as("parts_ok"),

@@ -62,10 +62,10 @@ object PipelineQueries {
        |    CAST(s.sum_dl AS DOUBLE) / s.n_docs AS avgdl
        |  FROM dfq, s),
        |sc AS (SELECT doc_id,
-       |    CAST(idf * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+       |    CAST(round(idf * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
        |      (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
        |        - CAST(0.75 AS DOUBLE)
-       |        + CAST(0.75 AS DOUBLE) * dl / avgdl)))
+       |        + CAST(0.75 AS DOUBLE) * dl / avgdl))), 6)
        |      AS DECIMAL(18,6)) AS ts,
        |    tf
        |  FROM tfp JOIN idf USING (term))""".stripMargin

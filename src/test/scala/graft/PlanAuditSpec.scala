@@ -145,6 +145,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!rt.contains("hashpartitioning(doc_id"), "corpus shuffled")
   }
 
+  test("round-5 reshapes keep their declared plan shapes") {
+    // q_approx_distinct: the 4-way distinct-aggregate Expand is gone —
+    // distinct-first two-level aggs never Expand at all
+    val ad = physicalPlan("q_approx_distinct")
+    assert(!ad.contains("Expand"), s"q_approx_distinct re-grew an Expand:\n$ad")
+    // d_dedup_embed_lsh: candidates score on int8 (dot_long) and only
+    // survivors touch the float kernel (dot_d, once — the exact
+    // rescore); the bucket/cap/pair stages carry no vector columns
+    val el = physicalPlan("d_dedup_embed_lsh")
+    assert(occurrences(el, "dot_long(") == 1, el)
+    // dot_d shows up to twice in text: Catalyst pushes the ≥ threshold
+    // cosine filter into the rescore join's condition AND projects it —
+    // one rescore stage, not a second float scan
+    val dd = occurrences(el, "dot_d(")
+    assert(dd >= 1 && dd <= 2, el)
+  }
+
   test("TPC-H join shapes broadcast dims and push filters down") {
     // q3: filtered customer is the small side — some join must broadcast
     val q3 = physicalPlan("q_tpch_q3")
