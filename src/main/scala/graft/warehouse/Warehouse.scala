@@ -198,17 +198,25 @@ class Warehouse(val spark: SparkSession, val root: String,
 
   /** The table state that was live at `asOfLabel` (labels compare as
     * strings — use a sortable format, e.g. ISO timestamps): the oldest
-    * retained version whose replacement label is AFTER the target, else
-    * the live table. */
+    * version whose replacement label is AFTER the target, else the
+    * live table. If the ledger shows the covering version existed but
+    * [[keepVersions]] pruning has deleted it, this FAILS rather than
+    * silently serving newer data — a time-travel read must never
+    * return rows from after the asked-for instant. */
   def readAsOf(schema: String, name: String, asOfLabel: String): DataFrame = {
-    val replacedAfter = versionLedger
+    val covering = versionLedger
       .filter(e => e.schema == schema && e.table == name &&
         e.label > asOfLabel)
-      .map(_.version)
-    val retained = versions(schema, name).toSet
-    replacedAfter.filter(retained).sorted.headOption
-      .map(readVersion(schema, name, _))
-      .getOrElse(read(schema, name))
+      .map(_.version).sorted.headOption
+    covering match {
+      case None => read(schema, name) // live state already covers it
+      case Some(v) if versions(schema, name).contains(v) =>
+        readVersion(schema, name, v)
+      case Some(v) => throw new IllegalStateException(
+        s"readAsOf('$asOfLabel') on $schema.$name: covering version $v " +
+          s"was pruned (keepVersions=$keepVersions); oldest retained " +
+          s"version is ${versions(schema, name).headOption.getOrElse(-1)}")
+    }
   }
 
   // one JSONL line per archived version — the sync_history analog

@@ -200,6 +200,16 @@ class MaterializerSpec extends AnyFunSuite {
     wh.setVersionLabel("2024-04-01")
     m.materialize(node("v4"))
     assert(wh.versions("main", "inc_v") == Seq(2, 3))
+    // pruned-era as-of FAILS instead of silently serving newer data:
+    // version 1 (live during January) is pruned, and the ledger knows it
+    val ex = intercept[IllegalStateException](
+      wh.readAsOf("main", "inc_v", "2024-01-15"))
+    assert(ex.getMessage.contains("pruned"))
+    // retained eras still resolve after the prune
+    assert(wh.readAsOf("main", "inc_v", "2024-02-15")
+      .filter(col("tag") === "v2").count() == 5)
+    assert(wh.readAsOf("main", "inc_v", "2024-05-01")
+      .filter(col("tag") === "v4").count() == 5)
   }
 
   test("compact rewrites small files into clustered big ones, versioned") {

@@ -295,6 +295,117 @@ class SessionSpec extends AnyFunSuite {
       !at.contains("OR REPLACE"))
   }
 
+  test("failure-injected DAG: crash recorded, rerun resumes in topo " +
+    "order, final warehouse equals the no-failure run") {
+    import org.apache.spark.sql.types.TimestampType
+    val t1 = lit("2024-01-01 00:00:00").cast(TimestampType)
+    var flakyAttempts = 0
+
+    // 10-model mixed DAG: 4 tables, 2 incrementals (merge +
+    // partition delete+insert), 1 snapshot, 2 views, 1 flaky table.
+    // Every materialization is rerun-idempotent (merge dedupes on the
+    // unique key, delete+insert rewrites its partitions, the snapshot
+    // sees unchanged rows), so a crashed run + a full rerun must
+    // converge to the same warehouse as a single clean run.
+    def nodes(gs: GraftSession, inject: Boolean): Seq[ModelNode] = {
+      def wh = gs.warehouse
+      Seq(
+        ModelNode("t_orders", ModelConfig("table"), Nil)(
+          s => Tables.load(s, sf, "orders")
+            .filter(col("o_totalprice") > 50000)),
+        ModelNode("t_lineitem", ModelConfig("table"), Nil)(
+          s => Tables.load(s, sf, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+              "l_returnflag", "l_shipdate")),
+        ModelNode("t_cust", ModelConfig("table"), Nil)(
+          s => Tables.load(s, sf, "customer")),
+        ModelNode("i_big_items",
+          ModelConfig("incremental", uniqueKey = Seq("l_orderkey",
+            "l_linenumber"), incrementalStrategy = "merge"),
+          Seq("model.graft.t_lineitem"))(
+          _ => wh.read("main", "t_lineitem").filter(col("l_quantity") > 30)),
+        ModelNode("t_joined", ModelConfig("table"),
+          Seq("model.graft.t_orders", "model.graft.t_cust"))(
+          _ => wh.read("main", "t_orders").join(wh.read("main", "t_cust"),
+            col("o_custkey") === col("c_custkey"))
+            .select("o_orderkey", "o_totalprice", "c_name", "c_nationkey")),
+        ModelNode("t_flaky", ModelConfig("table"),
+          Seq("model.graft.i_big_items"))(
+          _ => {
+            if (inject) {
+              flakyAttempts += 1
+              if (flakyAttempts == 1)
+                throw new RuntimeException("injected first-attempt failure")
+            }
+            wh.read("main", "i_big_items")
+              .groupBy("l_returnflag").count()
+          }),
+        ModelNode("i_status",
+          ModelConfig("incremental", incrementalStrategy = "delete+insert",
+            partitionBy = Some("l_returnflag")),
+          Seq("model.graft.i_big_items"))(
+          _ => wh.read("main", "i_big_items")
+            .groupBy("l_returnflag", "l_shipdate")
+            .agg(count(lit(1)).as("n"))),
+        ModelNode("s_snap",
+          ModelConfig("snapshot", uniqueKey = Seq("r_regionkey"),
+            snapshotUpdatedAt = Some("updated_at")), Nil)(
+          s => Tables.load(s, sf, "region").withColumn("updated_at", t1)),
+        ModelNode("v_top", ModelConfig("view"),
+          Seq("model.graft.t_flaky"))(
+          _ => wh.read("main", "t_flaky").filter(col("count") > 0)),
+        ModelNode("v_dims", ModelConfig("view"), Nil)(
+          s => Tables.load(s, sf, "nation").select("n_nationkey", "n_name")))
+    }
+
+    def contents(gs: GraftSession, names: Seq[String]) = names.map { n =>
+      val df = gs.warehouse.read("main", n)
+      n -> df.select(df.columns.sorted.map(col): _*)
+        .collect().map(_.toString).toSet
+    }.toMap
+
+    val allNames = Seq("t_orders", "t_lineitem", "t_cust", "i_big_items",
+      "t_joined", "t_flaky", "i_status", "s_snap", "v_top", "v_dims")
+
+    // reference: one clean run in its own warehouse
+    val refRoot = Files.createTempDirectory("graft_dag_ref").toString
+    val gsRef = new GraftSession(spark, refRoot)
+    val refResults = gsRef.run(nodes(gsRef, inject = false), now = t1)
+    val refContents = contents(gsRef, allNames)
+
+    // run 1 with injection: aborts at t_flaky
+    val root = Files.createTempDirectory("graft_dag_fail").toString
+    val gs1 = new GraftSession(spark, root)
+    assertThrows[RuntimeException](gs1.run(nodes(gs1, inject = true), now = t1))
+    assert(gs1.state.crashCount("model.graft.t_flaky") == 1)
+    // flaky's upstream materialized, its downstream did not
+    assert(gs1.warehouse.tableExists("main", "i_big_items"))
+    assert(!gs1.warehouse.tableExists("main", "t_flaky"))
+
+    // run 2 from a FRESH session over the same warehouse (crash
+    // recovery): resumes the whole DAG in topo order and succeeds
+    val gs2 = new GraftSession(spark, root)
+    val results2 = gs2.run(nodes(gs2, inject = true), now = t1)
+    assert(results2.map(_.name) == refResults.map(_.name),
+      "rerun topo order differs from the clean run")
+    allNames.foreach { n =>
+      val idx = results2.indexWhere(_.name == n)
+      nodes(gs2, inject = false).find(_.name == n).get.dependsOn.foreach {
+        dep =>
+          val depIdx = results2.indexWhere("model.graft." + _.name == dep)
+          assert(depIdx < idx, s"$dep ran after $n")
+      }
+    }
+    // the crash survives in the WAL after recovery
+    assert(gs2.state.crashCount("model.graft.t_flaky") == 1)
+    // and the final warehouse is identical to the no-failure run
+    val gotContents = contents(gs2, allNames)
+    allNames.foreach { n =>
+      assert(gotContents(n) == refContents(n), s"$n diverged after recovery")
+      assert(gotContents(n).nonEmpty, s"$n is empty")
+    }
+  }
+
   test("run summary records sessions and persists JSON") {
     val root = Files.createTempDirectory("graft_rs").toString
     val gs = new GraftSession(spark, root)

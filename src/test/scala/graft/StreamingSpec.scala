@@ -133,6 +133,86 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((100L, 200L)))
   }
 
+  test("sessionizer state survives checkpoint restart; file-sink output " +
+    "is exactly-once and equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_sessions_out").toString
+    val in = MemoryStream[Event]
+
+    def startQuery() = StreamOps.sessionize(in.toDS(), gapSeconds = 1800,
+      idleTimeout = false)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir).start()
+
+    // phase 1 — two committed micro-batches, then a hard stop: users 1
+    // and 2 both end the phase with an OPEN session held only in the
+    // state store
+    val q1 = startQuery()
+    in.addData(Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0))
+    q1.processAllAvailable()
+    in.addData(Event(5, ts(0), 2, "view", 5.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // phase 2 — RESTART from the checkpoint. Closing [e1,e2] and
+    // user 2's singleton requires the pre-stop state to have been
+    // recovered; a state loss would silently swallow both sessions.
+    in.addData(Event(3, ts(55), 1, "click", 4.0),
+      Event(4, ts(60), 1, "click", 8.0),
+      Event(6, ts(120), 1, "click", 16.0),
+      Event(7, ts(130), 2, "view", 32.0))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .as[StreamOps.SessionUpdate].collect()
+      .map(s => (s.user_id, s.session_start_us, s.session_end_us,
+        s.n_events, s.total_value))
+    // exactly-once: replay across the restart must not duplicate rows
+    assert(streamed.length == streamed.distinct.length,
+      s"duplicated sink rows: ${streamed.mkString(", ")}")
+
+    // batch twin (the e_sessionize lag/cumsum shape) over ALL events;
+    // the stream can only have closed what a later event ended, so the
+    // twin drops each user's final (still-open) session
+    import org.apache.spark.sql.expressions.Window
+    val all = Seq(
+      (1L, ts(0), 1L, 1.0), (2L, ts(10), 1L, 2.0), (5L, ts(0), 2L, 5.0),
+      (3L, ts(55), 1L, 4.0), (4L, ts(60), 1L, 8.0),
+      (6L, ts(120), 1L, 16.0), (7L, ts(130), 2L, 32.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = all
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session", when(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+          1800L * 1000000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"),
+        count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val lastSession = sessions.groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("session_id"))
+    val closedTwin = sessions.join(lastSession,
+      Seq("user_id", "session_id"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(streamed.toSet == closedTwin.toSet,
+      s"stream=${streamed.toSet} twin=${closedTwin.toSet}")
+    // and the closed set is exactly the three sessions the gap implies
+    assert(streamed.length == 3)
+  }
+
   test("stream-static enrich joins the broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
