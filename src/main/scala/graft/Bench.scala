@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // dev-only knobs (the driver sets neither): SPARK_GRAFT_QUERIES
+    // runs a comma-separated subset (e.g. the flat relational/event
+    // core for the sf10 decade, where the capped dedup/ANN families
+    // are out of scope by design); SPARK_GRAFT_SPILL=1 appends the
+    // run's total shuffle/agg spill bytes to the JSON line
+    val onlyQueries: Option[Set[String]] = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).toSet)
+    val recordSpill = sys.env.get("SPARK_GRAFT_SPILL").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -84,7 +92,13 @@ object Bench {
     // would otherwise hold executor memory for the whole measured run
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val spillListener =
+      if (recordSpill) Some(graft.telemetry.SpillListener.forContext(spark.sparkContext))
+      else None
+
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => onlyQueries.forall(_.contains(name)) }
+      .sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
       // Catalyst prune the projection and under-measure).
@@ -109,7 +123,9 @@ object Bench {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted_fast_queries":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"sf":$sf}"""
+      val sp = spillListener
+        .map(l => s""","spill_bytes":${l.totalSpillBytes}""").getOrElse("")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$sp,"sf":$sf}"""
     }
     val full = line(results, 0)
     val out =

@@ -51,8 +51,12 @@ def main():
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
+        p = Path(sf_dir, f"{t}.parquet")
+        # driver testdata is a single file; GenScale output is a
+        # Spark-written directory of part files
+        pat = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     results = {}
     names = sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir())
@@ -89,6 +93,17 @@ def main():
             diffs = [(a, b) for a, b in zip(sk, ok) if a != b][:3]
             results[name] = "HASH-MISMATCH " + " ;; ".join(
                 f"spark[{a[:160]}] oracle[{b[:160]}]" for a, b in diffs)
+    if len(sys.argv) > 3:  # optional: driver-format JSON artifact
+        art = {}
+        for k, v in results.items():
+            ok = v.startswith("OK")
+            rows = int(v.split("rows=")[1]) if "rows=" in v else None
+            art[k] = {"rows_match": ok or v.startswith("HASH"),
+                      "schema_match": ok or not v.startswith("SCHEMA"),
+                      "hash_match": ok,
+                      "spark_rows": rows, "oracle_rows": rows,
+                      "err": None if ok else v[:200]}
+        Path(sys.argv[3]).write_text(json.dumps(art, indent=2, sort_keys=True))
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     n_ro = sum(1 for v in results.values() if v.startswith("rows-only"))
     for k in sorted(results):
