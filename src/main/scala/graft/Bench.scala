@@ -88,6 +88,24 @@ object Bench {
       graft.ops.Dedup.embeddingLshDups(tiny)
         .write.format("noop").mode("overwrite").save()
     }
+    // SPARK_GRAFT_WARM_DIR (dev-only, subset runs): execute every
+    // selected query once, untimed, against a tiny scale dir first. In
+    // full-inventory runs the alphabetically-early d_* queries absorb
+    // each operator family's first-execution JIT; a subset that starts
+    // at e_* would charge that fixed cost to its first queries and
+    // deflate measured scaling exponents (inflated t_lo). The warm
+    // pass moves the JIT out of the measurement at both scales.
+    sys.env.get("SPARK_GRAFT_WARM_DIR").foreach { warmDir =>
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => onlyQueries.forall(_.contains(name)) }
+        .sortBy(_._1).foreach { case (name, fn) =>
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warm $name failed: ${e.getMessage}")
+          }
+        }
+    }
+
     // drop the warm-up's localCheckpoint RDD blocks before timing — they
     // would otherwise hold executor memory for the whole measured run
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

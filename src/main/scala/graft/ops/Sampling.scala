@@ -38,6 +38,61 @@ object Sampling {
     df.filter(pmod(h32(col(keyCol).cast("string")), lit(10000)) < threshold)
   }
 
+  /** Deterministic corpus shuffle into `nShards` training shards: shard
+    * assignment and within-shard order are both pure functions of the
+    * row key (`h32("shard:"+key)` / `h32("pos:"+key)`), so the global
+    * permutation is reproducible on any cluster layout — the property a
+    * training run needs for resumable, audit-stable data ordering
+    * (epoch reshuffles = change the salt). Scale shape: ONE exchange
+    * hash-partitioned on `shard` plus a per-shard sort; pick `nShards`
+    * so a shard fits an executor (100 TB / 10 MB shards = 10M shards —
+    * the sort never sees more than one shard). No global sort, no
+    * driver state. */
+  def shuffleShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = col(keyCol).cast("string")
+    val shard = pmod(h32(concat(lit("shard:"), key)), lit(nShards))
+    val order = h32(concat(lit("pos:"), key))
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(order, col(keyCol))).cast("long"))
+  }
+
+  /** Fixed-proportion mixture sampling: downsample each domain so the
+    * kept corpus matches target weights (basis points summing to
+    * 10000) as closely as downsampling-only allows. The largest total
+    * honoring every target is `T = min_s floor(n_s·10000/w_s)`; each
+    * domain then keeps `target_s = floor(w_s·T/10000)` rows via the
+    * deterministic hash threshold `floor(target_s·10000/n_s)`. All
+    * arithmetic is BIGINT (no floats), so the kept set is bit-identical
+    * across engines and reruns. Scale shape: one map-side-combined
+    * per-domain count, broadcast back, one narrow corpus filter — no
+    * corpus shuffle. Domains with no target weight are dropped. */
+  def mixtureSample(df: DataFrame, keyCol: String, domainCol: String,
+      weightsBp: Map[String, Int]): DataFrame = {
+    require(weightsBp.values.sum == 10000,
+      s"mixture weights must sum to 10000 bp, got ${weightsBp.values.sum}")
+    val w = weightsBp.foldLeft(lit(null).cast("long")) {
+      case (acc, (dom, bp)) =>
+        when(col(domainCol) === dom, lit(bp.toLong)).otherwise(acc)
+    }
+    // BIGINT `div` throughout (Spark/DuckDB float `/` would round):
+    // bit-exact cross-engine, no precision cliff at 2^53 rows·bp
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_dom"))
+      .withColumn("w_bp", w).filter(col("w_bp").isNotNull)
+    val tmax = counts
+      .agg(min(expr("(n_dom * 10000) div w_bp")).as("t_max"))
+    val thresholds = counts.crossJoin(broadcast(tmax))
+      .select(col(domainCol),
+        expr("((w_bp * t_max) div 10000) * 10000 div n_dom")
+          .as("keep_bp"))
+    df.join(broadcast(thresholds), Seq(domainCol))
+      .filter(pmod(h32(col(keyCol).cast("string")), lit(10000)) <
+        col("keep_bp"))
+  }
+
   /** Temperature-τ=0.5 domain rebalancing (the multilingual-/domain-
     * mixing stage: sample domain s with probability ∝ n_s^τ instead of
     * n_s, flattening the head without dropping the tail). Realized as

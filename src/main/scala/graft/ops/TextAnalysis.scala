@@ -98,6 +98,51 @@ object TextAnalysis {
   def qualityScore(text: Column): Column =
     qualityScoreFromFacets(qualityFacets(text))
 
+  /** Gopher-style compound rule filter (Rae et al. 2021 §A1.1 shape):
+    * per-rule booleans + overall pass, so a curation run can report WHY
+    * each document was dropped, not just that it was. Every comparison
+    * is integer-only (counts and cross-multiplied ratios — never a
+    * float division), so the verdict is bit-identical in any engine and
+    * oracle-checkable. One narrow codegen pass: the token stats ride
+    * the shared [[tokenLexStats]] kernel, the rest are per-row
+    * length/replace/filter counts. Rules:
+    *   - word_count: 10 ≤ n_tokens ≤ 5000
+    *   - mean_word_len: 2 ≤ Σlen/n ≤ 12   (as 2n ≤ Σlen ≤ 12n)
+    *   - symbol_ratio: (#'#' + #'...') · 10 ≤ n
+    *   - bullet_lines: lines starting "- "/"* " ≤ 90% of lines
+    *   - alpha_words: tokens containing [a-z] ≥ 80%  (10·a ≥ 8n)
+    *   - stopwords: ≥ 2 English function-word occurrences
+    */
+  def gopherRules(text: Column): Column = {
+    val st = tokenLexStats(text)
+    val n = st.getField("n_tokens")
+    val sumLen = st.getField("sum_token_len")
+    val enIdx = lexicons.indexWhere(_._1 == "en")
+    val stopHits = element_at(st.getField("hits"), enIdx + 1)
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    // numerator is an exact multiple of 3 (each removal = 3 chars), so
+    // the double division is exact and the int cast lossless
+    val ellipses =
+      ((length(text) - length(replace(text, lit("..."), lit("")))) / 3)
+        .cast(IntegerType)
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val bullets = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* ")))
+    val alpha = size(filter(TextOps.tokens(text), t => t.rlike("[a-z]")))
+    val rWordCount = n.between(10, 5000)
+    val rMeanLen = n > 0 && sumLen >= n * 2 && sumLen <= n * 12
+    val rSymbol = (hashes + ellipses) * 10 <= n
+    val rBullet = bullets * 10 <= nLines * 9
+    val rAlpha = alpha * 10 >= n * 8
+    val rStop = stopHits >= 2
+    struct(rWordCount.as("r_word_count"), rMeanLen.as("r_mean_word_len"),
+      rSymbol.as("r_symbol_ratio"), rBullet.as("r_bullet_lines"),
+      rAlpha.as("r_alpha_words"), rStop.as("r_stopwords"),
+      (rWordCount && rMeanLen && rSymbol && rBullet && rAlpha && rStop)
+        .as("pass"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish split (letter runs,
     * single digits, single punctuation) — the common pre-tokenizer
     * shape. */

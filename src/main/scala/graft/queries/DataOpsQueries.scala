@@ -351,6 +351,36 @@ object DataOpsQueries {
         keyCol = "doc_id", stratumCol = "lang",
         fractions = Map("en" -> 0.25), defaultFraction = 0.5)),
 
+    // Deterministic corpus shuffle into 8 training shards: shard and
+    // within-shard position are pure hash functions of doc_id, so the
+    // global data order is reproducible on any cluster layout. One
+    // shard-keyed exchange + per-shard sort; no global sort.
+    "t_shuffle_shards" -> ((s, dir) =>
+      Sampling.shuffleShards(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("source")),
+        keyCol = "doc_id", nShards = 8)),
+
+    // Fixed-proportion mixture sampling: downsample per-language so the
+    // kept corpus hits target weights (en 50% / zh 20% / es 15% /
+    // de 10% / fr 5%) as closely as downsampling-only allows — the
+    // source-mixing stage of a training-data recipe. All-BIGINT solver,
+    // one broadcast threshold join, zero corpus shuffles.
+    "d_mixture" -> ((s, dir) =>
+      Sampling.mixtureSample(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("lang")),
+        keyCol = "doc_id", domainCol = "lang",
+        weightsBp = Map("en" -> 5000, "zh" -> 2000, "es" -> 1500,
+          "de" -> 1000, "fr" -> 500))
+        .select(col("doc_id"), col("lang"), col("keep_bp"))),
+
+    // Gopher-style compound quality rules: per-rule booleans + overall
+    // pass per document (the WHY of every drop, integer-exact).
+    "t_quality_rules" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.gopherRules(col("text")).as("r"))
+        .select(col("doc_id"), col("r.*"))),
+
     // Context-window chunking: 64-token windows, stride 48 (16-token
     // overlap) — the training-data prep step between curation and
     // tokenization.
@@ -771,6 +801,63 @@ object DataOpsQueries {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${h32Sql("CAST(doc_id AS VARCHAR)")} % 10000 <
          |  CASE WHEN lang = 'en' THEN 2500 ELSE 5000 END""".stripMargin,
+
+    "t_shuffle_shards" ->
+      s"""SELECT doc_id, source,
+         |  ${h32Sql("'shard:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY ${h32Sql("'shard:' || CAST(doc_id AS VARCHAR)")} % 8
+         |    ORDER BY ${h32Sql("'pos:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM documents""".stripMargin,
+
+    "d_mixture" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_dom FROM documents
+         |  GROUP BY lang),
+         |w AS (SELECT lang, n_dom, CASE lang
+         |    WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000 WHEN 'es' THEN 1500
+         |    WHEN 'de' THEN 1000 WHEN 'fr' THEN 500 END AS w_bp FROM c),
+         |w2 AS (SELECT * FROM w WHERE w_bp IS NOT NULL),
+         |t AS (SELECT min((n_dom * 10000) // w_bp) AS t_max FROM w2),
+         |th AS (SELECT lang,
+         |  ((w_bp * t_max) // 10000) * 10000 // n_dom AS keep_bp
+         |  FROM w2, t)
+         |SELECT d.doc_id, d.lang, th.keep_bp
+         |FROM documents d JOIN th ON d.lang = th.lang
+         |WHERE ${h32Sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < th.keep_bp"""
+        .stripMargin,
+
+    "t_quality_rules" ->
+      s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+         |f AS (SELECT doc_id,
+         |  len(t) AS n,
+         |  COALESCE(list_aggregate(list_transform(t, x -> length(x)),
+         |    'sum'), 0) AS sumlen,
+         |  COALESCE(list_aggregate(list_transform(t, x -> CASE WHEN x IN
+         |    ('the','a','and','of','to','in','is') THEN 1 ELSE 0 END),
+         |    'sum'), 0) AS stop_hits,
+         |  length(text) - length(replace(text, '#', '')) AS hashes,
+         |  (length(text) - length(replace(text, '...', ''))) // 3
+         |    AS ellipses,
+         |  len(string_split(text, chr(10))) AS n_lines,
+         |  len(list_filter(string_split(text, chr(10)),
+         |    l -> l LIKE '- %' OR l LIKE '* %')) AS bullets,
+         |  len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS alpha
+         |  FROM toks)
+         |SELECT doc_id,
+         |  n BETWEEN 10 AND 5000 AS r_word_count,
+         |  n > 0 AND sumlen >= n * 2 AND sumlen <= n * 12
+         |    AS r_mean_word_len,
+         |  (hashes + ellipses) * 10 <= n AS r_symbol_ratio,
+         |  bullets * 10 <= n_lines * 9 AS r_bullet_lines,
+         |  alpha * 10 >= n * 8 AS r_alpha_words,
+         |  stop_hits >= 2 AS r_stopwords,
+         |  (n BETWEEN 10 AND 5000) AND
+         |  (n > 0 AND sumlen >= n * 2 AND sumlen <= n * 12) AND
+         |  ((hashes + ellipses) * 10 <= n) AND
+         |  (bullets * 10 <= n_lines * 9) AND
+         |  (alpha * 10 >= n * 8) AND (stop_hits >= 2) AS pass
+         |FROM f""".stripMargin,
 
     "t_chunk" ->
       """WITH t AS (SELECT doc_id,

@@ -533,6 +533,88 @@ class OpsSpec extends AnyFunSuite {
       out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("shuffle shards: complete dense positions, layout-independent") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    val out = graft.ops.Sampling.shuffleShards(df, "doc_id", nShards = 8)
+    val rows = out.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 500)
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // per-shard positions are exactly 1..n_shard (dense, no gaps/dups)
+    rows.groupBy(_._2).foreach { case (s, members) =>
+      assert(members.map(_._3).sorted.toSeq == (1L to members.length).toSeq,
+        s"shard $s positions not dense")
+    }
+    // the permutation is a pure function of the key: same assignment on
+    // a different partitioning
+    val re = graft.ops.Sampling.shuffleShards(
+      df.repartition(7), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re == rows.toSet)
+    // ... and actually shuffled: keys are not assigned in id order
+    val shard0 = rows.filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted)
+  }
+
+  test("mixture sampling solves the integer downsample-only program") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i => (i.toLong, "en")) ++
+      (1000 until 1100).map(i => (i.toLong, "fr")) ++
+      (2000 until 2050).map(i => (i.toLong, "de"))
+    val df = rows.toDF("doc_id", "lang")
+    val out = graft.ops.Sampling.mixtureSample(df, "doc_id", "lang",
+      Map("en" -> 5000, "fr" -> 2000, "de" -> 3000))
+    // T = min(400·1e4/5000, 100·1e4/2000, 50·1e4/3000) = min(800,500,166)
+    // targets: en 83, fr 33, de 49 → keep_bp 2075 / 3300 / 9800
+    val bp = out.select("lang", "keep_bp").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bp == Map("en" -> 2075L, "fr" -> 3300L, "de" -> 9800L))
+    // realized counts track the targets (hash threshold is exact-bp,
+    // realized count is data-dependent; bound loosely)
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") > 60 && kept("en") < 110, kept.toString)
+    assert(kept("de") > 40, kept.toString) // binding domain nearly whole
+    // weights must sum to 10000
+    assertThrows[IllegalArgumentException](
+      graft.ops.Sampling.mixtureSample(df, "doc_id", "lang",
+        Map("en" -> 5000)))
+    // deterministic under repartitioning
+    val re = graft.ops.Sampling.mixtureSample(df.repartition(7),
+      "doc_id", "lang",
+      Map("en" -> 5000, "fr" -> 2000, "de" -> 3000))
+    assert(re.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("gopher rules isolate each failure mode") {
+    import spark.implicits._
+    val good = "the cat sat on the mat and the dog ran to the house today"
+    val docs = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "the cat"),                              // too short
+      (3L, good + " #### ##"),                      // symbol-heavy
+      (4L, "- alpha beta\n- gamma delta\n- epsilon zeta"), // all bullets
+      (5L, "1 2 3 4 5 6 7 8 9 10 11 12 13 14")      // no alpha words
+    ).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+      graft.ops.TextAnalysis.gopherRules(col("text")).as("r"))
+      .select(col("doc_id"), col("r.*")).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    def b(id: Long, f: String) =
+      r(id).getBoolean(r(id).fieldIndex(f))
+    assert(b(1, "pass"), r(1).toString)
+    assert(!b(2, "r_word_count") && !b(2, "pass"))
+    assert(b(2, "r_mean_word_len") && b(2, "r_alpha_words"))
+    assert(!b(3, "r_symbol_ratio") && !b(3, "pass"))
+    assert(b(3, "r_word_count")) // '#' is not a token
+    assert(!b(4, "r_bullet_lines") && !b(4, "pass"))
+    assert(!b(5, "r_alpha_words") && !b(5, "r_stopwords") && !b(5, "pass"))
+    assert(b(5, "r_word_count"))
+  }
+
   test("bigram LM: in-distribution text scores lower cross-entropy than noise") {
     import spark.implicits._
     val ref = Seq((0L, "the cat sat on the mat the cat ran"))

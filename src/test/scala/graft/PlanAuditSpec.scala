@@ -42,10 +42,12 @@ class PlanAuditSpec extends AnyFunSuite {
   // p_pagerank and t_perplexity cross only one-row aggregates (node
   // count / vocabulary size) into row streams — the scalar-broadcast
   // pattern, collect-free.
+  // d_mixture is the same shape as d_resample_temp: the one-row T_max
+  // aggregate crossed into the per-domain threshold rows (≤ #domains).
   private val denseByDesign =
     Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8", "s_ann_pq",
       "d_decontaminate_bloom", "d_resample_temp", "s_bm25",
-      "s_hybrid_rrf", "p_pagerank", "t_perplexity")
+      "s_hybrid_rrf", "p_pagerank", "t_perplexity", "d_mixture")
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -160,6 +162,25 @@ class PlanAuditSpec extends AnyFunSuite {
     // one rescore stage, not a second float scan
     val dd = occurrences(el, "dot_d(")
     assert(dd >= 1 && dd <= 2, el)
+  }
+
+  test("round-5 additions keep their declared exchange budgets") {
+    def shuffles(name: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(physicalPlan(name)).length
+    // compound quality rules: one narrow codegen pass, no exchange
+    val qr = physicalPlan("t_quality_rules")
+    assert(!qr.contains("Exchange"), s"t_quality_rules must not shuffle:\n$qr")
+    // shard shuffle: exactly the one shard-keyed exchange (the window
+    // sorts within shards; no global sort)
+    assert(shuffles("t_shuffle_shards") == 1,
+      s"t_shuffle_shards budget is 1, got ${shuffles("t_shuffle_shards")}")
+    assert(!physicalPlan("t_shuffle_shards").contains("rangepartitioning"),
+      "t_shuffle_shards planned a global sort")
+    // mixture sampling: only the tiny per-domain count aggregate
+    // exchanges — the corpus is filtered in place, never re-keyed
+    val mx = physicalPlan("d_mixture")
+    assert(!mx.contains("rangepartitioning"), "corpus sorted")
+    assert(!mx.contains("hashpartitioning(doc_id"), "corpus shuffled")
   }
 
   test("TPC-H join shapes broadcast dims and push filters down") {
