@@ -545,4 +545,51 @@ object Dedup {
           array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           e => e.getField("seg")), " ").as("text_dedup"))
   }
+
+  /** Exact-substring repeated-span detection — the w-gram formulation
+    * of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": drop any substring
+    * repeated verbatim elsewhere in the corpus). Every
+    * `windowTokens`-token sliding window (stride 1) is keyed by the
+    * md5 of its joined tokens (exact match — no hash-width false
+    * positives); windows occurring ≥ 2 times corpus-wide are merged
+    * per document into maximal spans. Guarantees: any repeated
+    * substring of ≥ `windowTokens` tokens is covered by a reported
+    * span; a reported span is a run whose every w-window is repeated
+    * somewhere (possibly by different partners) — the standard w-gram
+    * over-approximation of suffix-array maximal repeats.
+    *
+    * Scale shape: stride-1 windows are ~1 row per corpus token —
+    * linear, like [[paragraphDedup]]'s segments but ×`segTokens`
+    * denser; two bounded shuffles (window-hash occurrence count via an
+    * unbounded-partition window `count`, then doc-keyed island merge)
+    * and no pairing stage. The boilerplate mega-window (one hash
+    * repeated millions of times) costs one hot count key, not a pair
+    * explosion. */
+  def repeatedSpans(docs: DataFrame, windowTokens: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= windowTokens)
+    val wins = toks.select(col(idCol),
+      posexplode(transform(
+        sequence(lit(1), size(col("__t")) - (windowTokens - 1)),
+        i => md5(concat_ws(" ", slice(col("__t"), i, lit(windowTokens)))))))
+      .select(col(idCol), (col("pos") + 1).as("start"), col("col").as("wh"))
+    val matched = wins
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("wh"))))
+      .filter(col("occ") >= 2)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    matched
+      .withColumn("__prev", lag(col("start"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("start") > col("__prev") + 1, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + (windowTokens - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
 }

@@ -86,6 +86,13 @@ object DataOpsQueries {
       Dedup.minhashLsh(Tables.load(s, dir, "documents"),
         shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.5)),
 
+    // Exact-substring repeated-span detection (Lee et al. 2022 shape):
+    // every 16-token window repeated verbatim anywhere in the corpus,
+    // merged into maximal per-document spans. Planted-dup base so the
+    // whole-document repeats are guaranteed present.
+    "d_dedup_substring" -> ((s, dir) =>
+      Dedup.repeatedSpans(docsWithDups(s, dir), windowTokens = 16)),
+
     "d_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashTable(Tables.load(s, dir, "documents"))),
 
@@ -801,6 +808,27 @@ object DataOpsQueries {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${h32Sql("CAST(doc_id AS VARCHAR)")} % 10000 <
          |  CASE WHEN lang = 'en' THEN 2500 ELSE 5000 END""".stripMargin,
+
+    "d_dedup_substring" ->
+      s"""WITH base AS ($docsWithDupsSql),
+         |toks AS (SELECT doc_id, $toksSql AS t FROM base),
+         |tk AS (SELECT doc_id, t FROM toks WHERE len(t) >= 16),
+         |wins AS (SELECT doc_id, i AS start,
+         |  md5(array_to_string(list_slice(t, i, i + 15), ' ')) AS wh
+         |  FROM tk, unnest(generate_series(1, len(t) - 15)) g(i)),
+         |m AS (SELECT doc_id, start,
+         |  count(*) OVER (PARTITION BY wh) AS occ FROM wins),
+         |f AS (SELECT doc_id, start,
+         |  lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+         |  FROM m WHERE occ >= 2),
+         |isl AS (SELECT doc_id, start,
+         |  sum(CASE WHEN prev IS NULL OR start > prev + 1 THEN 1 ELSE 0
+         |    END) OVER (PARTITION BY doc_id ORDER BY start) AS island
+         |  FROM f)
+         |SELECT doc_id, min(start) AS span_start,
+         |  max(start) + 15 AS span_end,
+         |  max(start) + 15 - min(start) + 1 AS span_tokens
+         |FROM isl GROUP BY doc_id, island""".stripMargin,
 
     "t_shuffle_shards" ->
       s"""SELECT doc_id, source,

@@ -533,6 +533,30 @@ class OpsSpec extends AnyFunSuite {
       out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("repeated spans: shared 16-gram found at exact positions") {
+    import spark.implicits._
+    val shared = (1 to 16).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared"),        // shared span at tokens 4..19
+      (2L, s"$shared b1 b2"),           // shared span at tokens 1..16
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15 c16 c17")
+    ).toDF("doc_id", "text")            // doc 3: no repeats anywhere
+    val spans = Dedup.repeatedSpans(docs, windowTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).sortBy(_._1)
+    assert(spans.toSeq == Seq((1L, 4, 19, 16), (2L, 1, 16, 16)),
+      spans.mkString(", "))
+    // a whole-document duplicate yields one full-cover span on both
+    val dup = docs.filter(col("doc_id") === 3L)
+      .unionByName(Seq((4L,
+        "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15 c16 c17"))
+        .toDF("doc_id", "text"))
+    val full = Dedup.repeatedSpans(dup, windowTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(_._1)
+    assert(full.toSeq == Seq((3L, 1, 17), (4L, 1, 17)))
+  }
+
   test("shuffle shards: complete dense positions, layout-independent") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, s"d$i")).toDF("doc_id", "payload")

@@ -181,6 +181,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val mx = physicalPlan("d_mixture")
     assert(!mx.contains("rangepartitioning"), "corpus sorted")
     assert(!mx.contains("hashpartitioning(doc_id"), "corpus shuffled")
+    // substring spans: window-hash occurrence count + doc-keyed island
+    // merge — two shuffles of the stride-1 window stream (the groupBy
+    // rides the island window's doc partitioning), no pairing stage,
+    // no global sort
+    assert(shuffles("d_dedup_substring") <= 3,
+      s"d_dedup_substring budget is 3, got ${shuffles("d_dedup_substring")}")
+    assert(!physicalPlan("d_dedup_substring").contains("rangepartitioning"),
+      "d_dedup_substring planned a global sort")
   }
 
   test("TPC-H join shapes broadcast dims and push filters down") {
