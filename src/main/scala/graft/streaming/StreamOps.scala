@@ -97,6 +97,74 @@ object StreamOps {
         else GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class AnomalyAlert(event_id: Long, user_id: Long,
+      value: Double, z: Double)
+
+  /** Ring of the user's trailing values as DECIMAL(18,2) unscaled
+    * cents — the integer form of the batch twin's decimal casts, so the
+    * streamed moments are bit-identical to the batch window sums. */
+  final case class RingState(cents: Seq[Long])
+
+  /** Streaming twin of the `e_anomaly` batch query: per-user trailing
+    * z-scores via [[org.apache.spark.sql.KeyValueGroupedDataset
+    * .flatMapGroupsWithState]]. Each event is scored against the user's
+    * PREVIOUS `trailing` values (self-excluded, exactly the batch
+    * twin's `rowsBetween(-trailing, -1)` frame), then enters the ring.
+    * Arithmetic parity with the batch/oracle pipeline is exact: values
+    * quantize to DECIMAL(18,2) cents via the same Double.toString
+    * HALF_UP path Spark's decimal cast uses, moments are integer sums
+    * of cents (scale-2) and squared cents (scale-4) converted to
+    * double exactly like `CAST(sum AS DOUBLE)`, σ clamps variance
+    * before the IEEE sqrt — so a replayed stream emits bit-identical
+    * z-scores to the batch query.
+    *
+    * State is a bounded ring (`trailing` longs per user — no timeout
+    * needed; total state ∝ distinct users, the same bound as any
+    * user-keyed stateful op). Event-time order is assumed per user
+    * within and across batches (the replay/ingest contract shared by
+    * [[sessionize]]); each micro-batch sorts its own slice by
+    * (ts, event_id). */
+  def anomalies(events: Dataset[Event], trailing: Int = 10,
+      zThreshold: Double = 2.5): Dataset[AnomalyAlert] = {
+    import events.sparkSession.implicits._
+
+    def toCents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+
+    def update(userId: Long, evs: Iterator[Event],
+        state: GroupState[RingState]): Iterator[AnomalyAlert] = {
+      var ring = state.getOption.map(_.cents.toVector)
+        .getOrElse(Vector.empty[Long])
+      val out = List.newBuilder[AnomalyAlert]
+      evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (ring.length == trailing) {
+          val n = trailing.toDouble
+          val mu = new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(ring.sum), 2).doubleValue() / n
+          val m2 = new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(ring.map(c => c * c).sum), 4)
+            .doubleValue() / n
+          val sigma = math.sqrt(math.max(m2 - mu * mu, 0.0))
+          if (sigma > 0) {
+            val z = (e.value - mu) / sigma
+            if (math.abs(z) > zThreshold)
+              out += AnomalyAlert(e.event_id, userId, e.value, z)
+          }
+        }
+        ring = (if (ring.length == trailing) ring.tail else ring) :+
+          toCents(e.value)
+      }
+      state.update(RingState(ring))
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming ingest dedup — the streaming twin of [[graft.ops.Dedup
     * .exact]]: drop documents whose normalized-content hash was already
     * seen within the watermark horizon. State is bounded: Spark evicts

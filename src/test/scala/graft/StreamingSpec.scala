@@ -213,6 +213,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length == 3)
   }
 
+  test("streaming anomaly z-scores are bit-identical to the batch twin " +
+    "over the real events table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // replay in three ordered chunks so ring state crosses micro-batches
+    val in = MemoryStream[Event]
+    val q = StreamOps.anomalies(in.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anomalies").start()
+    all.grouped((all.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("anomalies")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    q.stop()
+
+    // batch twin: the e_anomaly window pipeline over the same table
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-10, -1)
+    val dv = col("value").cast(DecimalType(18, 2))
+    val batch = Tables.load(spark, sf, "events")
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("mu", sum(dv).over(w).cast(DoubleType) / col("n"))
+      .withColumn("m2", sum(dv * dv).over(w).cast(DoubleType) / col("n"))
+      .filter(col("n") >= 10)
+      .withColumn("sigma",
+        sqrt(greatest(col("m2") - col("mu") * col("mu"), lit(0.0))))
+      .filter(col("sigma") > 0)
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("user_id"), col("value"), col("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(batch.nonEmpty, "batch twin produced no alerts at sf0.001")
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} " +
+        s"batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("stream-static enrich joins the broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
