@@ -263,6 +263,22 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Deterministic token-hash text embedding: dim `d` is the sum over
+    * tokens of a signed md5-derived component for `(token, d)`, scaled
+    * to [-1, 1] per token. The per-dim accumulation is an INTEGER sum
+    * (order-independent — no float-summation-order hazard) divided
+    * once at the end, so the vector is bit-identical in any engine and
+    * on any partitioning. A stand-in for a learned embedding model
+    * with the exact plumbing (tokenize → encode → dense vector) a RAG
+    * pipeline runs; takes the pre-tokenized array so callers project
+    * `TextOps.tokens` once instead of per-dim. */
+  def hashEmbedTokens(toks: Column, dims: Int = 16): Column =
+    transform(sequence(lit(0), lit(dims - 1)), d =>
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + (pmod(graft.ops.TextOps.h32(
+          concat(t, lit(":"), d.cast(StringType))), lit(2001)) - 1000))
+        .cast(DoubleType) / 1000.0)
+
   /** Exact top-k neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

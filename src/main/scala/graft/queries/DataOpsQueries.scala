@@ -474,6 +474,36 @@ object DataOpsQueries {
             .otherwise("kept").as("stage"))
     }),
 
+    // RAG retrieval composition — the full text→vector→top-k chain a
+    // retrieval-augmented pipeline runs: chunk the corpus (64/48
+    // windows), hash-embed every chunk and the 3 query strings with
+    // the same deterministic encoder, exact cosine top-5 chunks per
+    // query. Chunk ids pack (doc_id, chunk_idx) as doc_id·1000+idx
+    // (chunk_idx < 1000 by construction at 64/48 over these docs);
+    // query ids sit above the chunk id space so the ANN self-exclusion
+    // never fires. Everything bit-exact: integer-sum embeddings, IEEE
+    // left-to-right cosine, rank ties broken on cand_id.
+    "p_rag" -> ((s, dir) => {
+      import s.implicits._
+      val chunks = TextAnalysis.chunkTable(
+        Tables.load(s, dir, "documents"), chunkTokens = 64, stride = 48)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("vec_id"),
+          Similarity.hashEmbedTokens(
+            graft.ops.TextOps.tokens(col("chunk_text"))).as("embedding"))
+      val queries = Seq(
+        (9000000001L, "window merge sort"),
+        (9000000002L, "hash scan table"),
+        (9000000003L, "spark batch value"))
+        .toDF("vec_id", "qtext")
+        .select(col("vec_id"), Similarity.hashEmbedTokens(
+          graft.ops.TextOps.tokens(col("qtext"))).as("embedding"))
+      Similarity.bruteForceTopK(queries, chunks, k = 5)
+        .select(col("query_id"), col("rnk"), col("cand_id"),
+          expr("cand_id div 1000").as("doc_id"),
+          pmod(col("cand_id"), lit(1000)).cast(IntegerType).as("chunk_idx"),
+          col("cosine"))
+    }),
+
     // PII redaction over text with synthesized deterministic PII (the
     // corpus itself is clean) — email, SSN, phone, IPv4.
     "t_pii_redact" -> ((s, dir) => {
@@ -1149,6 +1179,50 @@ object DataOpsQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, cand_id) AS rnk FROM scored) t
         |WHERE rnk <= 5""".stripMargin,
+
+    "p_rag" -> {
+      def embSql(src: String) =
+        s"""SELECT vec_id, list_transform(generate_series(0, 15), d ->
+           |  COALESCE(list_aggregate(list_transform(t, x ->
+           |    (('0x' || substr(md5(x || ':' || d), 1, 8))::BIGINT % 2001)
+           |      - 1000), 'sum'), 0) / 1000.0) AS v
+           |FROM $src""".stripMargin
+      s"""WITH tk0 AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |c AS (SELECT doc_id, tk,
+         |  CASE WHEN len(tk) > 64 THEN 1 + (len(tk) - 64 + 47) // 48
+         |       ELSE 1 END AS nc FROM tk0),
+         |ch AS (SELECT doc_id * 1000 + (i - 1) AS vec_id,
+         |  array_to_string(list_slice(tk, (i-1)*48 + 1, (i-1)*48 + 64),
+         |    ' ') AS chunk_text
+         |  FROM c, unnest(generate_series(1, nc)) g(i)),
+         |ct AS (SELECT vec_id, list_filter(string_split_regex(
+         |  lower(chunk_text), '[^a-z0-9]+'), x -> x <> '') AS t FROM ch),
+         |emb AS (${embSql("ct")}),
+         |q(vec_id, qtext) AS (VALUES
+         |  (9000000001, 'window merge sort'),
+         |  (9000000002, 'hash scan table'),
+         |  (9000000003, 'spark batch value')),
+         |qt AS (SELECT vec_id, list_filter(string_split_regex(
+         |  lower(qtext), '[^a-z0-9]+'), x -> x <> '') AS t FROM q),
+         |qemb AS (${embSql("qt")}),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    list_reduce(list_transform(generate_series(1, len(q.v)),
+         |      i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+         |    (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+         |      (x, y) -> x + y)) *
+         |     sqrt(list_reduce(list_transform(c.v, x -> x * x),
+         |      (x, y) -> x + y))) AS cosine
+         |  FROM qemb q JOIN emb c ON q.vec_id <> c.vec_id)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, cand_id,
+         |  cand_id // 1000 AS doc_id,
+         |  CAST(cand_id % 1000 AS INT) AS chunk_idx, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, cand_id) AS rnk FROM scored) t
+         |WHERE rnk <= 5""".stripMargin
+    },
 
     "t_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, lang, $toksSql AS t FROM documents),

@@ -44,10 +44,13 @@ class PlanAuditSpec extends AnyFunSuite {
   // pattern, collect-free.
   // d_mixture is the same shape as d_resample_temp: the one-row T_max
   // aggregate crossed into the per-domain threshold rows (≤ #domains).
+  // p_rag embeds the brute-force dense scan (3 broadcast query
+  // vectors × chunk corpus) exactly like s_hybrid_rrf embeds it.
   private val denseByDesign =
     Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8", "s_ann_pq",
       "d_decontaminate_bloom", "d_resample_temp", "s_bm25",
-      "s_hybrid_rrf", "p_pagerank", "t_perplexity", "d_mixture")
+      "s_hybrid_rrf", "p_pagerank", "t_perplexity", "d_mixture",
+      "p_rag")
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
