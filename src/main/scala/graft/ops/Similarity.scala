@@ -263,21 +263,30 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** Deterministic token-hash text embedding: dim `d` is the sum over
-    * tokens of a signed md5-derived component for `(token, d)`, scaled
-    * to [-1, 1] per token. The per-dim accumulation is an INTEGER sum
-    * (order-independent — no float-summation-order hazard) divided
-    * once at the end, so the vector is bit-identical in any engine and
-    * on any partitioning. A stand-in for a learned embedding model
-    * with the exact plumbing (tokenize → encode → dense vector) a RAG
-    * pipeline runs; takes the pre-tokenized array so callers project
-    * `TextOps.tokens` once instead of per-dim. */
-  def hashEmbedTokens(toks: Column, dims: Int = 16): Column =
-    transform(sequence(lit(0), lit(dims - 1)), d =>
-      aggregate(toks, lit(0L), (acc, t) =>
-        acc + (pmod(graft.ops.TextOps.h32(
-          concat(t, lit(":"), d.cast(StringType))), lit(2001)) - 1000))
-        .cast(DoubleType) / 1000.0)
+  /** Deterministic token-hash text embedding: the 16 dims slice 4 hex
+    * digits each out of TWO md5 digests per token (`t:0` ++ `t:1` = 64
+    * hex chars), mapped to a signed component in [-1, 1]; dim sums
+    * accumulate as INTEGERS (order-independent — no
+    * float-summation-order hazard) and divide once at the end, so the
+    * vector is bit-identical in any engine and on any partitioning. A
+    * stand-in for a learned embedding model with the exact plumbing
+    * (tokenize → encode → dense vector) a RAG pipeline runs; takes the
+    * pre-tokenized array so callers project `TextOps.tokens` once.
+    * Two md5 per token, not one per (token, dim): the first
+    * formulation hashed inside the per-dim lambda — 16 interpreted
+    * md5s per token, 8 s at sf0.1 — where slicing one concatenated
+    * digest leaves only long arithmetic in the inner lambda. */
+  def hashEmbedTokens(toks: Column, dims: Int = 16): Column = {
+    require(dims == 16, "hashEmbedTokens derives exactly 16 dims per 2 md5")
+    val hexes = transform(toks, t =>
+      concat(md5(concat(t, lit(":0"))), md5(concat(t, lit(":1")))))
+    val sums = aggregate(hexes, array_repeat(lit(0L), dims),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(dims - 1)),
+        (a, j) => a + (pmod(
+          conv(h.substr(j * 4 + 1, lit(4)), 16, 10).cast(LongType),
+          lit(2001)) - 1000)))
+    transform(sums, s => s.cast(DoubleType) / 1000.0)
+  }
 
   /** Exact top-k neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,

@@ -1182,10 +1182,11 @@ object DataOpsQueries {
 
     "p_rag" -> {
       def embSql(src: String) =
-        s"""SELECT vec_id, list_transform(generate_series(0, 15), d ->
+        s"""SELECT vec_id, list_transform(generate_series(0, 15), j ->
            |  COALESCE(list_aggregate(list_transform(t, x ->
-           |    (('0x' || substr(md5(x || ':' || d), 1, 8))::BIGINT % 2001)
-           |      - 1000), 'sum'), 0) / 1000.0) AS v
+           |    (('0x' || substr(md5(x || ':0') || md5(x || ':1'),
+           |      j * 4 + 1, 4))::BIGINT % 2001) - 1000), 'sum'), 0)
+           |    / 1000.0) AS v
            |FROM $src""".stripMargin
       s"""WITH tk0 AS (SELECT doc_id,
          |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
