@@ -171,6 +171,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup check of a NEW batch against an EXISTING
+    * corpus — the daily-ingest shape: the corpus side is the banded
+    * signature table a production pipeline materializes ONCE (and
+    * appends to as batches land), the batch side computes |batch|
+    * signatures, and candidates come from the (band, hash) equi-join —
+    * the corpus never pairs against itself, so an increment costs the
+    * batch's signatures plus bucket-local verification instead of a
+    * corpus re-dedup. Verdict per batch doc: its best corpus match
+    * (max jaccard, ties to the highest corpus id — deterministic).
+    * Both sides share [[capBuckets]] so a boilerplate bucket bounds
+    * at maxBucket² work like every pair generator here. */
+  def incrementalDups(corpus: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleLen: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    def side(df: DataFrame, as: String): DataFrame =
+      capBuckets(
+        minhashBands(df, idCol, textCol, shingleLen, numHashes, bands),
+        Seq("band_idx", "band_hash"), idCol, maxBucket)
+        .select(col("band_idx"), col("band_hash"),
+          col(idCol).as(s"${as}_id"), col("sh").as(s"${as}_sh"))
+    val bsh = col("batch_sh")
+    val csh = col("corpus_sh")
+    val inter = graft.functions.VecMath.sortedIntersectSize(bsh, csh)
+    val ratioOk = least(size(bsh), size(csh)).cast(DoubleType) /
+      greatest(size(bsh), size(csh)) >= threshold
+    val jac = when(ratioOk,
+      inter.cast(DoubleType) / (size(bsh) + size(csh) - inter))
+      .otherwise(lit(-1.0))
+    side(batch, "batch").join(side(corpus, "corpus"),
+        Seq("band_idx", "band_hash"))
+      .select(col("batch_id"), col("corpus_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+      .groupBy(col("batch_id"))
+      .agg(max(struct(col("jaccard"), col("corpus_id"))).as("m"))
+      .select(col("batch_id"), col("m.corpus_id").as("dup_of"),
+        col("m.jaccard").as("jaccard"))
+  }
+
   /** Audit of the [[bucketPairs]] cap: buckets whose member count
     * exceeds `maxBucket`, with how many members the pair triangle
     * dropped — the skip-with-counter ledger for curation reports. */

@@ -86,6 +86,19 @@ object DataOpsQueries {
       Dedup.minhashLsh(Tables.load(s, dir, "documents"),
         shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.5)),
 
+    // Incremental dedup: a new batch (planted +10000 copies of every
+    // 50th document) checked against the existing corpus via the
+    // banded-signature join — the corpus never re-pairs against
+    // itself. Verdict = best corpus match per batch doc.
+    "d_dedup_incremental" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Dedup.incrementalDups(
+        corpus = d,
+        batch = d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")),
+        shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.5)
+    }),
+
     // Exact-substring repeated-span detection (Lee et al. 2022 shape):
     // every 16-token window repeated verbatim anywhere in the corpus,
     // merged into maximal per-document spans. Planted-dup base so the
@@ -859,6 +872,50 @@ object DataOpsQueries {
          |  max(start) + 15 AS span_end,
          |  max(start) + 15 - min(start) + 1 AS span_tokens
          |FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    "d_dedup_incremental" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents
+         |  WHERE doc_id % 50 = 0),
+         |toks AS (
+         |  SELECT doc_id, $toksSql AS t FROM base),
+         |th AS (
+         |  SELECT doc_id, list_transform(t, x -> ${h32Sql("x")}) AS h
+         |  FROM toks),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(h) >= 3 THEN
+         |    list_distinct(list_transform(generate_series(1, len(h) - 2),
+         |      i -> ((h[i] * 1000003 + h[i+1]) % 3037000493 * 1000003
+         |        + h[i+2]) % 3037000493))
+         |  ELSE [] END AS s FROM th),
+         |sig AS (
+         |  SELECT doc_id, s,
+         |    list_transform(generate_series(0, 15), p ->
+         |      list_aggregate(list_transform(s, h ->
+         |        (h * (p * 2 + 1) + p * 12345 + 7) % 4294967311),
+         |        'min')) AS sg
+         |  FROM sh WHERE len(s) > 0),
+         |banded AS (
+         |  SELECT doc_id, s, bi,
+         |    md5(array_to_string(list_transform(
+         |      list_slice(sg, bi * 4 + 1, bi * 4 + 4), v -> v::VARCHAR),
+         |      ',')) AS bh
+         |  FROM sig, unnest(generate_series(0, 3)) u(bi)),
+         |cb AS (SELECT * FROM banded WHERE doc_id < 10000
+         |  QUALIFY row_number() OVER (PARTITION BY bi, bh
+         |    ORDER BY doc_id) <= 1000),
+         |bb AS (SELECT * FROM banded WHERE doc_id >= 10000
+         |  QUALIFY row_number() OVER (PARTITION BY bi, bh
+         |    ORDER BY doc_id) <= 1000),
+         |cand AS (SELECT DISTINCT b.doc_id AS batch_id,
+         |    c.doc_id AS corpus_id,
+         |    len(list_intersect(b.s, c.s))::DOUBLE /
+         |      len(list_distinct(list_concat(b.s, c.s))) AS jaccard
+         |  FROM bb b JOIN cb c ON b.bi = c.bi AND b.bh = c.bh),
+         |f AS (SELECT * FROM cand WHERE jaccard >= 0.5)
+         |SELECT batch_id, corpus_id AS dup_of, jaccard FROM f
+         |QUALIFY row_number() OVER (PARTITION BY batch_id
+         |  ORDER BY jaccard DESC, corpus_id DESC) = 1""".stripMargin,
 
     "t_shuffle_shards" ->
       s"""SELECT doc_id, source,

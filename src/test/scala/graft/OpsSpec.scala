@@ -533,6 +533,28 @@ class OpsSpec extends AnyFunSuite {
       out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("incremental dedup matches batch docs to their corpus source") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, sf, "documents")
+    val batch = corpus.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .unionByName(Seq((99999L,
+        "totally novel content zz qq ww ee rr tt yy uu ii oo pp aa"))
+        .toDF("doc_id", "text"))
+    val out = Dedup.incrementalDups(corpus, batch).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // every planted copy resolves to exactly its source at jaccard 1.0
+    val planted = corpus.filter(col("doc_id") % 50 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { src =>
+      assert(out.contains(src + 10000), s"missing verdict for ${src + 10000}")
+      assert(out(src + 10000) == ((src, 1.0)), out(src + 10000).toString)
+    }
+    // the novel doc matches nothing
+    assert(!out.contains(99999L))
+  }
+
   test("repeated spans: shared 16-gram found at exact positions") {
     import spark.implicits._
     val shared = (1 to 16).map(i => s"s$i").mkString(" ")
