@@ -57,6 +57,39 @@ object Decontam {
         col("eval_hits").cast(DoubleType) / col("n_ngrams"))
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * inverse signal of [[overlap]]: how much of each target document's
+    * content is new relative to what the pipeline already holds (the
+    * "new information" weight selection/mixture stages use; near-zero
+    * novelty ⇒ the doc adds nothing the reference didn't). Reports
+    * EVERY target document (novelty 1.0 = entirely new), unlike
+    * overlap's contaminated-only ledger. Identical scale shape:
+    * broadcast distinct reference gram hashes, one narrow target pass,
+    * map-side-combined per-doc aggregation. */
+  def novelty(target: DataFrame, reference: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 8,
+      broadcastRef: Boolean = true): DataFrame = {
+    import graft.functions.TextHash
+    val grams =
+      TextHash.hashedNgrams(TextHash.tokenHashes(col(textCol)), n)
+    val refGrams = reference.select(explode(grams).as("g")).distinct()
+    val probeSide =
+      (if (broadcastRef) broadcast(refGrams) else refGrams)
+        .withColumn("__hit", lit(1))
+    target
+      .select(col(idCol), grams.as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol), size(col("__sh")).as("__n"),
+        explode(col("__sh")).as("g"))
+      .join(probeSide, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(min(col("__n")).as("n_ngrams"),
+        count(col("__hit")).as("seen_ngrams"))
+      .withColumn("novelty",
+        (col("n_ngrams") - col("seen_ngrams")).cast(DoubleType) /
+          col("n_ngrams"))
+  }
+
   /** [[overlap]] for eval corpora too big to broadcast raw — the
     * Bloom-prefilter design: instead of shipping every eval gram hash
     * (8 bytes each) to every executor, broadcast a `bits`-wide Bloom

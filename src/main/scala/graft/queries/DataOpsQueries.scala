@@ -256,6 +256,17 @@ object DataOpsQueries {
         d.filter(col("doc_id") % 10 === 0), n = 4)
     }),
 
+    // n-gram novelty vs the reference slice — the inverse curation
+    // signal of decontamination: how much of each document is NEW
+    // relative to what the pipeline already holds; every target doc
+    // reported (novelty 1.0 = entirely new).
+    "t_novelty" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      graft.ops.Decontam.novelty(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0), n = 4)
+    }),
+
     // Bloom-prefilter flavor: broadcast a 128 KB Bloom digest of the
     // eval grams instead of the raw set, exact-verify survivors with a
     // (non-broadcast) join — identical output, shared oracle; the
@@ -874,37 +885,39 @@ object DataOpsQueries {
          |FROM isl GROUP BY doc_id, island""".stripMargin,
 
     "d_dedup_incremental" ->
-      s"""WITH base AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 10000, text FROM documents
+      s"""WITH base AS (
+         |  SELECT doc_id, text, 0 AS is_batch FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text, 1 FROM documents
          |  WHERE doc_id % 50 = 0),
          |toks AS (
-         |  SELECT doc_id, $toksSql AS t FROM base),
+         |  SELECT doc_id, is_batch, $toksSql AS t FROM base),
          |th AS (
-         |  SELECT doc_id, list_transform(t, x -> ${h32Sql("x")}) AS h
+         |  SELECT doc_id, is_batch,
+         |    list_transform(t, x -> ${h32Sql("x")}) AS h
          |  FROM toks),
          |sh AS (
-         |  SELECT doc_id, CASE WHEN len(h) >= 3 THEN
+         |  SELECT doc_id, is_batch, CASE WHEN len(h) >= 3 THEN
          |    list_distinct(list_transform(generate_series(1, len(h) - 2),
          |      i -> ((h[i] * 1000003 + h[i+1]) % 3037000493 * 1000003
          |        + h[i+2]) % 3037000493))
          |  ELSE [] END AS s FROM th),
          |sig AS (
-         |  SELECT doc_id, s,
+         |  SELECT doc_id, is_batch, s,
          |    list_transform(generate_series(0, 15), p ->
          |      list_aggregate(list_transform(s, h ->
          |        (h * (p * 2 + 1) + p * 12345 + 7) % 4294967311),
          |        'min')) AS sg
          |  FROM sh WHERE len(s) > 0),
          |banded AS (
-         |  SELECT doc_id, s, bi,
+         |  SELECT doc_id, is_batch, s, bi,
          |    md5(array_to_string(list_transform(
          |      list_slice(sg, bi * 4 + 1, bi * 4 + 4), v -> v::VARCHAR),
          |      ',')) AS bh
          |  FROM sig, unnest(generate_series(0, 3)) u(bi)),
-         |cb AS (SELECT * FROM banded WHERE doc_id < 10000
+         |cb AS (SELECT * FROM banded WHERE is_batch = 0
          |  QUALIFY row_number() OVER (PARTITION BY bi, bh
          |    ORDER BY doc_id) <= 1000),
-         |bb AS (SELECT * FROM banded WHERE doc_id >= 10000
+         |bb AS (SELECT * FROM banded WHERE is_batch = 1
          |  QUALIFY row_number() OVER (PARTITION BY bi, bh
          |    ORDER BY doc_id) <= 1000),
          |cand AS (SELECT DISTINCT b.doc_id AS batch_id,
@@ -1398,6 +1411,27 @@ object DataOpsQueries {
     "d_decontaminate_bloom" -> decontaminateOracle,
 
     "d_decontaminate" -> decontaminateOracle,
+
+    "t_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |th AS (SELECT doc_id,
+         |  list_transform(t, x -> ${h32Sql("x")}) AS h FROM toks),
+         |sh AS (SELECT doc_id, CASE WHEN len(h) >= 4 THEN
+         |  list_distinct(list_transform(generate_series(1, len(h) - 3),
+         |    i -> (((h[i] * 1000003 + h[i+1]) % 3037000493 * 1000003
+         |      + h[i+2]) % 3037000493 * 1000003 + h[i+3]) % 3037000493))
+         |  ELSE [] END AS s FROM th),
+         |rf AS (SELECT DISTINCT gg FROM sh, unnest(s) u(gg)
+         |  WHERE doc_id % 10 = 0),
+         |tg AS (SELECT doc_id, len(s) AS n_ngrams, gg
+         |  FROM (SELECT doc_id, s FROM sh
+         |        WHERE doc_id % 10 <> 0 AND len(s) > 0), unnest(s) u(gg))
+         |SELECT tg.doc_id, any_value(tg.n_ngrams) AS n_ngrams,
+         |  count(rf.gg) AS seen_ngrams,
+         |  (any_value(tg.n_ngrams) - count(rf.gg))::DOUBLE /
+         |    any_value(tg.n_ngrams) AS novelty
+         |FROM tg LEFT JOIN rf USING (gg)
+         |GROUP BY tg.doc_id""".stripMargin,
 
     "d_decontaminate_attr" ->
       s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),

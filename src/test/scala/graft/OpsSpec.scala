@@ -533,6 +533,26 @@ class OpsSpec extends AnyFunSuite {
       out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("novelty: reference-covered text scores 0, disjoint text 1") {
+    import spark.implicits._
+    val ref = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val tgt = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "alpha beta gamma delta epsilon one two three four five"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Decontam.novelty(tgt, ref, n = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._3 == 0.0, out(1L).toString)   // every 4-gram seen
+    assert(out(2L)._3 == 1.0, out(2L).toString)   // fully novel
+    // doc 3: 7 distinct 4-grams, only the first 2 (all-greek) are in ref
+    assert(out(3L)._1 == 7 && out(3L)._2 == 2L, out(3L).toString)
+    assert(out(3L)._3 == 5.0 / 7.0)
+  }
+
   test("incremental dedup matches batch docs to their corpus source") {
     import spark.implicits._
     val corpus = Tables.load(spark, sf, "documents")
