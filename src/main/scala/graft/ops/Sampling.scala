@@ -2,8 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
-import TextOps.h32
+import TextOps.{h32, tokens}
 
 /** Deterministic hash-based sampling for corpus curation. Unlike
   * `df.sample` (RNG-seeded per partition — results change with
@@ -120,5 +121,57 @@ object Sampling {
     df.join(broadcast(thresholds), Seq(domainCol))
       .filter(pmod(h32(col(keyCol).cast("string")), lit(10000)) <
         col("keep_bp"))
+  }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every corpus document by
+    * its hashed-unigram log importance weight under a target-vs-raw
+    * bucket model and keep the top `topK`. `isTarget` marks the target
+    * (in-domain) subset; both distributions come from ONE token pass —
+    * per-bucket target count `ct` (tokens of target docs) and raw count
+    * `cr` (all tokens) — with add-one smoothing over `buckets` hash
+    * buckets. A document's weight is
+    * `Σ_tokens ln(p_target(b)/p_raw(b))`.
+    *
+    * Engine-exact scoring discipline (see [[graft.ops.Search]] /
+    * bigramCrossEntropy): the single `ln` per BUCKET (not per token) is
+    * the only transcendental; its argument is one exact
+    * integer-ratio — `(ct+1)(N_r+B) / (cr+1)(N_t+B)` with both products
+    * formed in BIGINT before one double division — and it is quantized
+    * to 6 dp, then per-document sums run through a DECIMAL(18,6)
+    * accumulator so aggregation order cannot perturb the result.
+    *
+    * Scale shape: the bucket model is `buckets` rows (map-side-combined
+    * from the token pass) and is BROADCAST back; the corpus side is one
+    * narrow tokenize+explode and ONE shuffle keyed by document id for
+    * the per-doc sum (partial aggregation applies). Top-k is
+    * TakeOrderedAndProject — no global sort. Nothing is ever keyed by
+    * token or bucket on the corpus side. */
+  def dsirSelect(docs: DataFrame, isTarget: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 1024, topK: Int = 200): DataFrame = {
+    val b = buckets.toLong
+    val tokRows = docs
+      .select(col(idCol), isTarget.as("__is_t"),
+        explode(tokens(col(textCol))).as("__w"))
+      .select(col(idCol), col("__is_t"),
+        pmod(h32(col("__w")), lit(b)).as("__b"))
+    val bucketCounts = tokRows.groupBy(col("__b")).agg(
+      sum(when(col("__is_t"), lit(1L)).otherwise(lit(0L))).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = bucketCounts.agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lam = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        round(log(((col("ct") + lit(1L)) * (col("nr") + lit(b)))
+          .cast(DoubleType) /
+          ((col("cr") + lit(1L)) * (col("nt") + lit(b))).cast(DoubleType)),
+          6).cast(DecimalType(18, 6)).as("__lam"))
+    tokRows.join(broadcast(lam), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__lam")).cast(DoubleType).as("dsir_score"),
+        count(lit(1)).cast(LongType).as("n_tokens"))
+      .orderBy(col("dsir_score").desc, col(idCol))
+      .limit(topK)
   }
 }

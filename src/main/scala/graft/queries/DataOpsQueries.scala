@@ -404,6 +404,17 @@ object DataOpsQueries {
           "de" -> 1000, "fr" -> 500))
         .select(col("doc_id"), col("lang"), col("keep_bp"))),
 
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    // target-vs-raw bucket model (target = every 10th doc, standing in
+    // for an in-domain seed set), per-doc log importance weight, top-200
+    // kept. One token pass builds both distributions; 1024-row bucket
+    // model broadcast back; quantized-ln + DECIMAL accumulator makes the
+    // scores engine-exact.
+    "d_dsir" -> ((s, dir) =>
+      Sampling.dsirSelect(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        isTarget = col("doc_id") % 10 === 0)),
+
     // Gopher-style compound quality rules: per-rule booleans + overall
     // pass per document (the WHY of every drop, integer-exact).
     "t_quality_rules" -> ((s, dir) =>
@@ -954,6 +965,25 @@ object DataOpsQueries {
          |FROM documents d JOIN th ON d.lang = th.lang
          |WHERE ${h32Sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < th.keep_bp"""
         .stripMargin,
+
+    "d_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tok AS (SELECT doc_id, (doc_id % 10 = 0) AS is_t,
+         |  ${h32Sql("w")} % 1024 AS b
+         |  FROM toks, unnest(t) u(w)),
+         |bc AS (SELECT b,
+         |  sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         |  count(*) AS cr FROM tok GROUP BY b),
+         |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bc),
+         |lam AS (SELECT b,
+         |  round(ln(((ct + 1) * (nr + 1024))::DOUBLE /
+         |    ((cr + 1) * (nt + 1024))::DOUBLE), 6)::DECIMAL(18,6) AS lam
+         |  FROM bc, tot),
+         |sc AS (SELECT doc_id, sum(lam) AS s,
+         |  count(*)::BIGINT AS n_tokens
+         |  FROM tok JOIN lam USING (b) GROUP BY doc_id)
+         |SELECT doc_id, CAST(s AS DOUBLE) AS dsir_score, n_tokens
+         |FROM sc ORDER BY s DESC, doc_id LIMIT 200""".stripMargin,
 
     "t_quality_rules" ->
       s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),

@@ -655,6 +655,33 @@ class OpsSpec extends AnyFunSuite {
       out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("DSIR ranks in-domain documents above out-of-domain ones") {
+    import spark.implicits._
+    // target seed docs (ids 0,10,...) speak vocabulary A; the raw pool
+    // contains in-domain docs (A) and out-of-domain docs (B)
+    val aText = "science research method experiment theory result"
+    val bText = "soccer goal match player league season score"
+    val rows =
+      (0 until 100 by 10).map(i => (i.toLong, aText)) ++ // target seeds
+      (101 to 120).map(i => (i.toLong, aText)) ++        // in-domain raw
+      (201 to 220).map(i => (i.toLong, bText))           // out-of-domain
+    val out = graft.ops.Sampling.dsirSelect(
+      rows.toDF("doc_id", "text"), isTarget = col("doc_id") % 10 === 0,
+      topK = 25).collect()
+    val ranked = out.map(r => (r.getLong(0), r.getDouble(1)))
+    // every in-domain doc scores above every out-of-domain doc
+    val inScores = ranked.filter(t => t._1 >= 101 && t._1 <= 120).map(_._2)
+    val outScores = ranked.filter(_._1 >= 201).map(_._2)
+    assert(inScores.nonEmpty && inScores.min > (
+      if (outScores.isEmpty) Double.NegativeInfinity else outScores.max))
+    // deterministic under repartitioning
+    val re = graft.ops.Sampling.dsirSelect(
+      rows.toDF("doc_id", "text").repartition(7),
+      isTarget = col("doc_id") % 10 === 0, topK = 25).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(re.toSeq == ranked.sortBy(_._1).toSeq)
+  }
+
   test("gopher rules isolate each failure mode") {
     import spark.implicits._
     val good = "the cat sat on the mat and the dog ran to the house today"
