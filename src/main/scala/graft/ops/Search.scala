@@ -96,6 +96,38 @@ object Search {
       .limit(topK)
   }
 
+  /** Exact phrase search — documents containing the query tokens as a
+    * CONSECUTIVE sequence, with occurrence count and first match
+    * position (1-based). The positional capability BM25's bag-of-words
+    * scoring cannot express.
+    *
+    * Scale shape: one narrow tokenize, then posexplode anchored on the
+    * first phrase token only (the cheap prefilter: positions where
+    * `t[i] = phrase₀`), with the remaining tokens checked by
+    * `element_at` against the SAME materialized token array — the
+    * Generate output keeps `__t` a named attribute reference, so the
+    * whole match stays in whole-stage codegen (no per-element
+    * re-evaluation; see bigramCrossEntropy). ONE shuffle keyed by
+    * document id for the per-doc counts, partial aggregation applies. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val n = phrase.length
+    val anchored = docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol), col("__t"),
+        posexplode(col("__t")).as(Seq("__i", "__w")))
+      .filter(col("__w") === phrase.head &&
+        col("__i") <= size(col("__t")) - n)
+    val matched = (1 until n).foldLeft(anchored) { (df, k) =>
+      df.filter(element_at(col("__t"), col("__i") + (k + 1)) === phrase(k))
+    }
+    matched.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"),
+        (min(col("__i")) + 1).cast(LongType).as("first_pos"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
     * merge lexical (BM25) and dense (ANN) retrieval into one hybrid
     * ranking: each input ranking contributes `1/(kConst + rank)` and

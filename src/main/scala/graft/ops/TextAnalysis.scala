@@ -152,6 +152,33 @@ object TextAnalysis {
       regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
         .as("bpe_ish_tokens"))
 
+  /** Flesch reading-ease and Flesch–Kincaid grade heuristics — the
+    * classic readability band filter of corpus curation. Words are the
+    * shared alnum tokens, sentences are `[.!?]+` runs (floored at 1 so
+    * unpunctuated text degrades to one sentence instead of dividing by
+    * zero), syllables are vowel-group runs `[aeiouy]+` per the standard
+    * approximation (groups never span a word boundary, so one pass over
+    * the whole text equals the per-word sum).
+    *
+    * Engine-exact WITHOUT quantization: the formulas use only literal
+    * constants (both engines parse a decimal literal to the same
+    * nearest double), integer counts, and IEEE divide/multiply/
+    * subtract — every step is correctly rounded, so the doubles are
+    * bit-identical cross-engine. One narrow codegen pass, no shuffle. */
+  def readability(text: Column): Column = {
+    val words = size(TextOps.tokens(text)).cast(LongType)
+    val sentences = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+      .cast(LongType)
+    val syllables = regexp_count(lower(text), lit("[aeiouy]+"))
+      .cast(LongType)
+    val wps = words.cast(DoubleType) / sentences
+    val spw = syllables.cast(DoubleType) / words
+    struct(words.as("n_words"), sentences.as("n_sentences"),
+      syllables.as("n_syllables"),
+      (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"),
+      (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
+  }
+
   /** Document fingerprint: full-content md5 + min-hash of char-5-gram
     * shingles (a 1-hash MinHash — the rolling-hash winnowing
     * fingerprint's cheap cousin, robust to whitespace). The shingle

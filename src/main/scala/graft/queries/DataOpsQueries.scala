@@ -404,6 +404,16 @@ object DataOpsQueries {
           "de" -> 1000, "fr" -> 500))
         .select(col("doc_id"), col("lang"), col("keep_bp"))),
 
+    // Flesch readability band scoring: reading-ease + grade level from
+    // word/sentence/vowel-group counts — literal-constant IEEE math, so
+    // hash-exact with no quantization. One narrow codegen pass.
+    "t_readability" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.readability(col("text")).as("r"))
+        .select(col("doc_id"), col("r.*"))
+        .filter(col("n_words") > 0)),
+
     // DSIR importance resampling (Xie et al. 2023): hashed-unigram
     // target-vs-raw bucket model (target = every 10th doc, standing in
     // for an in-domain seed set), per-doc log importance weight, top-200
@@ -965,6 +975,23 @@ object DataOpsQueries {
          |FROM documents d JOIN th ON d.lang = th.lang
          |WHERE ${h32Sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < th.keep_bp"""
         .stripMargin,
+
+    "t_readability" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  len($toksSql)::BIGINT AS n_words,
+         |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+         |    AS n_sentences,
+         |  len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+         |    AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  206.835::DOUBLE - 1.015::DOUBLE *
+         |    (n_words::DOUBLE / n_sentences) -
+         |    84.6::DOUBLE * (n_syllables::DOUBLE / n_words) AS flesch,
+         |  0.39::DOUBLE * (n_words::DOUBLE / n_sentences) +
+         |    11.8::DOUBLE * (n_syllables::DOUBLE / n_words) -
+         |    15.59::DOUBLE AS fk_grade
+         |FROM c WHERE n_words > 0""".stripMargin,
 
     "d_dsir" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),

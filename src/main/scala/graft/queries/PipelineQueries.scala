@@ -94,6 +94,13 @@ object PipelineQueries {
       Search.bm25(Tables.load(s, dir, "documents"),
         Seq("spark", "window", "merge"), topK = 100)),
 
+    // Exact phrase search: documents containing the consecutive token
+    // sequence "table value", with occurrence count and first position —
+    // the positional predicate BM25's bag-of-words scoring can't express.
+    "s_phrase" -> ((s, dir) =>
+      Search.phraseSearch(Tables.load(s, dir, "documents"),
+        Seq("table", "value"))),
+
     // Sequence-packing manifest: concat-then-chunk at 256 tokens, the
     // two-level bucketed cumsum standing in for the global ordered
     // window a naive plan would serialize.
@@ -241,6 +248,15 @@ object PipelineQueries {
          |  CAST(SUM(tf) AS BIGINT) AS matched_tf
          |FROM sc GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+
+    "s_phrase" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |m AS (SELECT doc_id, i
+         |  FROM toks, unnest(generate_series(1, len(t) - 1)) g(i)
+         |  WHERE t[i] = 'table' AND t[i + 1] = 'value')
+         |SELECT doc_id, count(*) AS n_occurrences,
+         |  min(i)::BIGINT AS first_pos
+         |FROM m GROUP BY doc_id""".stripMargin,
 
     "p_pagerank" -> pagerankOracleSql,
 

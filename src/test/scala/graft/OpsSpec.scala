@@ -682,6 +682,39 @@ class OpsSpec extends AnyFunSuite {
     assert(re.toSeq == ranked.sortBy(_._1).toSeq)
   }
 
+  test("readability computes the Flesch formulas from exact counts") {
+    import spark.implicits._
+    val df = Seq((1L, "The cat sat. The dog ran!"), (2L, "no punct here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.readability(col("text")).as("r"))
+      .select(col("doc_id"), col("r.*"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // "The cat sat. The dog ran!" = 6 words, 2 sentences, 6 vowel groups
+    assert(rows(1L)._1 == 6 && rows(1L)._2 == 2 && rows(1L)._3 == 6)
+    assert(math.abs(rows(1L)._4 - (206.835 - 1.015 * 3.0 - 84.6)) < 1e-12)
+    // unpunctuated text floors to one sentence
+    assert(rows(2L)._2 == 1)
+  }
+
+  test("phrase search counts overlapping consecutive matches") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c a b"), (2L, "a a a"), (3L, "b a"))
+      .toDF("doc_id", "text")
+    val ab = graft.ops.Search.phraseSearch(df, Seq("a", "b")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 3 ("b a") has both tokens but not consecutively in order
+    assert(ab == Map(1L -> (2L, 1L)))
+    val ba = graft.ops.Search.phraseSearch(df, Seq("b", "a")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ba == Map(3L -> (1L, 1L)))
+    // overlapping occurrences both count
+    val aa = graft.ops.Search.phraseSearch(df, Seq("a", "a")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(aa == Map(2L -> (2L, 1L)))
+  }
+
   test("gopher rules isolate each failure mode") {
     import spark.implicits._
     val good = "the cat sat on the mat and the dog ran to the house today"
