@@ -151,6 +151,27 @@ class Warehouse(val spark: SparkSession, val root: String,
     promote(schema, tmp, name)
   }
 
+  /** Z-order compaction: like [[compact]] but clusters files along a
+    * Morton curve over `zOrderBy` (see [[graft.ops.ZOrder]]), so
+    * min/max pruning works for predicates on ANY of the clustered
+    * columns, not just the leading one — the `OPTIMIZE ZORDER BY`
+    * maintenance operation of the lakehouse engines. Versioned like
+    * every rewrite. */
+  def compactZOrder(schema: String, name: String, targetFileRows: Long,
+      zOrderBy: Seq[String], bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    val df = read(schema, name)
+    val files = math.max(1L,
+      (df.count() + targetFileRows - 1) / targetFileRows).toInt
+    val arranged = graft.ops.ZOrder.withZValue(df, zOrderBy, bits)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val tmp = name + "__compact"
+    createTableAs(arranged, schema, tmp)
+    promote(schema, tmp, name)
+  }
+
   /** Data files of a table (compaction telemetry). */
   def dataFiles(schema: String, name: String): Seq[String] = {
     import scala.jdk.CollectionConverters._

@@ -233,6 +233,36 @@ class MaterializerSpec extends AnyFunSuite {
     assert(ts.sameElements(ts.sorted), "not sorted within file")
   }
 
+  test("z-order compaction prunes on every clustered dimension") {
+    import spark.implicits._
+    val wh = freshWh()
+    // two independent uniform dimensions, scattered across 8 files
+    val rows = for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong * 64 + y, x.toLong, y.toLong)
+    wh.createTableAs(rows.toDF("id", "x", "y").repartition(8),
+      "main", "pts")
+    val before = wh.rowCount("main", "pts")
+    wh.compactZOrder("main", "pts", targetFileRows = before / 16,
+      zOrderBy = Seq("x", "y"))
+    assert(wh.dataFiles("main", "pts").size == 16)
+    assert(wh.rowCount("main", "pts") == before)
+    // row set preserved exactly
+    assert(wh.read("main", "pts").select("id").collect()
+      .map(_.getLong(0)).sorted.sameElements(rows.map(_._1).sorted))
+    // per-file bounding boxes: a y-band predicate must prune files —
+    // the capability single-column clustering cannot provide
+    val boxes = wh.read("main", "pts")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("y")).as("ylo"), max(col("y")).as("yhi"),
+        min(col("x")).as("xlo"), max(col("x")).as("xhi"))
+      .collect()
+    assert(boxes.length == 16)
+    val hitY = boxes.count(r => r.getAs[Long]("ylo") < 8) // y < 8 band
+    assert(hitY <= 8, s"y-band predicate should prune >= half, hit $hitY")
+    val hitX = boxes.count(r => r.getAs[Long]("xlo") < 8)
+    assert(hitX <= 8, s"x-band predicate should prune >= half, hit $hitX")
+  }
+
   test("on_schema_change=append_new_columns evolves incremental tables") {
     val wh = freshWh()
     val m = new Materializer(wh)
