@@ -551,6 +551,14 @@ object DataOpsQueries {
 
     // PII redaction over text with synthesized deterministic PII (the
     // corpus itself is clean) — email, SSN, phone, IPv4.
+    // K-means corpus clustering surfaced directly: per-vector cell
+    // assignment after 2 deterministic-seed Lloyd rounds — the topic-
+    // bucketing stage (and the front half of IVF/SemDeDup), checked
+    // against the oracle's unrolled k-means CTEs row by row.
+    "p_kmeans" -> ((s, dir) =>
+      Similarity.kmeansCells(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("cell"))),
+
     "t_pii_redact" -> ((s, dir) => {
       val withPii = Tables.load(s, dir, "documents")
         .select(col("doc_id"), concat(col("text"),
@@ -829,6 +837,13 @@ object DataOpsQueries {
        |HAVING count(ev.gg) > 0""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "p_kmeans" ->
+      s"""WITH d AS (SELECT vec_id AS cand_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS cv
+         |  FROM embeddings),
+         |$kmeansCtes
+         |SELECT cand_id AS vec_id, cell FROM cells""".stripMargin,
+
     "s_ann_ivf" -> ivfOracleSql,
     "s_ann_pq" -> pqOracleSql,
     "s_ann_lsh_int8" -> lshInt8OracleSql,

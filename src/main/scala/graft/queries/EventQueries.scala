@@ -108,6 +108,30 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("value"), col("z"))
     }),
 
+    // rolling active users: per day, DAU + trailing-7-day WAU +
+    // stickiness (dau/wau, one exact IEEE division). Windowed DISTINCT
+    // without a window function: dedup to (day, user) once (the only
+    // corpus-sized shuffle), then each user-day contributes itself to
+    // the 7 windows it belongs to via a bounded ×7 explode of the
+    // ALREADY-DEDUPED relation — never a per-row range self-join over
+    // raw events.
+    "e_active_users" -> ((s, dir) => {
+      val du = Tables.load(s, dir, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val dau = du.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = du
+        .select(explode(sequence(col("day"),
+          col("day") + expr("INTERVAL 6 DAY"),
+          expr("INTERVAL 1 DAY"))).as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          (col("dau").cast(DoubleType) / col("wau")).as("stickiness"))
+    }),
+
     // weekly retention cohorts: users grouped by first-activity week,
     // distinct actives counted at each week offset — the classic
     // retention matrix. Two shuffles (per-user first week, cohort
@@ -271,6 +295,21 @@ object EventQueries {
         |    (value - mu) / sigma AS z FROM sg WHERE sigma > 0)
         |SELECT event_id, user_id, value, z FROM z
         |WHERE abs(z) > CAST(2.5 AS DOUBLE)""".stripMargin,
+
+    "e_active_users" ->
+      """WITH du AS (SELECT DISTINCT
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau
+        |  FROM du GROUP BY day),
+        |contrib AS (SELECT CAST(w AS TIMESTAMP) AS day, user_id
+        |  FROM du, unnest(generate_series(day,
+        |    day + INTERVAL '6' DAY, INTERVAL '1' DAY)) g(w)),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau
+        |  FROM contrib GROUP BY day)
+        |SELECT d.day, d.dau, w.wau,
+        |  CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+        |FROM dau d JOIN wau w USING (day)""".stripMargin,
 
     "e_retention" ->
       """WITH fw AS (SELECT user_id,
