@@ -46,11 +46,15 @@ class PlanAuditSpec extends AnyFunSuite {
   // aggregate crossed into the per-domain threshold rows (≤ #domains).
   // p_rag embeds the brute-force dense scan (3 broadcast query
   // vectors × chunk corpus) exactly like s_hybrid_rrf embeds it.
+  // d_dsir crosses only the one-row token-total aggregate into the
+  // 1024-row bucket model (the corpus side joins the model by an
+  // equi-key); p_kmeans is the IVF scalar-broadcast centroid-array
+  // shape (Similarity.nearestCells) surfaced as its own query.
   private val denseByDesign =
     Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8", "s_ann_pq",
       "d_decontaminate_bloom", "d_resample_temp", "s_bm25",
       "s_hybrid_rrf", "p_pagerank", "t_perplexity", "d_mixture",
-      "p_rag")
+      "p_rag", "d_dsir", "p_kmeans")
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
