@@ -172,6 +172,37 @@ class Warehouse(val spark: SparkSession, val root: String,
     promote(schema, tmp, name)
   }
 
+  /** File-level column statistics — the data-skipping ledger an engine
+    * consults before planning a scan (`ANALYZE`-style maintenance, the
+    * read-side complement of [[compactZOrder]]): per (file, column):
+    * min, max, null count, row count. A well-clustered table shows
+    * narrow disjoint per-file ranges here; a scattered one shows every
+    * file spanning the full domain — so this table IS the measurement
+    * of clustering quality. One distributed pass: group by
+    * `input_file_name`, all stats map-side combined; output rows =
+    * files × columns (tiny). Values are rendered to strings so one
+    * ledger covers heterogeneous column types. */
+  def analyzeTable(schema: String, name: String,
+      columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = read(schema, name)
+    val aggs = columns.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
+    val perFile = df
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"), aggs: _*)
+    perFile.select(col("file"), col("rows"),
+      explode(array(columns.map(c => struct(
+        lit(c).as("column"), col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"),
+        col(s"__nulls_$c").as("null_count"))): _*)).as("s"))
+      .select(col("file"), col("s.column").as("column"),
+        col("s.min_value"), col("s.max_value"),
+        col("s.null_count"), col("rows"))
+  }
+
   /** Data files of a table (compaction telemetry). */
   def dataFiles(schema: String, name: String): Seq[String] = {
     import scala.jdk.CollectionConverters._

@@ -263,6 +263,33 @@ class MaterializerSpec extends AnyFunSuite {
     assert(hitX <= 8, s"x-band predicate should prune >= half, hit $hitX")
   }
 
+  test("analyzeTable measures clustering quality per file") {
+    import spark.implicits._
+    val wh = freshWh()
+    val rows = for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong * 64 + y, x.toLong, y.toLong)
+    wh.createTableAs(rows.toDF("id", "x", "y").repartition(8),
+      "main", "pts")
+    // scattered: every file spans (nearly) the full x domain
+    val scattered = wh.analyzeTable("main", "pts", Seq("x", "y"))
+      .filter(col("column") === "x").collect()
+    assert(scattered.length == 8)
+    assert(scattered.forall(r =>
+      r.getAs[String]("max_value").toLong -
+        r.getAs[String]("min_value").toLong > 32))
+    assert(scattered.map(_.getAs[Long]("rows")).sum == 64 * 64)
+    assert(scattered.forall(_.getAs[Long]("null_count") == 0))
+    // after z-order compaction the same ledger shows narrow ranges
+    wh.compactZOrder("main", "pts", targetFileRows = (64 * 64) / 16,
+      zOrderBy = Seq("x", "y"))
+    val clustered = wh.analyzeTable("main", "pts", Seq("x", "y"))
+      .filter(col("column") === "x").collect()
+    assert(clustered.length == 16)
+    assert(clustered.forall(r =>
+      r.getAs[String]("max_value").toLong -
+        r.getAs[String]("min_value").toLong <= 32))
+  }
+
   test("on_schema_change=append_new_columns evolves incremental tables") {
     val wh = freshWh()
     val m = new Materializer(wh)
