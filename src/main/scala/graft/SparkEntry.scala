@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{CoreQueries, DataOpsQueries, EventQueries,
-  ExtraQueries, FunctionQueries, MaterializeQueries, PipelineQueries}
+  ExtraQueries, FunctionQueries, MaterializeQueries, PipelineQueries,
+  TestQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +22,8 @@ object SparkEntry {
     (DataOpsQueries.defs, DataOpsQueries.oracle),
     (EventQueries.defs, EventQueries.oracle),
     (ExtraQueries.defs, ExtraQueries.oracle),
-    (PipelineQueries.defs, PipelineQueries.oracle)
+    (PipelineQueries.defs, PipelineQueries.oracle),
+    (TestQueries.defs, TestQueries.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
