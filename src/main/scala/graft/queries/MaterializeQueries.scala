@@ -138,6 +138,26 @@ object MaterializeQueries {
         lit(T1).cast(TimestampType))
         .withColumn("bal", col("bal").cast(DoubleType))),
 
+    // change-data-feed between two table states (Warehouse.diff — the
+    // engine of diffVersions): inserts + deletes + update pre/post
+    // images over an orders rewrite, Delta-CDF style
+    "m_cdc_diff" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+      def shaped(df: DataFrame): DataFrame =
+        df.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val from = shaped(base.filter(col("o_orderdate") < lit("1998-01-01")))
+      val kept = from.filter(col("o_orderkey") % 100 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0,
+            (col("price") + 50).cast(DecimalType(18, 2)))
+            .otherwise(col("price")).as("price"))
+      val to = kept.unionByName(
+        shaped(base.filter(col("o_orderdate") >= lit("1998-01-01"))))
+      graft.warehouse.Warehouse.diff(from, to, Seq("o_orderkey"))
+        .withColumn("price", col("price").cast(DoubleType))
+    }),
+
     // snapshot update: changed + hard-deleted + new keys, SCD2 history
     // (snapshot.sql:133-232)
     "m_snapshot_scd2" -> ((s, dir) => {
@@ -174,6 +194,40 @@ object MaterializeQueries {
         |    WHERE o_orderdate >= TIMESTAMP '2001-01-01')
         |SELECT * FROM t WHERE ym NOT IN (SELECT DISTINCT ym FROM s)
         |UNION ALL SELECT * FROM s""".stripMargin,
+
+    "m_cdc_diff" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 50
+        |        AS DECIMAL(18,2))
+        |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 100 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+        |j AS (
+        |  SELECT f.o_orderkey AS fk, f.o_orderstatus AS fs, f.price AS fp,
+        |    t.o_orderkey AS tk, t.o_orderstatus AS ts, t.price AS tp
+        |  FROM f FULL OUTER JOIN t ON f.o_orderkey = t.o_orderkey),
+        |chg AS (
+        |  SELECT * FROM j WHERE fk IS NOT NULL AND tk IS NOT NULL
+        |    AND (fs IS DISTINCT FROM ts OR fp IS DISTINCT FROM tp))
+        |SELECT tk AS o_orderkey, ts AS o_orderstatus,
+        |  CAST(tp AS DOUBLE) AS price, 'insert' AS _change_type
+        |FROM j WHERE fk IS NULL
+        |UNION ALL SELECT fk, fs, CAST(fp AS DOUBLE), 'delete'
+        |FROM j WHERE tk IS NULL
+        |UNION ALL SELECT fk, fs, CAST(fp AS DOUBLE), 'update_preimage'
+        |FROM chg
+        |UNION ALL SELECT tk, ts, CAST(tp AS DOUBLE), 'update_postimage'
+        |FROM chg""".stripMargin,
 
     "m_snapshot_first" ->
       s"""SELECT c_custkey, segment, CAST(bal AS DOUBLE) AS bal, updated_at,
