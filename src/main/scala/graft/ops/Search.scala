@@ -128,6 +128,37 @@ object Search {
         (min(col("__i")) + 1).cast(LongType).as("first_pos"))
   }
 
+  /** Inverted-index construction: one row per vocabulary term with its
+    * document frequency, total term frequency, and a bounded posting
+    * sample (the first `postingCap` doc ids in id order, serialized) —
+    * the index-build stage behind [[bm25]]-style retrieval when the
+    * index is materialized rather than recomputed per query.
+    *
+    * Scale shape: tokenize + explode (narrow), one (term, doc)
+    * hash-aggregate for tf, then term-keyed window + final term
+    * aggregate that reuse the SAME term partitioning (one exchange, not
+    * two — the row_number cap and the final groupBy cluster on the
+    * window's partition key). The posting array is capped BEFORE
+    * collection, so no row exceeds `postingCap` ids even for stop-word
+    * terms; df/tf stats still count the full posting set. */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", postingCap: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val td = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+    val capped = td.withColumn("rn",
+      row_number().over(Window.partitionBy(col("term"))
+        .orderBy(col(idCol))))
+    capped.groupBy(col("term"))
+      .agg(count(lit(1)).as("dfreq"),
+        sum(col("tf")).as("total_tf"),
+        array_join(array_sort(collect_list(
+          when(col("rn") <= postingCap, col(idCol))))
+          .cast("array<string>"), ",").as("posting_sample"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
     * merge lexical (BM25) and dense (ANN) retrieval into one hybrid
     * ranking: each input ranking contributes `1/(kConst + rank)` and

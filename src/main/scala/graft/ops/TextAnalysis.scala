@@ -448,4 +448,57 @@ object TextAnalysis {
       .withColumn("seq_last",
         floor((col("tok_offset") + col("n_tokens") - 1) / lit(seqLen)))
   }
+
+  /** Term co-occurrence association over the corpus — pointwise mutual
+    * information in LIFT form, `P(x,y)/(P(x)P(y)) = c_xy·N/(c_x·c_y)`
+    * (= e^PMI; the log is monotone, so ranking is identical and the
+    * score stays inside IEEE-exact arithmetic — `ln` is not bit-stable
+    * across engines, division is).
+    *
+    * Scale shape: the vocabulary is first cut to the `vocabSize` most
+    * document-frequent terms (ranked aggregate, tiny result,
+    * broadcast), so the per-document pair generation is bounded by
+    * vocabSize²/2 regardless of document length: per doc, the matched
+    * terms are collected (≤ vocabSize), pairs are generated by a
+    * nested HOF over that bounded array inside one narrow stage, and
+    * one hash-aggregate keyed by (term_a, term_b) counts co-occurrence.
+    * The corpus never self-joins. */
+  def pmiLift(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", vocabSize: Int = 50,
+      minCoDocs: Long = 5L): DataFrame = {
+    val docTerms = docs
+      .select(col(idCol),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
+    val dfreq = docTerms.groupBy(col("term"))
+      .agg(count(lit(1)).as("c"))
+    val topV = dfreq.orderBy(col("c").desc, col("term")).limit(vocabSize)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val perDoc = docTerms
+      .join(broadcast(topV.select(col("term"))), Seq("term"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("term"))).as("ts"))
+    // ordered pairs (a < b) from the bounded per-doc term array: for
+    // element i, pair with every later element — `ts` stays a named
+    // attribute so the nested lambda reads the materialized array
+    // (see bigramCrossEntropy's posexplode note)
+    val pairs = perDoc.select(explode(flatten(
+      zip_with(col("ts"), sequence(lit(0), size(col("ts")) - 1),
+        (x, i) => transform(slice(col("ts"), i + lit(2),
+          greatest(size(col("ts")) - i - 1, lit(0))),
+          y => struct(x.as("term_a"), y.as("term_b"))))))
+      .as("p"))
+      .groupBy(col("p.term_a").as("term_a"), col("p.term_b").as("term_b"))
+      .agg(count(lit(1)).as("co_docs"))
+      .filter(col("co_docs") >= minCoDocs)
+    pairs
+      .join(broadcast(topV.select(col("term").as("term_a"),
+        col("c").as("c_a"))), Seq("term_a"))
+      .join(broadcast(topV.select(col("term").as("term_b"),
+        col("c").as("c_b"))), Seq("term_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term_a"), col("term_b"), col("co_docs"),
+        ((col("co_docs").cast(DoubleType) * col("n_docs").cast(DoubleType))
+          / (col("c_a").cast(DoubleType) * col("c_b").cast(DoubleType)))
+          .as("lift"))
+  }
 }

@@ -101,6 +101,17 @@ object PipelineQueries {
       Search.phraseSearch(Tables.load(s, dir, "documents"),
         Seq("table", "value"))),
 
+    // Inverted-index build: per-term document/term frequencies plus a
+    // bounded posting sample — the materialized-index stage behind
+    // BM25-style retrieval.
+    "s_postings" -> ((s, dir) =>
+      Search.postings(Tables.load(s, dir, "documents"))),
+
+    // Term-association mining: PMI in lift form over the top-50
+    // document-frequency vocabulary (division-exact, no transcendental).
+    "t_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiLift(Tables.load(s, dir, "documents"))),
+
     // Sequence-packing manifest: concat-then-chunk at 256 tokens, the
     // two-level bucketed cumsum standing in for the global ordered
     // window a naive plan would serialize.
@@ -257,6 +268,40 @@ object PipelineQueries {
          |SELECT doc_id, count(*) AS n_occurrences,
          |  min(i)::BIGINT AS first_pos
          |FROM m GROUP BY doc_id""".stripMargin,
+
+    "s_postings" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term
+         |  FROM documents),
+         |td AS (SELECT term, doc_id, count(*) AS tf
+         |  FROM toks GROUP BY term, doc_id),
+         |capped AS (SELECT term, doc_id, tf,
+         |  row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+         |  FROM td)
+         |SELECT term, count(*) AS dfreq, CAST(sum(tf) AS BIGINT) AS total_tf,
+         |  array_to_string(list_transform(
+         |    list_sort(list(doc_id) FILTER (WHERE rn <= 128)),
+         |    x -> x::VARCHAR), ',') AS posting_sample
+         |FROM capped GROUP BY term""".stripMargin,
+
+    "t_pmi" ->
+      s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
+         |  FROM documents),
+         |dfq AS (SELECT term, count(*) AS c FROM dt GROUP BY term),
+         |topv AS (SELECT term, c FROM dfq ORDER BY c DESC, term LIMIT 50),
+         |ft AS (SELECT dt.doc_id, dt.term FROM dt JOIN topv USING (term)),
+         |pr AS (SELECT a.term AS term_a, b.term AS term_b,
+         |    count(*) AS co_docs
+         |  FROM ft a JOIN ft b
+         |    ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT term_a, term_b, co_docs,
+         |  (CAST(co_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) /
+         |  (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+         |FROM pr
+         |JOIN topv ca ON pr.term_a = ca.term
+         |JOIN topv cb ON pr.term_b = cb.term
+         |CROSS JOIN n""".stripMargin,
 
     "p_pagerank" -> pagerankOracleSql,
 
