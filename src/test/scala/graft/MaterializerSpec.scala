@@ -212,6 +212,37 @@ class MaterializerSpec extends AnyFunSuite {
       .filter(col("tag") === "v4").count() == 5)
   }
 
+  test("diffVersions emits Delta-CDF change rows between archived and live") {
+    val wh = freshWh()
+    val v1 = Tables.load(spark, sf, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    wh.setVersionLabel("2024-01-01")
+    wh.createTableAs(v1, "main", "cdc")
+    // v2: key 4 deleted, key 0 renamed, key 99 inserted
+    val v2 = v1.filter(col("r_regionkey") =!= 4)
+      .withColumn("r_name", when(col("r_regionkey") === 0, lit("RENAMED"))
+        .otherwise(col("r_name")))
+      .unionByName(v1.filter(col("r_regionkey") === 1)
+        .select(lit(99L).as("r_regionkey"), lit("NEW").as("r_name")))
+    wh.setVersionLabel("2024-02-01")
+    wh.createTableAs(v2, "main", "cdc") // archives v1 as version 1
+    val d = wh.diffVersions("main", "cdc", Seq("r_regionkey"), 1)
+    val byType = d.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 1L, "delete" -> 1L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L), byType.toString)
+    assert(d.filter(col("_change_type") === "insert")
+      .head.getAs[Long]("r_regionkey") == 99L)
+    assert(d.filter(col("_change_type") === "delete")
+      .head.getAs[Long]("r_regionkey") == 4L)
+    assert(d.filter(col("_change_type") === "update_postimage")
+      .head.getAs[String]("r_name") == "RENAMED")
+    assert(d.filter(col("_change_type") === "update_preimage")
+      .head.getAs[Long]("r_regionkey") == 0L)
+    // identical states diff to zero rows
+    assert(Warehouse.diff(v2, v2, Seq("r_regionkey")).count() == 0)
+  }
+
   test("compact rewrites small files into clustered big ones, versioned") {
     val wh = freshWh()
     // simulate append-accumulated small files: 8 partitions of orders

@@ -50,11 +50,14 @@ class PlanAuditSpec extends AnyFunSuite {
   // 1024-row bucket model (the corpus side joins the model by an
   // equi-key); p_kmeans is the IVF scalar-broadcast centroid-array
   // shape (Similarity.nearestCells) surfaced as its own query.
+  // t_pmi crosses the one-row corpus doc-count aggregate into the
+  // (≤ vocab²/2)-row pair-count stream — scalar-broadcast again; the
+  // corpus itself never enters a dense join.
   private val denseByDesign =
     Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8", "s_ann_pq",
       "d_decontaminate_bloom", "d_resample_temp", "s_bm25",
       "s_hybrid_rrf", "p_pagerank", "t_perplexity", "d_mixture",
-      "p_rag", "d_dsir", "p_kmeans")
+      "p_rag", "d_dsir", "p_kmeans", "t_pmi")
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -196,6 +199,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"d_dedup_substring budget is 3, got ${shuffles("d_dedup_substring")}")
     assert(!physicalPlan("d_dedup_substring").contains("rangepartitioning"),
       "d_dedup_substring planned a global sort")
+  }
+
+  test("data tests, CDC diff, and index builds keep their exchange budgets") {
+    def shuffles(name: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(physicalPlan(name)).length
+    // relationships: parent keys dedup (1) + post-anti-join fk agg (1);
+    // the anti-join itself broadcasts the deduped parent side
+    val rel = physicalPlan("dt_relationships")
+    assert(rel.contains("LeftAnti"), rel)
+    assert(shuffles("dt_relationships") <= 3,
+      s"dt_relationships budget is 3, got ${shuffles("dt_relationships")}")
+    // unique: exactly the one key-hash aggregate exchange
+    assert(shuffles("dt_unique") == 1)
+    // CDC diff: one exchange per join side, nothing else — and never a
+    // broadcast (both sides are full table states)
+    val cdc = physicalPlan("m_cdc_diff")
+    assert(shuffles("m_cdc_diff") == 2,
+      s"m_cdc_diff budget is 2, got ${shuffles("m_cdc_diff")}")
+    assert(cdc.contains("FullOuter"), cdc)
+    assert(!cdc.contains("rangepartitioning"), "CDC diff planned a sort")
+    // postings: (term, doc) tf aggregate + term window; the final term
+    // aggregate rides the window's term partitioning — 2, not 3
+    assert(shuffles("s_postings") == 2,
+      s"s_postings budget is 2, got ${shuffles("s_postings")}")
+    assert(!physicalPlan("s_postings").contains("rangepartitioning"),
+      "s_postings planned a global sort")
+    // pmi: bounded streams only after the broadcast vocab cut; the
+    // corpus is never range-partitioned
+    assert(!physicalPlan("t_pmi").contains("rangepartitioning"),
+      "t_pmi planned a global sort")
   }
 
   test("TPC-H join shapes broadcast dims and push filters down") {
