@@ -449,6 +449,38 @@ object TextAnalysis {
         floor((col("tok_offset") + col("n_tokens") - 1) / lit(seqLen)))
   }
 
+  /** TF-IDF keyword extraction: the top-`k` terms of every document by
+    * tf·idf weight — the doc-tagging stage of a curation pipeline
+    * (topic routing, per-doc metadata, index keys).
+    *
+    * Scale shape: (doc, term) tf aggregate, term-keyed idf join, one
+    * doc-keyed window for the top-k cut — every stage keyed by doc or
+    * term, no corpus-wide sort, no pairing. Engine-exact: idf (the
+    * only transcendental) is quantized to 9 dp per TERM (vocab-sized,
+    * not corpus-sized), the weight is round-6-then-DECIMAL like the
+    * BM25 term score, and rank ties break on the term string. */
+  def tfidfKeywords(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    val td = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = dfreq.crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        round(log(col("n_docs").cast(DoubleType) / col("df")), 9).as("idf"))
+    val w = td.join(idf, Seq("term"))
+      .select(col(idCol), col("term"),
+        round(col("tf") * col("idf"), 6).cast(DecimalType(18, 6)).as("wq"))
+    w.withColumn("kw_rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("wq").desc, col("term"))))
+      .filter(col("kw_rank") <= k)
+      .select(col(idCol), col("term"),
+        col("wq").cast(DoubleType).as("weight"), col("kw_rank"))
+  }
+
   /** Term co-occurrence association over the corpus — pointwise mutual
     * information in LIFT form, `P(x,y)/(P(x)P(y)) = c_xy·N/(c_x·c_y)`
     * (= e^PMI; the log is monotone, so ranking is identical and the

@@ -201,6 +201,21 @@ object EventQueries {
     }),
 
     // JSON props extraction + top event per user by value (dedup window)
+    // fixed-width value histogram per event type: floor-binning is
+    // exact IEEE division + floor (engine-deterministic), one
+    // hash-aggregate keyed by (type, bin) — the metric-distribution
+    // profile at any scale
+    "e_histogram" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") / lit(25.0)).as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("bin"),
+          (col("bin").cast(DoubleType) * lit(25.0)).as("bin_lo"),
+          ((col("bin") + 1).cast(DoubleType) * lit(25.0)).as("bin_hi"),
+          col("n_events"))),
+
     "e_top_event" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("value").desc, col("event_id"))
@@ -349,6 +364,17 @@ object EventQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "e_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(value / CAST(25.0 AS DOUBLE)) AS BIGINT) AS bin
+        |  FROM events)
+        |SELECT event_type, bin,
+        |  CAST(bin AS DOUBLE) * CAST(25.0 AS DOUBLE) AS bin_lo,
+        |  CAST(bin + 1 AS DOUBLE) * CAST(25.0 AS DOUBLE) AS bin_hi,
+        |  count(*) AS n_events
+        |FROM b GROUP BY event_type, bin""".stripMargin,
 
     "e_top_event" ->
       """SELECT user_id, event_id, event_type, value,

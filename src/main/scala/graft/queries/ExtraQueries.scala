@@ -165,6 +165,35 @@ object ExtraQueries {
     }),
 
     // date spine (sequence + explode — the dbt date_spine util shape)
+    // exact per-group quantiles in the SCALABLE shape: aggregate to
+    // distinct (group, value) counts first (row volume bounded by the
+    // value DOMAIN, not the corpus), then a cumulative count over the
+    // small aggregated relation picks the first value whose running
+    // count reaches ceil(p·n) — no per-group total order over raw rows,
+    // so low-cardinality groups never serialize the corpus
+    "q_quantiles_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(s, dir, "lineitem")
+      val agg = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("c"))
+      val byFlag = Window.partitionBy(col("l_returnflag"))
+      val v = agg
+        .withColumn("cum", sum(col("c")).over(
+          byFlag.orderBy(col("l_extendedprice"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(byFlag))
+      def pos(p: Double) =
+        ceil(lit(p) * col("n").cast(DoubleType)).cast(LongType)
+      v.groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n_rows"),
+          min(when(col("cum") >= pos(0.5), col("l_extendedprice")))
+            .as("p50"),
+          min(when(col("cum") >= pos(0.9), col("l_extendedprice")))
+            .as("p90"),
+          min(when(col("cum") >= pos(0.99), col("l_extendedprice")))
+            .as("p99"))
+    }),
+
     "q_date_spine" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
         .groupBy(col("o_custkey"))
@@ -282,6 +311,29 @@ object ExtraQueries {
         |    'min')
         |  ELSE NULL END AS fp
         |FROM n""".stripMargin,
+
+    "q_quantiles_exact" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, l_extendedprice, count(*) AS c
+        |  FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+        |v AS (
+        |  SELECT l_returnflag, l_extendedprice, c,
+        |    sum(c) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM agg)
+        |SELECT l_returnflag, max(n) AS n_rows,
+        |  min(CASE WHEN cum >= CAST(ceil(CAST(0.5 AS DOUBLE)
+        |    * CAST(n AS DOUBLE)) AS BIGINT)
+        |    THEN l_extendedprice END) AS p50,
+        |  min(CASE WHEN cum >= CAST(ceil(CAST(0.9 AS DOUBLE)
+        |    * CAST(n AS DOUBLE)) AS BIGINT)
+        |    THEN l_extendedprice END) AS p90,
+        |  min(CASE WHEN cum >= CAST(ceil(CAST(0.99 AS DOUBLE)
+        |    * CAST(n AS DOUBLE)) AS BIGINT)
+        |    THEN l_extendedprice END) AS p99
+        |FROM v GROUP BY l_returnflag""".stripMargin,
 
     "q_date_spine" ->
       """WITH b AS (

@@ -112,6 +112,11 @@ object PipelineQueries {
     "t_pmi" -> ((s, dir) =>
       TextAnalysis.pmiLift(Tables.load(s, dir, "documents"))),
 
+    // TF-IDF keyword extraction: top-3 terms per document by tf·idf —
+    // the doc-tagging stage (topic routing, per-doc metadata).
+    "t_keywords" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(Tables.load(s, dir, "documents"))),
+
     // Sequence-packing manifest: concat-then-chunk at 256 tokens, the
     // two-level bucketed cumsum standing in for the global ordered
     // window a naive plan would serialize.
@@ -302,6 +307,26 @@ object PipelineQueries {
          |JOIN topv ca ON pr.term_a = ca.term
          |JOIN topv cb ON pr.term_b = cb.term
          |CROSS JOIN n""".stripMargin,
+
+    "t_keywords" ->
+      s"""WITH td AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |idf AS (SELECT term,
+         |    round(ln(CAST(n_docs AS DOUBLE) / df), 9) AS idf
+         |  FROM dfq CROSS JOIN n),
+         |w AS (SELECT doc_id, td.term,
+         |    CAST(round(tf * idf, 6) AS DECIMAL(18,6)) AS wq
+         |  FROM td JOIN idf ON td.term = idf.term),
+         |r AS (SELECT doc_id, term, wq,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY wq DESC, term) AS kw_rank
+         |  FROM w)
+         |SELECT doc_id, term, CAST(wq AS DOUBLE) AS weight, kw_rank
+         |FROM r WHERE kw_rank <= 3""".stripMargin,
 
     "p_pagerank" -> pagerankOracleSql,
 

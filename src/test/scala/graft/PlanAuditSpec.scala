@@ -50,14 +50,15 @@ class PlanAuditSpec extends AnyFunSuite {
   // 1024-row bucket model (the corpus side joins the model by an
   // equi-key); p_kmeans is the IVF scalar-broadcast centroid-array
   // shape (Similarity.nearestCells) surfaced as its own query.
-  // t_pmi crosses the one-row corpus doc-count aggregate into the
-  // (≤ vocab²/2)-row pair-count stream — scalar-broadcast again; the
-  // corpus itself never enters a dense join.
+  // t_pmi and t_keywords cross the one-row corpus doc-count aggregate
+  // into vocab-sized streams (pair counts / per-term idf) —
+  // scalar-broadcast again; the corpus itself never enters a dense
+  // join.
   private val denseByDesign =
     Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8", "s_ann_pq",
       "d_decontaminate_bloom", "d_resample_temp", "s_bm25",
       "s_hybrid_rrf", "p_pagerank", "t_perplexity", "d_mixture",
-      "p_rag", "d_dsir", "p_kmeans", "t_pmi")
+      "p_rag", "d_dsir", "p_kmeans", "t_pmi", "t_keywords")
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
