@@ -73,6 +73,26 @@ object DataTests {
   def expressionIsTrue(df: DataFrame, predicate: Column): DataFrame =
     df.filter(!coalesce(predicate, lit(false)))
 
+  /** `dbt source freshness`: per-source max(loaded_at), age at `now`,
+    * and pass/warn/error status against the declared thresholds — the
+    * other daily dbt workload the adapter executes (dbt-core compiles
+    * it to exactly this max-timestamp SELECT per source). `now` is
+    * caller-pinned (library determinism convention — never
+    * wall-clock). Age is integer seconds (second-truncated epochs), so
+    * the classification is engine-exact. One tiny aggregate per
+    * source; the scan prunes to the timestamp (+ grouping) columns. */
+  def sourceFreshness(df: DataFrame, sourceCol: String, tsCol: String,
+      now: Column, warnAfterSec: Long, errorAfterSec: Long): DataFrame =
+    df.groupBy(col(sourceCol).as("source_name"))
+      .agg(max(col(tsCol)).as("max_loaded_at"))
+      .select(col("source_name"), col("max_loaded_at"),
+        (unix_timestamp(now) - unix_timestamp(col("max_loaded_at")))
+          .as("age_sec"))
+      .withColumn("status",
+        when(col("age_sec") > errorAfterSec, lit("error"))
+          .when(col("age_sec") > warnAfterSec, lit("warn"))
+          .otherwise(lit("pass")))
+
   /** A `dbt test` run summary: one row per named test with its failure
     * count and status — the console table dbt prints after a run. Each
     * member DataFrame must be the test's violation set. */

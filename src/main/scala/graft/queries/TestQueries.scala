@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 import graft.Tables
 import graft.ops.DataTests
@@ -85,7 +86,14 @@ object TestQueries {
           col("l_discount"))),
 
     // the `dbt test` console summary: one row per test
-    "dt_suite" -> ((s, dir) => DataTests.suite(suiteTests(s, dir)))
+    "dt_suite" -> ((s, dir) => DataTests.suite(suiteTests(s, dir))),
+
+    // `dbt source freshness` over the five event feeds, pinned clock
+    "dt_freshness" -> ((s, dir) =>
+      DataTests.sourceFreshness(Tables.load(s, dir, "events"),
+        "event_type", "ts",
+        lit("2024-01-31 00:30:00").cast(TimestampType),
+        warnAfterSec = 2700L, errorAfterSec = 3600L))
   )
 
   private val stagedCustSql =
@@ -135,6 +143,21 @@ object TestQueries {
     "dt_relationships" -> relationshipsSql,
 
     "dt_expression" -> expressionSql,
+
+    "dt_freshness" ->
+      """WITH m AS (
+        |  SELECT event_type AS source_name, max(ts) AS max_loaded_at
+        |  FROM events GROUP BY event_type),
+        |a AS (
+        |  SELECT source_name, max_loaded_at,
+        |    CAST(floor(epoch(TIMESTAMP '2024-01-31 00:30:00')) AS BIGINT)
+        |      - CAST(floor(epoch(max_loaded_at)) AS BIGINT) AS age_sec
+        |  FROM m)
+        |SELECT source_name, max_loaded_at, age_sec,
+        |  CASE WHEN age_sec > 3600 THEN 'error'
+        |       WHEN age_sec > 2700 THEN 'warn'
+        |       ELSE 'pass' END AS status
+        |FROM a""".stripMargin,
 
     "dt_suite" ->
       s"""WITH counts AS (

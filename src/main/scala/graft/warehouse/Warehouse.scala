@@ -203,6 +203,37 @@ class Warehouse(val spark: SparkSession, val root: String,
         col("s.null_count"), col("rows"))
   }
 
+  /** Stats-backed file pruning — the read-side payoff of the
+    * [[analyzeTable]] ledger, i.e. the manifest prune every lakehouse
+    * engine does before planning a scan: keep only the files whose
+    * [min, max] range on `column` intersects [lo, hi], then apply the
+    * exact predicate to the surviving files. The ledger consult is
+    * driver-side METADATA (one row per file — an Iceberg/Delta
+    * manifest read, not a data read); pass a materialized `ledger`
+    * (the persisted output of [[analyzeTable]]) to skip recomputing
+    * stats, which is what a production maintenance loop does at every
+    * write. Returns (pruned scan, files kept, files total) so callers
+    * can assert the skip rate. All-null files (null min/max) cannot
+    * match a range predicate and are dropped. */
+  def readPruned(schema: String, name: String, column: String,
+      lo: Double, hi: Double, ledger: Option[DataFrame] = None)
+      : (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val stats = ledger.getOrElse(analyzeTable(schema, name, Seq(column)))
+      .filter(col("column") === column)
+      .select(col("file"), col("min_value").cast("double").as("lo"),
+        col("max_value").cast("double").as("hi"))
+      .collect()
+    val total = stats.length
+    val keep = stats.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+      r.getDouble(1) <= hi && r.getDouble(2) >= lo).map(_.getString(0))
+    val scan =
+      if (keep.isEmpty) read(schema, name).limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (scan.filter(col(column) >= lo && col(column) <= hi),
+      keep.length, total)
+  }
+
   /** Data files of a table (compaction telemetry). */
   def dataFiles(schema: String, name: String): Seq[String] = {
     import scala.jdk.CollectionConverters._

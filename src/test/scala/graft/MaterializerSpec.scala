@@ -321,6 +321,33 @@ class MaterializerSpec extends AnyFunSuite {
         r.getAs[String]("min_value").toLong <= 32))
   }
 
+  test("readPruned skips files by ledger stats and returns exact rows") {
+    import spark.implicits._
+    val wh = freshWh()
+    val rows = for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong * 64 + y, x.toLong, y.toLong)
+    wh.createTableAs(rows.toDF("id", "x", "y"), "main", "pts2")
+    wh.compactZOrder("main", "pts2", targetFileRows = (64 * 64) / 16,
+      zOrderBy = Seq("x", "y"))
+    // a persisted ledger (what a maintenance loop would materialize)
+    val ledger = wh.analyzeTable("main", "pts2", Seq("x"))
+    val (scan, kept, total) =
+      wh.readPruned("main", "pts2", "x", 10.0, 20.0, Some(ledger))
+    assert(total == 16)
+    assert(kept < total, s"kept $kept of $total — nothing pruned")
+    // pruning must not change results: equals the full-scan filter
+    val expected = wh.read("main", "pts2")
+      .filter(col("x") >= 10 && col("x") <= 20)
+    assert(scan.count() == expected.count())
+    assert(scan.agg(sum(col("id"))).head.getLong(0) ==
+      expected.agg(sum(col("id"))).head.getLong(0))
+    // an empty range prunes everything but keeps the schema
+    val (empty, k2, _) =
+      wh.readPruned("main", "pts2", "x", 1000.0, 2000.0, Some(ledger))
+    assert(k2 == 0 && empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id", "x", "y"))
+  }
+
   test("on_schema_change=append_new_columns evolves incremental tables") {
     val wh = freshWh()
     val m = new Materializer(wh)
