@@ -27,9 +27,52 @@ final class Materializer(wh: Warehouse, targetSchema: String = "main") {
   def schemaOf(n: ModelNode): String =
     Dag.schemaName(targetSchema, n.config.customSchema)
 
+  /** dbt model-contract enforcement (contract: enforced: true): the
+    * build fails BEFORE any write when the produced schema deviates
+    * from the declared one (missing/extra columns, type mismatches) or
+    * a not-null constrained column contains NULLs. Schema checks are
+    * metadata-only; the not-null probe is ONE map-side-combined
+    * aggregate over the model output (the precheck shape — production
+    * engines push the constraint into the write DDL instead, same
+    * failure semantics). */
+  private def enforceContract(n: ModelNode, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{lit, sum, when}
+    import org.apache.spark.sql.types.DataType
+    val contract = n.config.contract
+    if (contract.isEmpty) return
+    val actual = df.schema.map(f => f.name -> f.dataType).toMap
+    val declared = contract.map(_.name)
+    val errs =
+      declared.filterNot(actual.contains).map(m => s"$m: missing") ++
+      df.schema.map(_.name).filterNot(declared.contains)
+        .map(e => s"$e: not in contract") ++
+      contract.flatMap { c =>
+        actual.get(c.name).flatMap { dt =>
+          val want = DataType.fromDDL(c.dataType)
+          if (dt == want) None
+          else Some(s"${c.name}: expected ${want.sql}, got ${dt.sql}")
+        }
+      }
+    if (errs.nonEmpty) throw new IllegalArgumentException(
+      s"${n.name}: contract violated — ${errs.mkString("; ")}")
+    val nn = contract.filter(_.notNull).map(_.name)
+    if (nn.nonEmpty) {
+      val counts = df.agg(
+        sum(when(col(nn.head).isNull, 1L).otherwise(0L)),
+        nn.tail.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L))): _*).head
+      val bad = nn.zipWithIndex
+        .collect { case (c, i) if counts.getLong(i) > 0 =>
+          s"$c: ${counts.getLong(i)} NULLs" }
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"${n.name}: not_null constraint violated — ${bad.mkString("; ")}")
+    }
+  }
+
   def materialize(n: ModelNode, now: Option[Column] = None): DataFrame = {
     val spark = wh.spark
     val df = n.build(spark)
+    enforceContract(n, df)
     val schema = schemaOf(n)
     n.config.materialized match {
       case "view" =>

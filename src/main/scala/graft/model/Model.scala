@@ -20,7 +20,17 @@ final case class ModelConfig(
     // snapshot-only: timestamp strategy column, or check-strategy columns
     snapshotUpdatedAt: Option[String] = None,
     snapshotCheckCols: Seq[String] = Nil,
-    invalidateHardDeletes: Boolean = false)
+    invalidateHardDeletes: Boolean = false,
+    // dbt model contract (contract: enforced: true): declared columns
+    // with data types and not-null constraints, validated before any
+    // write — non-empty list turns enforcement on
+    contract: Seq[ContractColumn] = Nil)
+
+/** One column of an enforced dbt model contract: declared name, Spark
+  * DDL data type (e.g. "bigint", "decimal(18,2)"), and whether dbt's
+  * `not_null` constraint applies. */
+final case class ContractColumn(name: String, dataType: String,
+    notNull: Boolean = false)
 
 /** A model node: named transformation producing a DataFrame, with dbt-style
   * dependency edges (`depends_on.nodes`). */

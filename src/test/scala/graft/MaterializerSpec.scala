@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.TimestampType
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.materialize.Materializer
-import graft.model.{Dag, ModelConfig, ModelNode}
+import graft.model.{ContractColumn, Dag, ModelConfig, ModelNode}
 import graft.warehouse.Warehouse
 
 class MaterializerSpec extends AnyFunSuite {
@@ -319,6 +319,46 @@ class MaterializerSpec extends AnyFunSuite {
     assert(clustered.forall(r =>
       r.getAs[String]("max_value").toLong -
         r.getAs[String]("min_value").toLong <= 32))
+  }
+
+  test("model contracts enforce schema and not-null before any write") {
+    val wh = freshWh()
+    val m = new Materializer(wh)
+    val goodContract = Seq(
+      ContractColumn("r_regionkey", "int", notNull = true),
+      ContractColumn("r_name", "string"))
+    def node(contract: Seq[ContractColumn],
+        build: SparkSession => org.apache.spark.sql.DataFrame) =
+      ModelNode("contracted", ModelConfig("table", contract = contract),
+        Nil)(build)
+    def region(s: SparkSession) = Tables.load(s, sf, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    // conforming build materializes
+    m.materialize(node(goodContract, region))
+    assert(wh.read("main", "contracted").count() == 5)
+    // type mismatch fails with the column named
+    val e1 = intercept[IllegalArgumentException](m.materialize(node(
+      Seq(ContractColumn("r_regionkey", "bigint"),
+        ContractColumn("r_name", "string")), region)))
+    assert(e1.getMessage.contains("r_regionkey") &&
+      e1.getMessage.contains("expected BIGINT"))
+    // extra / missing columns fail
+    val e2 = intercept[IllegalArgumentException](m.materialize(node(
+      Seq(ContractColumn("r_regionkey", "int")), region)))
+    assert(e2.getMessage.contains("r_name: not in contract"))
+    val e3 = intercept[IllegalArgumentException](m.materialize(node(
+      goodContract :+ ContractColumn("r_comment", "string"), region)))
+    assert(e3.getMessage.contains("r_comment: missing"))
+    // not-null violation fails before the write (table unchanged)
+    val e4 = intercept[IllegalArgumentException](m.materialize(node(
+      goodContract,
+      s => region(s).withColumn("r_regionkey",
+        when(col("r_regionkey") < 2, lit(null).cast("int"))
+          .otherwise(col("r_regionkey"))))))
+    assert(e4.getMessage.contains("not_null") &&
+      e4.getMessage.contains("2 NULLs"))
+    assert(wh.read("main", "contracted")
+      .filter(col("r_regionkey").isNull).count() == 0)
   }
 
   test("readPruned skips files by ledger stats and returns exact rows") {
