@@ -36,6 +36,28 @@ object Incremental {
     target.join(staging, keys, "left_anti")
       .unionByName(staging, allowMissingColumns = evolveSchema)
 
+  /** `merge` with dbt `incremental_predicates`: the predicates bound
+    * the REPLACEABLE slice of the target, so only rows satisfying them
+    * are eligible for key-matched deletion — rows outside the slice
+    * are kept verbatim and never enter the join. This is dbt's scale
+    * lever for huge incremental targets ("only consider the last 7
+    * days"): the anti-join's target side shrinks from the whole table
+    * to the predicate slice, and with a partition-aligned predicate
+    * the kept remainder is a pruned pass-through scan. Same
+    * caller-beware semantics as dbt: a staging row whose target match
+    * lies OUTSIDE the slice still inserts (the predicate is a promise
+    * that such rows don't exist). */
+  def mergeWithPredicates(target: DataFrame, staging: DataFrame,
+      keys: Seq[String], predicate: org.apache.spark.sql.Column,
+      evolveSchema: Boolean = false): DataFrame = {
+    val outside = target.filter(!predicate ||
+      predicate.isNull) // NULL predicate rows are not replaceable
+    val inside = target.filter(predicate)
+    outside
+      .unionByName(inside.join(staging, keys, "left_anti"))
+      .unionByName(staging, allowMissingColumns = evolveSchema)
+  }
+
   /** `delete+insert` partition variant: DELETE WHERE partition IN
     * (SELECT DISTINCT partition FROM staging) then insert
     * (incremental.sql:137-154). With a partitioned target table this is a

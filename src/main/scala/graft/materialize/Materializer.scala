@@ -101,7 +101,13 @@ final class Materializer(wh: Warehouse, targetSchema: String = "main") {
               case _ =>
                 require(n.config.uniqueKey.nonEmpty,
                   s"${n.name}: delete+insert/merge needs unique_key or partition_by")
-                Incremental.merge(target, df, n.config.uniqueKey, evolve)
+                n.config.incrementalPredicates match {
+                  case Some(p) => Incremental.mergeWithPredicates(target,
+                    df, n.config.uniqueKey,
+                    org.apache.spark.sql.functions.expr(p), evolve)
+                  case None =>
+                    Incremental.merge(target, df, n.config.uniqueKey, evolve)
+                }
             }
             rewrite(merged, schema, n.name, n.config.partitionBy.toSeq)
           case other =>

@@ -17,6 +17,9 @@ final case class ModelConfig(
     customSchema: Option[String] = None,
     // incremental: dbt on_schema_change ("ignore" | "append_new_columns")
     onSchemaChange: String = "ignore",
+    // incremental: dbt incremental_predicates — SQL expression bounding
+    // the replaceable target slice (the huge-target scale lever)
+    incrementalPredicates: Option[String] = None,
     // snapshot-only: timestamp strategy column, or check-strategy columns
     snapshotUpdatedAt: Option[String] = None,
     snapshotCheckCols: Seq[String] = Nil,

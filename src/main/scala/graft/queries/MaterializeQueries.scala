@@ -138,6 +138,28 @@ object MaterializeQueries {
         lit(T1).cast(TimestampType))
         .withColumn("bal", col("bal").cast(DoubleType))),
 
+    // merge bounded by dbt incremental_predicates: only the ym >=
+    // 1997-10 slice of the target is replaceable; earlier rows are
+    // kept verbatim even when their key appears in staging (and the
+    // staging row still inserts — dbt's documented caller-beware
+    // semantics, locked here by the oracle)
+    "m_incr_merge_pred" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+      def shaped(df: DataFrame, priced: org.apache.spark.sql.Column)
+          : DataFrame =
+        df.select(col("o_orderkey"), col("o_orderstatus"),
+          priced.cast(DecimalType(18, 2)).as("price"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      val t = shaped(base.filter(col("o_orderdate") < lit("1998-01-01")),
+        col("o_totalprice"))
+      val st = shaped(
+        base.filter(col("o_orderdate") >= lit("1997-07-01")),
+        col("o_totalprice") * 2.0)
+      Incremental.mergeWithPredicates(t, st, Seq("o_orderkey"),
+        col("ym") >= lit("1997-10"))
+        .withColumn("price", col("price").cast(DoubleType))
+    }),
+
     // change-data-feed between two table states (Warehouse.diff — the
     // engine of diffVersions): inserts + deletes + update pre/post
     // images over an orders rewrite, Delta-CDF style
@@ -194,6 +216,27 @@ object MaterializeQueries {
         |    WHERE o_orderdate >= TIMESTAMP '2001-01-01')
         |SELECT * FROM t WHERE ym NOT IN (SELECT DISTINCT ym FROM s)
         |UNION ALL SELECT * FROM s""".stripMargin,
+
+    "m_incr_merge_pred" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    strftime(o_orderdate, '%Y-%m') AS ym
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |s AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice * 2.0 AS DECIMAL(18,2)) AS price,
+        |    strftime(o_orderdate, '%Y-%m') AS ym
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01'),
+        |outside AS (SELECT * FROM t WHERE NOT (ym >= '1997-10')),
+        |inside AS (
+        |  SELECT * FROM (SELECT * FROM t WHERE ym >= '1997-10') ti
+        |  WHERE NOT EXISTS
+        |    (SELECT 1 FROM s WHERE s.o_orderkey = ti.o_orderkey))
+        |SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price,
+        |  ym
+        |FROM (SELECT * FROM outside UNION ALL SELECT * FROM inside
+        |  UNION ALL SELECT * FROM s)""".stripMargin,
 
     "m_cdc_diff" ->
       """WITH f AS (
