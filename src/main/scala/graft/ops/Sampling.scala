@@ -147,6 +147,46 @@ object Sampling {
     * the per-doc sum (partial aggregation applies). Top-k is
     * TakeOrderedAndProject — no global sort. Nothing is ever keyed by
     * token or bucket on the corpus side. */
+  /** Data-constrained epoch planning (Muennighoff et al. 2023 shape):
+    * given a total token budget and target mixture weights, compute
+    * per-domain target tokens, the epoch (repeat) factor over the
+    * available unique tokens, and the repeat-capped planned tokens —
+    * the training-recipe table that decides how many times each
+    * domain is seen.
+    *
+    * Scale shape: ONE hash-aggregate over the corpus (per-domain token
+    * sums — a handful of rows), then pure literal arithmetic against
+    * the broadcast weights table. Engine-exact: token counts are
+    * integers, every derived figure is IEEE multiply/divide/floor on
+    * identical operands, `least` is exact. */
+  def epochPlan(docs: DataFrame, domainCol: String, nTokensCol: Column,
+      weights: Seq[(String, Double)], budgetTokens: Long,
+      maxEpochs: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(domainCol, "weight")
+    val perDomain = docs
+      .select(col(domainCol), nTokensCol.cast(LongType).as("__nt"))
+      .groupBy(col(domainCol))
+      .agg(sum(col("__nt")).as("tokens_available"))
+    perDomain.join(broadcast(w), Seq(domainCol))
+      .select(col(domainCol),
+        col("tokens_available"),
+        floor(lit(budgetTokens).cast(DoubleType) * col("weight"))
+          .as("target_tokens"),
+        least(
+          floor(lit(budgetTokens).cast(DoubleType) * col("weight"))
+            .cast(DoubleType) /
+            col("tokens_available").cast(DoubleType),
+          lit(maxEpochs)).as("epochs"),
+        floor(col("tokens_available").cast(DoubleType) *
+          least(
+            floor(lit(budgetTokens).cast(DoubleType) * col("weight"))
+              .cast(DoubleType) /
+              col("tokens_available").cast(DoubleType),
+            lit(maxEpochs))).as("planned_tokens"))
+  }
+
   def dsirSelect(docs: DataFrame, isTarget: Column,
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = 1024, topK: Int = 200): DataFrame = {

@@ -201,6 +201,27 @@ object EventQueries {
     }),
 
     // JSON props extraction + top event per user by value (dedup window)
+    // Markov transition matrix over per-user event sequences: counts
+    // and exact-division probabilities for each (from, to) event-type
+    // bigram — the path-analysis staple. One user-keyed window (lag)
+    // + one (from, to) hash-aggregate; probabilities are integer
+    // ratios, engine-exact
+    "e_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.load(s, dir, "events")
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      val fromTotals = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n_transitions")).as("from_total"))
+      pairs.join(fromTotals, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n_transitions"),
+          (col("n_transitions").cast(DoubleType) /
+            col("from_total").cast(DoubleType)).as("p_transition"))
+    }),
+
     // fixed-width value histogram per event type: floor-binning is
     // exact IEEE division + floor (engine-deterministic), one
     // hash-aggregate keyed by (type, bin) — the metric-distribution
@@ -364,6 +385,27 @@ object EventQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "e_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT from_type, event_type AS to_type,
+        |    count(*) AS n_transitions
+        |  FROM seq WHERE from_type IS NOT NULL
+        |  GROUP BY from_type, event_type),
+        |totals AS (
+        |  SELECT from_type, CAST(sum(n_transitions) AS BIGINT)
+        |    AS from_total
+        |  FROM pairs GROUP BY from_type)
+        |SELECT p.from_type, p.to_type, p.n_transitions,
+        |  CAST(p.n_transitions AS DOUBLE) / CAST(t.from_total AS DOUBLE)
+        |    AS p_transition
+        |FROM pairs p JOIN totals t ON p.from_type = t.from_type"""
+        .stripMargin,
 
     "e_histogram" ->
       """WITH b AS (

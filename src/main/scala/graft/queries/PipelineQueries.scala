@@ -117,6 +117,19 @@ object PipelineQueries {
     "t_keywords" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(Tables.load(s, dir, "documents"))),
 
+    // Data-constrained epoch planning: 1M-token budget over the skewed
+    // domain mix, repeats capped at 4 epochs — how many times each
+    // domain is seen in the training recipe.
+    "d_epoch_plan" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), domainCol.as("domain"),
+          size(graft.ops.TextOps.tokens(col("text"))).as("n_tokens"))
+      Sampling.epochPlan(d, "domain", col("n_tokens"),
+        Seq("web" -> 0.5, "books" -> 0.25, "code" -> 0.15,
+          "wiki" -> 0.1),
+        budgetTokens = 1000000L, maxEpochs = 4.0)
+    }),
+
     // Sequence-packing manifest: concat-then-chunk at 256 tokens, the
     // two-level bucketed cumsum standing in for the global ordered
     // window a naive plan would serialize.
@@ -307,6 +320,32 @@ object PipelineQueries {
          |JOIN topv ca ON pr.term_a = ca.term
          |JOIN topv cb ON pr.term_b = cb.term
          |CROSS JOIN n""".stripMargin,
+
+    "d_epoch_plan" ->
+      s"""WITH d AS (
+         |  SELECT $domainCase AS domain,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |pd AS (
+         |  SELECT domain, CAST(sum(n_tokens) AS BIGINT)
+         |    AS tokens_available
+         |  FROM d GROUP BY domain),
+         |w AS (
+         |  SELECT * FROM (VALUES ('web', CAST(0.5 AS DOUBLE)),
+         |    ('books', CAST(0.25 AS DOUBLE)),
+         |    ('code', CAST(0.15 AS DOUBLE)),
+         |    ('wiki', CAST(0.1 AS DOUBLE))) AS t(domain, weight))
+         |SELECT pd.domain, tokens_available,
+         |  CAST(floor(CAST(1000000 AS DOUBLE) * weight) AS BIGINT)
+         |    AS target_tokens,
+         |  least(floor(CAST(1000000 AS DOUBLE) * weight)
+         |      / CAST(tokens_available AS DOUBLE),
+         |    CAST(4.0 AS DOUBLE)) AS epochs,
+         |  CAST(floor(CAST(tokens_available AS DOUBLE) *
+         |    least(floor(CAST(1000000 AS DOUBLE) * weight)
+         |        / CAST(tokens_available AS DOUBLE),
+         |      CAST(4.0 AS DOUBLE))) AS BIGINT) AS planned_tokens
+         |FROM pd JOIN w ON pd.domain = w.domain""".stripMargin,
 
     "t_keywords" ->
       s"""WITH td AS (
