@@ -103,4 +103,20 @@ object DataTests {
           when(col("fail_count") === 0, lit("pass"))
             .otherwise(lit("fail")).as("status"))
     }.reduce(_.unionByName(_))
+
+  /** dbt `--store-failures`: persist every member test's violation set
+    * as a queryable table in the audit schema (dbt's
+    * `dbt_test__audit` convention) plus the run summary, and return
+    * the summary. Each violation table is one independent write of an
+    * already-bounded result; failed-row tables are the artifact an
+    * on-call debugs from without re-running the test. */
+  def storeFailures(wh: graft.warehouse.Warehouse,
+      tests: Seq[(String, DataFrame)],
+      auditSchema: String = "dbt_test__audit"): DataFrame = {
+    tests.foreach { case (name, violations) =>
+      wh.createTableAs(violations, auditSchema, name)
+    }
+    wh.createTableAs(suite(tests), auditSchema, "run_summary")
+    wh.read(auditSchema, "run_summary")
+  }
 }

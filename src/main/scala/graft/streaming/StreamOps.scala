@@ -165,6 +165,42 @@ object StreamOps {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class Transition(user_id: Long, from_type: String,
+      to_type: String)
+  final case class LastEvent(event_type: String)
+
+  /** Streaming twin of the `e_transitions` batch query's pairing
+    * stage: per-user (from, to) event-type transitions via
+    * [[org.apache.spark.sql.KeyValueGroupedDataset
+    * .flatMapGroupsWithState]]. State is ONE string per user (the last
+    * event type) — the minimum any transition tracker needs, bounded
+    * by distinct users like every user-keyed stateful op here.
+    * Event-time order per user within and across batches is the same
+    * replay/ingest contract as [[sessionize]]/[[anomalies]]; each
+    * micro-batch sorts its slice by (ts, event_id). Downstream the
+    * transition stream aggregates to the same (from, to) counts as
+    * the batch lag-window pairing — exactly (replay-parity asserted
+    * in StreamingSpec). */
+  def transitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, evs: Iterator[Event],
+        state: GroupState[LastEvent]): Iterator[Transition] = {
+      var last = state.getOption.map(_.event_type)
+      val out = List.newBuilder[Transition]
+      evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        last.foreach(f => out += Transition(userId, f, e.event_type))
+        last = Some(e.event_type)
+      }
+      last.foreach(l => state.update(LastEvent(l)))
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming ingest dedup — the streaming twin of [[graft.ops.Dedup
     * .exact]]: drop documents whose normalized-content hash was already
     * seen within the watermark horizon. State is bounded: Spark evicts

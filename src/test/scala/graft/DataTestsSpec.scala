@@ -61,6 +61,20 @@ class DataTestsSpec extends AnyFunSuite {
     assert(r.head.getAs[Long]("n_records") == 2L)
   }
 
+  test("store-failures persists violation tables plus the run summary") {
+    val wh = new graft.warehouse.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_audit").toString)
+    val summary = DataTests.storeFailures(wh, Seq(
+      "orphans" -> DataTests.relationships(child, "fk", parent, "pk"),
+      "ids_unique" -> DataTests.unique(child, "id")))
+    assert(summary.count() == 2)
+    // the stored violation table is queryable after the run
+    val stored = wh.read("dbt_test__audit", "orphans").collect()
+    assert(stored.length == 1 && stored.head.getAs[Long]("fk") == 99L)
+    assert(wh.read("dbt_test__audit", "run_summary")
+      .filter(col("status") === "fail").count() == 1)
+  }
+
   test("suite summarizes one row per test with pass/fail status") {
     val s = DataTests.suite(Seq(
       "orphans" -> DataTests.relationships(child, "fk", parent, "pk"),

@@ -261,6 +261,48 @@ class StreamingSpec extends AnyFunSuite {
         s"batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming transition counts equal the batch lag-window pairing " +
+    "over the real events table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val in = MemoryStream[Event]
+    val q = StreamOps.transitions(in.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("transitions").start()
+    // three ordered chunks: the last-event state must carry the pair
+    // that straddles each micro-batch boundary
+    all.grouped((all.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("transitions")
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    q.stop()
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val batch = Tables.load(spark, sf, "events")
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only=${(streamed.toSet -- batch.toSet).take(3)} " +
+        s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("stream-static enrich joins the broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
