@@ -269,6 +269,74 @@ object CoreQueries {
         .limit(100)
     }),
 
+    // TPC-H q7 (volume shipping): the bidirectional nation-pair join —
+    // both nation dims pre-filtered to the two trading partners (2-row
+    // broadcasts), the asymmetric pair predicate applied post-join
+    "q_tpch_q7" -> ((s, dir) => {
+      val pairNations = Seq("NATION_1", "NATION_2")
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") <= lit("1996-12-31"))
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val su = Tables.load(s, dir, "supplier")
+      val n1 = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin(pairNations: _*))
+        .select(col("n_nationkey").as("__snk"),
+          col("n_name").as("supp_nation"))
+      val n2 = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin(pairNations: _*))
+        .select(col("n_nationkey").as("__cnk"),
+          col("n_name").as("cust_nation"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("__snk"))
+        .join(broadcast(n2), c("c_nationkey") === col("__cnk"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+    }),
+
+    // TPC-H q8 (national market share): 8-relation join depth; the
+    // share is a ratio of two DECIMAL-accumulated sums (exact division)
+    "q_tpch_q8" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY")
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") <= lit("1996-12-31"))
+      val c = Tables.load(s, dir, "customer")
+      val su = Tables.load(s, dir, "supplier")
+      val r = Tables.load(s, dir, "region")
+        .filter(col("r_name") === "AMERICA")
+      val n1 = Tables.load(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+        .select(col("n_nationkey").as("__cnk"))
+      val n2 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("__snk"),
+          col("n_name").as("supp_nation"))
+      val vol = dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), c("c_nationkey") === col("__cnk"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n2), su("s_nationkey") === col("__snk"))
+        .groupBy(year(o("o_orderdate")).as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_3", vol))
+            .cast(DoubleType) /
+            sum(vol).cast(DoubleType)).as("mkt_share"),
+          sum(vol).cast(DoubleType).as("total_volume"))
+    }),
+
     // ------------------------------------------------------------------
     // §2.5 windows — the flagship dedup pattern
     // (test_auto_router.py:192-211); deterministic via orderkey tie-break
@@ -506,6 +574,45 @@ object CoreQueries {
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(24,6))) > 250)
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate <= TIMESTAMP '1996-12-31'
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(24,6)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(24,6))) AS DOUBLE) AS mkt_share,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(24,6))) AS DOUBLE) AS total_volume
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31'
+        |GROUP BY year(o_orderdate)""".stripMargin,
 
     "q_window_dedup" ->
       """WITH ranked AS (
