@@ -308,6 +308,50 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick `k` results balancing relevance against similarity
+    * to what is already picked — `λ·rel − (1−λ)·max_sim(c, selected)`
+    * — the diversity stage a retrieval stack runs AFTER top-k
+    * generation (near-identical chunks crowd out coverage otherwise).
+    *
+    * Scale shape: MMR is inherently sequential in k, but it operates
+    * on the PER-QUERY candidate list (tens of rows after ANN top-k),
+    * never the corpus — each of the k−1 steps is an anti-join +
+    * broadcast of the ≤k selected rows + a 1-row argmax
+    * (TakeOrderedAndProject), all over the bounded candidate relation.
+    * Deterministic: argmax ties break on the id; λ factors are written
+    * as `lit(1.0) - lit(lam)` so both engines fold the same IEEE
+    * subtraction (never a pre-computed Scala constant — see the
+    * oracle-determinism conventions). */
+  def mmrRerank(cands: DataFrame, k: Int, lam: Double,
+      idCol: String = "cand_id", relCol: String = "rel",
+      vecCol: String = "v"): DataFrame = {
+    val base = cands.select(col(idCol), col(relCol), col(vecCol))
+    val first = base.orderBy(col(relCol).desc, col(idCol)).limit(1)
+      .select(col(idCol), col(relCol), col(vecCol),
+        lit(1).as("mmr_rank"), col(relCol).as("mmr_score"))
+    val picked = (2 to k).foldLeft(first) { (sel, rank) =>
+      val selSlim = sel.select(col(vecCol).as("__sv"))
+      val maxSim = base
+        .join(sel.select(col(idCol)), Seq(idCol), "left_anti")
+        .crossJoin(broadcast(selSlim))
+        .select(col(idCol),
+          cosine(col("__sv"), col(vecCol)).as("__sim"))
+        .groupBy(col(idCol))
+        .agg(max(col("__sim")).as("__maxsim"))
+      val pick = base.join(maxSim, Seq(idCol))
+        .select(col(idCol), col(relCol), col(vecCol),
+          (lit(lam) * col(relCol) -
+            (lit(1.0) - lit(lam)) * col("__maxsim")).as("__mmr"))
+        .orderBy(col("__mmr").desc, col(idCol)).limit(1)
+        .select(col(idCol), col(relCol), col(vecCol),
+          lit(rank).as("mmr_rank"), col("__mmr").as("mmr_score"))
+      sel.unionByName(pick)
+    }
+    picked.select(col(idCol), col(relCol), col("mmr_rank"),
+      col("mmr_score"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for
     * (table, plane, dim): uniform in [-1, 1] from an md5-derived hash.
     * Computed ONCE on the driver (planes depend only on indices, never

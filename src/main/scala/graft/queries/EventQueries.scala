@@ -201,6 +201,24 @@ object EventQueries {
     }),
 
     // JSON props extraction + top event per user by value (dedup window)
+    // sequence mining: the top-20 most common 3-step event paths —
+    // two lead() reads on the same user-keyed window (one exchange),
+    // then a path hash-aggregate and TakeOrderedAndProject top-k
+    "e_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .withColumn("step2", lead(col("event_type"), 1).over(w))
+        .withColumn("step3", lead(col("event_type"), 2).over(w))
+        .filter(col("step2").isNotNull && col("step3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("step2"),
+          col("step3"))
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("step1"), col("step2"),
+          col("step3"))
+        .limit(20)
+    }),
+
     // Markov transition matrix over per-user event sequences: counts
     // and exact-division probabilities for each (from, to) event-type
     // bigram — the path-analysis staple. One user-keyed window (lag)
@@ -385,6 +403,20 @@ object EventQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "e_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS step1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS step2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS step3
+        |  FROM events)
+        |SELECT step1, step2, step3, count(*) AS n_paths
+        |FROM seq WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY step1, step2, step3
+        |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20"""
+        .stripMargin,
 
     "e_transitions" ->
       """WITH seq AS (

@@ -70,6 +70,41 @@ object PipelineQueries {
        |    tf
        |  FROM tfp JOIN idf USING (term))""".stripMargin
 
+  /** Unrolled DuckDB replica of the 5-step MMR greedy selection (the
+    * k-means-CTE precedent: iteration count is a literal, each step is
+    * one argmax CTE over the bounded candidate list). */
+  private def mmrOracleSql: String = {
+    def cos(a: String, b: String) =
+      s"(${dotSql(a, b)} / (${nrmSql(a)} * ${nrmSql(b)}))"
+    val steps = (2 to 5).map { i =>
+      s"""m$i AS (SELECT c.cand_id, max(${cos("s.v", "c.v")}) AS maxsim
+         |  FROM c0 c CROSS JOIN sel${i - 1} s
+         |  WHERE c.cand_id NOT IN (SELECT cand_id FROM sel${i - 1})
+         |  GROUP BY c.cand_id),
+         |p$i AS (SELECT c.cand_id, c.rel, c.v, $i AS mmr_rank,
+         |    (CAST(0.7 AS DOUBLE) * c.rel
+         |      - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * m.maxsim)
+         |      AS mmr_score
+         |  FROM c0 c JOIN m$i m ON c.cand_id = m.cand_id
+         |  ORDER BY mmr_score DESC, c.cand_id LIMIT 1),
+         |sel$i AS (SELECT * FROM sel${i - 1}
+         |  UNION ALL SELECT * FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv FROM d WHERE vec_id = 0),
+       |c0 AS (SELECT d.vec_id AS cand_id, ${cos("q.qv", "d.v")} AS rel,
+       |    d.v
+       |  FROM d, q WHERE d.vec_id <> 0
+       |  ORDER BY rel DESC, cand_id LIMIT 20),
+       |p1 AS (SELECT cand_id, rel, v, 1 AS mmr_rank, rel AS mmr_score
+       |  FROM c0 ORDER BY rel DESC, cand_id LIMIT 1),
+       |sel1 AS (SELECT * FROM p1),
+       |$steps
+       |SELECT cand_id, rel, mmr_rank, mmr_score FROM sel5""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     // CCNet/RefinedWeb-style corpus-wide segment dedup: every 8-token
     // segment survives only at its first (doc, position) occurrence;
@@ -100,6 +135,23 @@ object PipelineQueries {
     "s_phrase" -> ((s, dir) =>
       Search.phraseSearch(Tables.load(s, dir, "documents"),
         Seq("table", "value"))),
+
+    // MMR diversity re-rank over the brute-force top-20 for one query
+    // vector: greedy λ=0.7 relevance-vs-redundancy selection of 5 —
+    // the post-retrieval stage that stops near-duplicate chunks from
+    // crowding out coverage. Candidate list only; never the corpus.
+    "s_mmr" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val q = d.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val cands = d.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("cand_id"),
+          Similarity.cosine(col("qv"), col("v")).as("rel"), col("v"))
+        .orderBy(col("rel").desc, col("cand_id")).limit(20)
+      Similarity.mmrRerank(cands, k = 5, lam = 0.7)
+    }),
 
     // Inverted-index build: per-term document/term frequencies plus a
     // bounded posting sample — the materialized-index stage behind
@@ -286,6 +338,8 @@ object PipelineQueries {
          |SELECT doc_id, count(*) AS n_occurrences,
          |  min(i)::BIGINT AS first_pos
          |FROM m GROUP BY doc_id""".stripMargin,
+
+    "s_mmr" -> mmrOracleSql,
 
     "s_postings" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term

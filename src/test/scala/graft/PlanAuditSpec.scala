@@ -58,7 +58,10 @@ class PlanAuditSpec extends AnyFunSuite {
     Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8", "s_ann_pq",
       "d_decontaminate_bloom", "d_resample_temp", "s_bm25",
       "s_hybrid_rrf", "p_pagerank", "t_perplexity", "d_mixture",
-      "p_rag", "d_dsir", "p_kmeans", "t_pmi", "t_keywords")
+      "p_rag", "d_dsir", "p_kmeans", "t_pmi", "t_keywords",
+      // s_mmr: the 1-row query vector and the ≤5-row selected set are
+      // the only crossed sides — candidate-list-bounded by design
+      "s_mmr")
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
