@@ -24,6 +24,29 @@ object CoreQueries {
   private def dec(c: org.apache.spark.sql.Column, p: Int = 24, s: Int = 6) =
     c.cast(DecimalType(p, s))
 
+  /** Exact integer cents of a 2-dp money/rate column: the TPC-H money
+    * and percentage columns are DECIMAL(·,2) quantities stored as
+    * doubles, so floor(x·100 + 0.5) recovers the exact integer — the
+    * q_fn_stats fixed-point recipe. The revenue family accumulates
+    * these integer products instead of per-row double→DECIMAL(24,6)
+    * casts: the cast HALF_UPs the SHORTEST string repr in Spark but
+    * the binary value in DuckDB, and at sf1 row counts a 6-dp
+    * near-tie row appears and flips the last ulp of the sum (caught
+    * by the full-inventory sf1 sweep on q1_agg's sum_charge).
+    * Integer arithmetic has no ties. */
+  private def c2(c: org.apache.spark.sql.Column) =
+    floor(c * lit(100.0) + lit(0.5))
+
+  /** Revenue row `extprice·(1−disc)` in exact 1e-4 units. */
+  private def revScaled =
+    c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount")))
+
+  /** `SUM(extprice·(1−disc))` — exact DECIMAL accumulation of the
+    * scaled-integer rows, rescaled once at the end. */
+  private def sumRevenue =
+    sum(revScaled.cast(DecimalType(28, 0))).cast(DoubleType) /
+      lit(10000.0)
+
   val defs: Map[String, Q] = Map(
     // ------------------------------------------------------------------
     // §2.1 scan + §2.2 projection/filter — pushdown-friendly select
@@ -60,10 +83,10 @@ object CoreQueries {
         .agg(
           sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
           sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-            .cast(DoubleType).as("sum_disc_price"),
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-            (lit(1.0) + col("l_tax")))).cast(DoubleType).as("sum_charge"),
+          sumRevenue.as("sum_disc_price"),
+          (sum((revScaled * (lit(100L) + c2(col("l_tax"))))
+            .cast(DecimalType(28, 0))).cast(DoubleType) / lit(1000000.0))
+            .as("sum_charge"),
           (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1)))
             .as("avg_qty"),
           count(lit(1)).as("count_order"))
@@ -196,8 +219,7 @@ object CoreQueries {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(l("l_orderkey"), o("o_orderdate"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .cast(DoubleType).as("revenue"))
+        .agg(sumRevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -222,8 +244,7 @@ object CoreQueries {
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(n("n_name"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .cast(DoubleType).as("revenue"))
+        .agg(sumRevenue.as("revenue"))
     }),
 
     // §2.3 TPC-H Q10 shape (returned items): customer⋈orders⋈lineitem⋈
@@ -241,8 +262,7 @@ object CoreQueries {
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(c("c_custkey"), c("c_name"), c("c_acctbal"), n("n_name"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .cast(DoubleType).as("revenue"))
+        .agg(sumRevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -299,8 +319,7 @@ object CoreQueries {
             col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .cast(DoubleType).as("revenue"))
+        .agg(sumRevenue.as("revenue"))
     }),
 
     // TPC-H q8 (national market share): 8-relation join depth; the
@@ -322,7 +341,7 @@ object CoreQueries {
       val n2 = Tables.load(s, dir, "nation")
         .select(col("n_nationkey").as("__snk"),
           col("n_name").as("supp_nation"))
-      val vol = dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      val vol = revScaled.cast(DecimalType(28, 0))
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
         .join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
@@ -331,10 +350,11 @@ object CoreQueries {
         .join(broadcast(n2), su("s_nationkey") === col("__snk"))
         .groupBy(year(o("o_orderdate")).as("o_year"))
         .agg(
+          // the 1e4 scale factor cancels in the ratio
           (sum(when(col("supp_nation") === "NATION_3", vol))
             .cast(DoubleType) /
             sum(vol).cast(DoubleType)).as("mkt_share"),
-          sum(vol).cast(DoubleType).as("total_volume"))
+          (sum(vol).cast(DoubleType) / lit(10000.0)).as("total_volume"))
     }),
 
     // ------------------------------------------------------------------
@@ -458,8 +478,13 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST((CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+        |    AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(SUM(CAST((CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+        |    * (100 + CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT))
+        |    AS DECIMAL(28,0))) AS DOUBLE) / 1000000.0 AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
@@ -522,8 +547,9 @@ object CoreQueries {
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST((CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+        |    AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -535,8 +561,9 @@ object CoreQueries {
 
     "q_tpch_q5" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST((CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+        |    AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -550,8 +577,9 @@ object CoreQueries {
 
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST((CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+        |    AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -578,8 +606,9 @@ object CoreQueries {
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST((CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+        |    AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -595,12 +624,15 @@ object CoreQueries {
     "q_tpch_q8" ->
       """SELECT year(o_orderdate) AS o_year,
         |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
-        |      THEN CAST(l_extendedprice * (1.0 - l_discount)
-        |        AS DECIMAL(24,6)) END) AS DOUBLE)
-        |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |        AS DECIMAL(24,6))) AS DOUBLE) AS mkt_share,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(24,6))) AS DOUBLE) AS total_volume
+        |      THEN CAST((CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+        |        AS DECIMAL(28,0)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST((CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+        |        AS DECIMAL(28,0))) AS DOUBLE) AS mkt_share,
+        |  CAST(SUM(CAST((CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+        |    AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS total_volume
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN orders ON l_orderkey = o_orderkey

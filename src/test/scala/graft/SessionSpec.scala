@@ -40,6 +40,64 @@ class SessionSpec extends AnyFunSuite {
     assert(!health.contains("[FAIL]"))
   }
 
+  test("adapter surface composes: contract + predicated merge + tests " +
+    "+ freshness in one run") {
+    import graft.model.ContractColumn
+    import graft.ops.DataTests
+    val gs = new GraftSession(spark,
+      Files.createTempDirectory("graft_gs").toString)
+    // a contracted staging model feeding a predicate-bounded
+    // incremental — dbt's production shape
+    val staged = ModelNode("stg_orders",
+      ModelConfig("table", contract = Seq(
+        ContractColumn("o_orderkey", "bigint", notNull = true),
+        ContractColumn("o_orderstatus", "string"),
+        ContractColumn("ym", "string"))), Nil)(
+      s => Tables.load(s, sf, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym")))
+    // the staging side honors the predicate's promise (dbt's
+    // is_incremental() conditional): full backfill on first build,
+    // in-slice rows only afterwards — so the bounded merge stays
+    // duplicate-free
+    val inc = ModelNode("inc_orders",
+      ModelConfig("incremental", uniqueKey = Seq("o_orderkey"),
+        incrementalStrategy = "merge",
+        incrementalPredicates = Some("ym >= '1997-01'")),
+      Seq("model.graft.stg_orders"))(
+      _ => {
+        val all = gs.warehouse.read("main", "stg_orders")
+        if (gs.warehouse.tableExists("main", "inc_orders"))
+          all.filter(col("ym") >= "1997-01")
+        else all
+      })
+    gs.run(Seq(inc, staged))
+    gs.run(Seq(inc, staged)) // second run exercises the bounded merge
+    val table = gs.warehouse.read("main", "inc_orders")
+    assert(table.count() > 0)
+    // dbt test + store-failures over the materialized table
+    val summary = DataTests.storeFailures(gs.warehouse, Seq(
+      "unique_inc_orders_key" -> DataTests.unique(table, "o_orderkey"),
+      "accepted_status" -> DataTests.acceptedValues(table,
+        "o_orderstatus", Seq("O", "F", "P"))))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    // predicate-bounded merge re-inserted the in-slice keys exactly
+    // once, so uniqueness holds and the domain is closed
+    assert(summary == Map("unique_inc_orders_key" -> "pass",
+      "accepted_status" -> "pass"), summary.toString)
+    // source freshness on the events feed classifies with the run clock
+    val fresh = DataTests.sourceFreshness(
+      Tables.load(spark, sf, "events"), "event_type", "ts",
+      lit("2024-01-31 00:30:00").cast(
+        org.apache.spark.sql.types.TimestampType), 2700L, 3600L)
+    assert(fresh.count() == 5)
+    // sf0.001's sparse feeds all age past the thresholds — what
+    // matters is every source classified and none unclassified
+    assert(fresh.filter(col("status").isin("pass", "warn", "error"))
+      .count() == 5)
+    assert(fresh.filter(col("max_loaded_at").isNull).count() == 0)
+  }
+
   test("dev target applies LIMIT sampling (impl.py:403-415)") {
     val gs = new GraftSession(spark,
       Files.createTempDirectory("graft_dev").toString, target = "dev")
