@@ -326,7 +326,14 @@ object Similarity {
   def mmrRerank(cands: DataFrame, k: Int, lam: Double,
       idCol: String = "cand_id", relCol: String = "rel",
       vecCol: String = "v"): DataFrame = {
+    // the candidate list is the loop invariant: checkpoint the (tiny,
+    // ≤ top-k') relation ONCE so the k−1 greedy steps iterate over
+    // materialized rows instead of re-running the upstream
+    // corpus-scan + scoring lineage each step (same pattern as the
+    // PageRank / star-contraction loops; on a real cluster swap
+    // localCheckpoint for reliable checkpoint)
     val base = cands.select(col(idCol), col(relCol), col(vecCol))
+      .localCheckpoint()
     val first = base.orderBy(col(relCol).desc, col(idCol)).limit(1)
       .select(col(idCol), col(relCol), col(vecCol),
         lit(1).as("mmr_rank"), col(relCol).as("mmr_score"))
