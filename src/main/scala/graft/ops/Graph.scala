@@ -73,4 +73,38 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle membership counts — the local clustering
+    * signal (link farms and scraped mirror clusters show anomalous
+    * triangle density vs organic link graphs).
+    *
+    * Classic ordered-wedge algorithm on the canonical undirected edge
+    * list (lo < hi): a wedge a<b<c is an (a,b) edge joined to a (b,c)
+    * edge, closed by an (a,c) LEFT SEMI probe — each triangle counted
+    * exactly once, no direction double-counting. Scale shape: the
+    * dedup/canonicalization is one exchange; the wedge and closing
+    * joins are node-keyed equi-joins (the standard distributed
+    * triangle layout). On power-law graphs the wedge fanout is
+    * bounded in practice by joining lowest-id-first (the canonical
+    * ordering puts each node's wedges on its HIGHER-id neighbors,
+    * the degree-ordering heuristic); pipelines with extreme hubs add
+    * a degree cap like the LSH bucket caps. */
+  def triangles(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .distinct()
+      .localCheckpoint() // three self-references below — dedup once
+    val e2 = und.select(col("lo").as("__b"), col("hi").as("__c"))
+    val wedges = und.join(e2, col("hi") === col("__b"))
+      .select(col("lo").as("ta"), col("hi").as("tb"), col("__c").as("tc"))
+    val closing = und.select(col("lo").as("ta"), col("hi").as("tc"))
+    val tri = wedges.join(closing, Seq("ta", "tc"), "left_semi")
+    tri.select(explode(array(col("ta"), col("tb"), col("tc")))
+        .as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

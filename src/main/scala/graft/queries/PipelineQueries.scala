@@ -215,6 +215,27 @@ object PipelineQueries {
         .select(col("node").as("doc_id"), col("rank"))
     }),
 
+    // Triangle counting over the same deterministic link graph as
+    // p_pagerank: per-node triangle membership — the local
+    // clustering-density signal (link-farm detection).
+    "p_triangles" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val n = d.agg(count(lit(1)).as("cnt"))
+      val base = d.crossJoin(broadcast(n))
+      // the two affine maps plus ring edges (i, i+1) and (i, i+2):
+      // every {i, i+1, i+2} closes a triangle, so the clustering
+      // structure is dense enough to exercise the wedge join
+      val edges = base.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 31 + 7, col("cnt")).as("dst"))
+        .unionByName(base.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 17 + 3, col("cnt")).as("dst")))
+        .unionByName(base.select(col("doc_id").as("src"),
+          pmod(col("doc_id") + 1, col("cnt")).as("dst")))
+        .unionByName(base.select(col("doc_id").as("src"),
+          pmod(col("doc_id") + 2, col("cnt")).as("dst")))
+      graft.ops.Graph.triangles(edges)
+    }),
+
     // Length-bucketed batching manifest: documents grouped into
     // power-of-two padding buckets (the pad-to-16/32/64/128 batching
     // that keeps attention matrices dense), sharded by hash, batch
@@ -422,6 +443,32 @@ object PipelineQueries {
          |FROM r WHERE kw_rank <= 3""".stripMargin,
 
     "p_pagerank" -> pagerankOracleSql,
+
+    "p_triangles" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 31 + 7) % cnt AS dst
+        |  FROM documents, n
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 17 + 3) % cnt FROM documents, n
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 1) % cnt FROM documents, n
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % cnt FROM documents, n),
+        |und AS (SELECT DISTINCT least(src, dst) AS lo,
+        |    greatest(src, dst) AS hi
+        |  FROM e0 WHERE src <> dst),
+        |tri AS (
+        |  SELECT e1.lo AS ta, e1.hi AS tb, e2.hi AS tc
+        |  FROM und e1 JOIN und e2 ON e1.hi = e2.lo
+        |  WHERE EXISTS (SELECT 1 FROM und e3
+        |    WHERE e3.lo = e1.lo AND e3.hi = e2.hi)),
+        |members AS (
+        |  SELECT ta AS node FROM tri
+        |  UNION ALL SELECT tb FROM tri
+        |  UNION ALL SELECT tc FROM tri)
+        |SELECT node, count(*) AS n_triangles
+        |FROM members GROUP BY node""".stripMargin,
 
     "t_perplexity" ->
       s"""WITH ref AS (SELECT $toksSql AS t FROM documents

@@ -61,7 +61,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "p_rag", "d_dsir", "p_kmeans", "t_pmi", "t_keywords",
       // s_mmr: the 1-row query vector and the ≤5-row selected set are
       // the only crossed sides — candidate-list-bounded by design
-      "s_mmr")
+      "s_mmr",
+      // p_triangles: the p_pagerank scalar-broadcast edge-generation
+      // shape (1-row node count crossed into the id stream)
+      "p_triangles")
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
