@@ -449,6 +449,53 @@ object TextAnalysis {
         floor((col("tok_offset") + col("n_tokens") - 1) / lit(seqLen)))
   }
 
+  /** C4/CCNet-style boilerplate removal: a segment (fixed token chunk,
+    * the [[graft.ops.Dedup.paragraphDedup]] segmentation) that occurs
+    * in more than `maxDocShare` of a DOMAIN's documents is template
+    * boilerplate (nav bars, footers, cookie banners) and is stripped
+    * from every document of that domain; documents reassemble from
+    * the surviving segments in order.
+    *
+    * Scale shape: segmentation is one narrow generate pass; the
+    * boilerplate table is a (domain, segment-hash) distinct-doc
+    * aggregate joined to per-domain doc counts (both keyed shuffles
+    * over segment rows, map-side combined); the strip is a
+    * (domain, hash)-keyed anti-join — the boilerplate side is tiny
+    * (segments above the share threshold) and broadcasts. No pair
+    * stage, no corpus self-join. */
+  def boilerplateStrip(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", domainCol: String = "domain",
+      segTokens: Int = 8, maxDocShare: Double = 0.2): DataFrame = {
+    val tk = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val nseg = ((size(col("__tk")) + lit(segTokens - 1)) / lit(segTokens))
+      .cast(IntegerType)
+    val segs = docs
+      .select(col(idCol), col(domainCol), tk.as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(col(idCol), col(domainCol),
+        nseg.cast(LongType).as("n_segments"),
+        posexplode(transform(sequence(lit(0), nseg - 1),
+          i => concat_ws(" ",
+            slice(col("__tk"), i * segTokens + 1, lit(segTokens)))))
+          .as(Seq("seg_idx", "seg")))
+      .withColumn("seg_hash", md5(col("seg")))
+    val domDocs = segs.select(col(domainCol), col(idCol)).distinct()
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("dom_docs"))
+    val segDocs = segs.groupBy(col(domainCol), col("seg_hash"))
+      .agg(countDistinct(col(idCol)).as("seg_docs"))
+    val boiler = segDocs.join(domDocs, Seq(domainCol))
+      .filter(col("seg_docs").cast(DoubleType) >
+        lit(maxDocShare) * col("dom_docs").cast(DoubleType))
+      .select(col(domainCol), col("seg_hash"))
+    segs.join(boiler, Seq(domainCol, "seg_hash"), "left_anti")
+      .groupBy(col(idCol), col(domainCol))
+      .agg(min(col("n_segments")).as("n_segments"),
+        count(lit(1)).as("kept_segments"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          e => e.getField("seg")), " ").as("text_clean"))
+  }
+
   /** TF-IDF keyword extraction: the top-`k` terms of every document by
     * tf·idf weight — the doc-tagging stage of a curation pipeline
     * (topic routing, per-doc metadata, index keys).

@@ -215,6 +215,15 @@ object PipelineQueries {
         .select(col("node").as("doc_id"), col("rank"))
     }),
 
+    // Domain-level boilerplate strip: segments appearing in > 1% of a
+    // domain's documents (the planted duplicate clusters qualify) are
+    // template boilerplate; documents reassemble without them.
+    "t_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateStrip(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), domainCol.as("domain"), col("text")),
+        maxDocShare = 0.01)),
+
     // Triangle counting over the same deterministic link graph as
     // p_pagerank: per-node triangle membership — the local
     // clustering-density signal (link-farm detection).
@@ -443,6 +452,34 @@ object PipelineQueries {
          |FROM r WHERE kw_rank <= 3""".stripMargin,
 
     "p_pagerank" -> pagerankOracleSql,
+
+    "t_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $domainCase AS domain,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+         |      AS tk
+         |  FROM documents),
+         |c AS (SELECT doc_id, domain, tk,
+         |    CAST((len(tk) + 7) // 8 AS BIGINT) AS nseg
+         |  FROM t WHERE len(tk) > 0),
+         |segs AS (SELECT doc_id, domain, nseg, CAST(i AS INT) AS seg_idx,
+         |    array_to_string(list_slice(tk, i*8 + 1, i*8 + 8), ' ') AS seg
+         |  FROM c, unnest(generate_series(0, CAST(nseg AS INT) - 1)) g(i)),
+         |dd AS (SELECT domain, count(DISTINCT doc_id) AS dom_docs
+         |  FROM segs GROUP BY domain),
+         |sd AS (SELECT domain, md5(seg) AS seg_hash,
+         |    count(DISTINCT doc_id) AS seg_docs
+         |  FROM segs GROUP BY domain, md5(seg)),
+         |b AS (SELECT sd.domain, seg_hash
+         |  FROM sd JOIN dd ON sd.domain = dd.domain
+         |  WHERE CAST(seg_docs AS DOUBLE) >
+         |    0.01 * CAST(dom_docs AS DOUBLE)),
+         |k AS (SELECT s.* FROM segs s WHERE NOT EXISTS
+         |  (SELECT 1 FROM b
+         |   WHERE b.domain = s.domain AND b.seg_hash = md5(s.seg)))
+         |SELECT doc_id, domain, min(nseg) AS n_segments,
+         |  count(*) AS kept_segments,
+         |  string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean
+         |FROM k GROUP BY doc_id, domain""".stripMargin,
 
     "p_triangles" ->
       """WITH n AS (SELECT count(*) AS cnt FROM documents),
