@@ -201,6 +201,32 @@ object EventQueries {
     }),
 
     // JSON props extraction + top event per user by value (dedup window)
+    // winsorization: clip every value to its event type's exact
+    // [p01, p99] band — outlier taming before aggregation. The bounds
+    // come from the q_quantiles_exact shape (distinct-(type, value)
+    // counts + cumulative pick, domain-bounded) and broadcast back;
+    // the clip itself is least/greatest, IEEE-exact
+    "e_winsorize" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val agg = e.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"))
+      val byType = Window.partitionBy(col("event_type"))
+      val v = agg
+        .withColumn("cum", sum(col("c")).over(
+          byType.orderBy(col("value"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(byType))
+      def pos(p: Double) =
+        ceil(lit(p) * col("n").cast(DoubleType)).cast(LongType)
+      val bounds = v.groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= pos(0.01), col("value"))).as("p01"),
+          min(when(col("cum") >= pos(0.99), col("value"))).as("p99"))
+      e.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("p01")), col("p99"))
+            .as("value_clipped"))
+    }),
+
     // sequence mining: the top-20 most common 3-step event paths —
     // two lead() reads on the same user-keyed window (one exchange),
     // then a path hash-aggregate and TakeOrderedAndProject top-k
@@ -403,6 +429,28 @@ object EventQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "e_winsorize" ->
+      """WITH agg AS (
+        |  SELECT event_type, value, count(*) AS c
+        |  FROM events GROUP BY event_type, value),
+        |v AS (
+        |  SELECT event_type, value, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM agg),
+        |bounds AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum >= CAST(ceil(CAST(0.01 AS DOUBLE)
+        |      * CAST(n AS DOUBLE)) AS BIGINT) THEN value END) AS p01,
+        |    min(CASE WHEN cum >= CAST(ceil(CAST(0.99 AS DOUBLE)
+        |      * CAST(n AS DOUBLE)) AS BIGINT) THEN value END) AS p99
+        |  FROM v GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  least(greatest(e.value, b.p01), b.p99) AS value_clipped
+        |FROM events e JOIN bounds b ON e.event_type = b.event_type"""
+        .stripMargin,
 
     "e_paths" ->
       """WITH seq AS (
