@@ -289,6 +289,35 @@ object CoreQueries {
         .limit(100)
     }),
 
+    // TPC-H q6 (forecast revenue change): the canonical pure-scan
+    // benchmark — every predicate pushes into the parquet scan, one
+    // partial-aggregated scalar out; revenue = extprice·disc in exact
+    // integer cents (scale 1e4)
+    "q_tpch_q6" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= lit(0.03) &&
+          col("l_discount") <= lit(0.05) &&
+          col("l_quantity") < lit(24))
+        .agg((sum((c2(col("l_extendedprice")) * c2(col("l_discount")))
+          .cast(DecimalType(28, 0))).cast(DoubleType) / lit(10000.0))
+          .as("revenue"))),
+
+    // TPC-H q13 (customer distribution): agg-of-agg — per-customer
+    // order counts via LEFT join (zero-order customers count), then
+    // the distribution of those counts
+    "q_tpch_q13" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      val perCust = c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
     // TPC-H q7 (volume shipping): the bidirectional nation-pair join —
     // both nation dims pre-filtered to the two trading partners (2-row
     // broadcasts), the asymmetric pair predicate applied post-join
@@ -602,6 +631,27 @@ object CoreQueries {
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(24,6))) > 250)
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |    * CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+        |  AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= CAST(0.03 AS DOUBLE)
+        |  AND l_discount <= CAST(0.05 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q13" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY c_count""".stripMargin,
 
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
