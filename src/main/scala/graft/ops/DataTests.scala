@@ -68,8 +68,12 @@ object DataTests {
   }
 
   /** dbt-utils `expression_is_true`: rows where the expression is not
-    * TRUE (NULL counts as a violation, matching the macro's
-    * `WHERE NOT (expr)` over coalesced logic). */
+    * TRUE. Deliberate strictness deviation from the macro: dbt-utils'
+    * `WHERE NOT (expr)` drops NULL-valued expressions (NOT NULL is
+    * NULL → filtered out); here NULL counts as a violation, because a
+    * data test that silently passes rows where the asserted expression
+    * can't even be evaluated hides exactly the rows most likely to be
+    * broken. The oracle encodes the same NULL-as-violation semantics. */
   def expressionIsTrue(df: DataFrame, predicate: Column): DataFrame =
     df.filter(!coalesce(predicate, lit(false)))
 

@@ -123,30 +123,6 @@ object Sampling {
         col("keep_bp"))
   }
 
-  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
-    * Models via Importance Resampling"): score every corpus document by
-    * its hashed-unigram log importance weight under a target-vs-raw
-    * bucket model and keep the top `topK`. `isTarget` marks the target
-    * (in-domain) subset; both distributions come from ONE token pass —
-    * per-bucket target count `ct` (tokens of target docs) and raw count
-    * `cr` (all tokens) — with add-one smoothing over `buckets` hash
-    * buckets. A document's weight is
-    * `Σ_tokens ln(p_target(b)/p_raw(b))`.
-    *
-    * Engine-exact scoring discipline (see [[graft.ops.Search]] /
-    * bigramCrossEntropy): the single `ln` per BUCKET (not per token) is
-    * the only transcendental; its argument is one exact
-    * integer-ratio — `(ct+1)(N_r+B) / (cr+1)(N_t+B)` with both products
-    * formed in BIGINT before one double division — and it is quantized
-    * to 6 dp, then per-document sums run through a DECIMAL(18,6)
-    * accumulator so aggregation order cannot perturb the result.
-    *
-    * Scale shape: the bucket model is `buckets` rows (map-side-combined
-    * from the token pass) and is BROADCAST back; the corpus side is one
-    * narrow tokenize+explode and ONE shuffle keyed by document id for
-    * the per-doc sum (partial aggregation applies). Top-k is
-    * TakeOrderedAndProject — no global sort. Nothing is ever keyed by
-    * token or bucket on the corpus side. */
   /** Data-constrained epoch planning (Muennighoff et al. 2023 shape):
     * given a total token budget and target mixture weights, compute
     * per-domain target tokens, the epoch (repeat) factor over the
@@ -187,6 +163,30 @@ object Sampling {
             lit(maxEpochs))).as("planned_tokens"))
   }
 
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every corpus document by
+    * its hashed-unigram log importance weight under a target-vs-raw
+    * bucket model and keep the top `topK`. `isTarget` marks the target
+    * (in-domain) subset; both distributions come from ONE token pass —
+    * per-bucket target count `ct` (tokens of target docs) and raw count
+    * `cr` (all tokens) — with add-one smoothing over `buckets` hash
+    * buckets. A document's weight is
+    * `Σ_tokens ln(p_target(b)/p_raw(b))`.
+    *
+    * Engine-exact scoring discipline (see [[graft.ops.Search]] /
+    * bigramCrossEntropy): the single `ln` per BUCKET (not per token) is
+    * the only transcendental; its argument is one exact
+    * integer-ratio — `(ct+1)(N_r+B) / (cr+1)(N_t+B)` with both products
+    * formed in BIGINT before one double division — and it is quantized
+    * to 6 dp, then per-document sums run through a DECIMAL(18,6)
+    * accumulator so aggregation order cannot perturb the result.
+    *
+    * Scale shape: the bucket model is `buckets` rows (map-side-combined
+    * from the token pass) and is BROADCAST back; the corpus side is one
+    * narrow tokenize+explode and ONE shuffle keyed by document id for
+    * the per-doc sum (partial aggregation applies). Top-k is
+    * TakeOrderedAndProject — no global sort. Nothing is ever keyed by
+    * token or bucket on the corpus side. */
   def dsirSelect(docs: DataFrame, isTarget: Column,
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = 1024, topK: Int = 200): DataFrame = {

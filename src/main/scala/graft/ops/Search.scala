@@ -44,6 +44,7 @@ object Search {
   def bm25(docs: DataFrame, queryTerms: Seq[String],
       idCol: String = "doc_id", textCol: String = "text",
       topK: Int = 100): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: queryTerms must be non-empty")
     val k1 = lit(1.2)
     val b = lit(0.75)
     // one tokenized projection; a single membership pass keeps only

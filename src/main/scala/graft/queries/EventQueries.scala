@@ -216,11 +216,12 @@ object EventQueries {
           byType.orderBy(col("value"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("n", sum(col("c")).over(byType))
-      def pos(p: Double) =
-        ceil(lit(p) * col("n").cast(DoubleType)).cast(LongType)
+      // percentile position in pure BIGINT: p = k/100 ⇒
+      // ceil(k·n/100) = (k·n + 99) div 100 — no cross-engine double
+      def pos(k: Int) = expr(s"(($k * n + 99) div 100)")
       val bounds = v.groupBy(col("event_type"))
-        .agg(min(when(col("cum") >= pos(0.01), col("value"))).as("p01"),
-          min(when(col("cum") >= pos(0.99), col("value"))).as("p99"))
+        .agg(min(when(col("cum") >= pos(1), col("value"))).as("p01"),
+          min(when(col("cum") >= pos(99), col("value"))).as("p99"))
       e.join(broadcast(bounds), Seq("event_type"))
         .select(col("event_id"), col("event_type"), col("value"),
           least(greatest(col("value"), col("p01")), col("p99"))
@@ -442,10 +443,10 @@ object EventQueries {
         |  FROM agg),
         |bounds AS (
         |  SELECT event_type,
-        |    min(CASE WHEN cum >= CAST(ceil(CAST(0.01 AS DOUBLE)
-        |      * CAST(n AS DOUBLE)) AS BIGINT) THEN value END) AS p01,
-        |    min(CASE WHEN cum >= CAST(ceil(CAST(0.99 AS DOUBLE)
-        |      * CAST(n AS DOUBLE)) AS BIGINT) THEN value END) AS p99
+        |    min(CASE WHEN cum >= (1 * n + 99) // 100
+        |      THEN value END) AS p01,
+        |    min(CASE WHEN cum >= (99 * n + 99) // 100
+        |      THEN value END) AS p99
         |  FROM v GROUP BY event_type)
         |SELECT e.event_id, e.event_type, e.value,
         |  least(greatest(e.value, b.p01), b.p99) AS value_clipped

@@ -182,15 +182,16 @@ object ExtraQueries {
           byFlag.orderBy(col("l_extendedprice"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("n", sum(col("c")).over(byFlag))
-      def pos(p: Double) =
-        ceil(lit(p) * col("n").cast(DoubleType)).cast(LongType)
+      // percentile position in pure BIGINT: p = k/100 ⇒
+      // ceil(k·n/100) = (k·n + 99) div 100 — no cross-engine double
+      def pos(k: Int) = expr(s"(($k * n + 99) div 100)")
       v.groupBy(col("l_returnflag"))
         .agg(max(col("n")).as("n_rows"),
-          min(when(col("cum") >= pos(0.5), col("l_extendedprice")))
+          min(when(col("cum") >= pos(50), col("l_extendedprice")))
             .as("p50"),
-          min(when(col("cum") >= pos(0.9), col("l_extendedprice")))
+          min(when(col("cum") >= pos(90), col("l_extendedprice")))
             .as("p90"),
-          min(when(col("cum") >= pos(0.99), col("l_extendedprice")))
+          min(when(col("cum") >= pos(99), col("l_extendedprice")))
             .as("p99"))
     }),
 
@@ -324,14 +325,11 @@ object ExtraQueries {
         |    sum(c) OVER (PARTITION BY l_returnflag) AS n
         |  FROM agg)
         |SELECT l_returnflag, max(n) AS n_rows,
-        |  min(CASE WHEN cum >= CAST(ceil(CAST(0.5 AS DOUBLE)
-        |    * CAST(n AS DOUBLE)) AS BIGINT)
+        |  min(CASE WHEN cum >= (50 * n + 99) // 100
         |    THEN l_extendedprice END) AS p50,
-        |  min(CASE WHEN cum >= CAST(ceil(CAST(0.9 AS DOUBLE)
-        |    * CAST(n AS DOUBLE)) AS BIGINT)
+        |  min(CASE WHEN cum >= (90 * n + 99) // 100
         |    THEN l_extendedprice END) AS p90,
-        |  min(CASE WHEN cum >= CAST(ceil(CAST(0.99 AS DOUBLE)
-        |    * CAST(n AS DOUBLE)) AS BIGINT)
+        |  min(CASE WHEN cum >= (99 * n + 99) // 100
         |    THEN l_extendedprice END) AS p99
         |FROM v GROUP BY l_returnflag""".stripMargin,
 

@@ -360,8 +360,11 @@ object Warehouse {
     * Plan shape, audited for scale: ONE null-safe full-outer join on
     * the key (both sides shuffle-partitioned on it — never broadcast:
     * both sides are full table states), update detection via a
-    * per-row md5 fingerprint of the non-key columns computed BEFORE
-    * the join (narrow, codegen'd), then a single classify-and-explode
+    * structural null-safe (`<=>`) comparison of the packed row structs
+    * (keys already match via the join condition, so full-row
+    * inequality is exactly non-key-column inequality — value-exact,
+    * with no string-fingerprint separator or NULL-sentinel collisions
+    * on adversarial values), then a single classify-and-explode
     * pass — unchanged keys (the overwhelming majority in an
     * incremental world) yield an empty array and vanish inside the
     * same stage, so no second scan and nothing downstream sees them.
@@ -373,17 +376,12 @@ object Warehouse {
     require(from.columns.sorted.sameElements(to.columns.sorted),
       s"diff: schemas differ (${from.columns.mkString(",")} vs " +
         s"${to.columns.mkString(",")})")
-    val dataCols = cols.filterNot(keyCols.contains)
-    // \u0000 sentinel distinguishes NULL from empty string; \u0001
-    // separator cannot appear in rendered values
-    def fp(df: DataFrame) = md5(concat_ws("\u0001",
-      dataCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
     val l = from.select(
-      keyCols.map(c => col(c).as(s"__lk_$c")) ++
-        Seq(struct(cols.map(col): _*).as("__lrow"), fp(from).as("__lfp")): _*)
+      keyCols.map(c => col(c).as(s"__lk_$c")) :+
+        struct(cols.map(col): _*).as("__lrow"): _*)
     val r = to.select(
-      keyCols.map(c => col(c).as(s"__rk_$c")) ++
-        Seq(struct(cols.map(col): _*).as("__rrow"), fp(to).as("__rfp")): _*)
+      keyCols.map(c => col(c).as(s"__rk_$c")) :+
+        struct(cols.map(col): _*).as("__rrow"): _*)
     val cond = keyCols.map(c => col(s"__lk_$c") <=> col(s"__rk_$c"))
       .reduce(_ && _)
     val tagged = l.join(r, cond, "full_outer").select(explode(
@@ -391,7 +389,11 @@ object Warehouse {
         array(struct(lit("insert").as("t"), col("__rrow").as("row"))))
       .when(col("__rrow").isNull,
         array(struct(lit("delete").as("t"), col("__lrow").as("row"))))
-      .when(col("__lfp") =!= col("__rfp"), array(
+      // structural null-safe row comparison: keys already match
+      // <=>-wise via the join condition, so full-row <=> inequality
+      // is exactly data-column inequality — no string fingerprint, so
+      // no separator/NULL-sentinel collisions on adversarial values
+      .when(!(col("__lrow") <=> col("__rrow")), array(
         struct(lit("update_preimage").as("t"), col("__lrow").as("row")),
         struct(lit("update_postimage").as("t"), col("__rrow").as("row"))))
       // unchanged: a same-typed 1-element marker, dropped right after

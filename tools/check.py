@@ -98,7 +98,17 @@ def main():
         for k, v in results.items():
             ok = v.startswith("OK")
             rows = int(v.split("rows=")[1]) if "rows=" in v else None
-            art[k] = {"rows_match": ok or v.startswith("HASH"),
+            if v.startswith("rows-only"):
+                # no oracle — nothing was compared; distinct from a real
+                # mismatch: oracle_present=False, matches None, no err
+                art[k] = {"oracle_present": False,
+                          "rows_match": None, "schema_match": None,
+                          "hash_match": None,
+                          "spark_rows": rows, "oracle_rows": None,
+                          "err": None}
+                continue
+            art[k] = {"oracle_present": True,
+                      "rows_match": ok or v.startswith("HASH"),
                       "schema_match": ok or not v.startswith("SCHEMA"),
                       "hash_match": ok,
                       "spark_rows": rows, "oracle_rows": rows,
