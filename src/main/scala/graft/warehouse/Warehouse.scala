@@ -214,19 +214,30 @@ class Warehouse(val spark: SparkSession, val root: String,
     * stats, which is what a production maintenance loop does at every
     * write. Returns (pruned scan, files kept, files total) so callers
     * can assert the skip rate. All-null files (null min/max) cannot
-    * match a range predicate and are dropped. */
+    * match a range predicate and are dropped.
+    *
+    * The range test runs against the ledger AS A DATAFRAME, so at
+    * manifest scale (100 TB ⇒ millions of files) the driver receives
+    * only the SURVIVING file list — the point of pruning is that this
+    * list is small — plus one count, in a single distributed aggregate
+    * over the metadata; the full per-file stats never leave the
+    * executors. */
   def readPruned(schema: String, name: String, column: String,
       lo: Double, hi: Double, ledger: Option[DataFrame] = None)
       : (DataFrame, Int, Int) = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, collect_list, count, lit, when}
     val stats = ledger.getOrElse(analyzeTable(schema, name, Seq(column)))
       .filter(col("column") === column)
       .select(col("file"), col("min_value").cast("double").as("lo"),
         col("max_value").cast("double").as("hi"))
-      .collect()
-    val total = stats.length
-    val keep = stats.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
-      r.getDouble(1) <= hi && r.getDouble(2) >= lo).map(_.getString(0))
+    val surviving = col("lo").isNotNull && col("hi").isNotNull &&
+      col("lo") <= hi && col("hi") >= lo
+    val agg = stats
+      .agg(count(lit(1)).as("total"),
+        collect_list(when(surviving, col("file"))).as("keep"))
+      .head()
+    val total = agg.getLong(0).toInt
+    val keep = agg.getSeq[String](1)
     val scan =
       if (keep.isEmpty) read(schema, name).limit(0)
       else spark.read.parquet(keep.toIndexedSeq: _*)
