@@ -43,7 +43,9 @@ object Bench {
         .select(aggregate(
           transform(graft.ops.TextOps.tokens(col("text")),
             t => graft.ops.TextOps.h32(t)),
-          lit(0L), _ + _).as("warm"))
+          lit(0L), _ + _).as("warm"),
+          // p_rag's native chunk encoder (hash_embed16 kernel)
+          graft.ops.Similarity.hashEmbedText(col("text")).as("warm2"))
         .write.format("noop").mode("overwrite").save()
     }
     // ... and the full dedup-pipeline shape on a 64-doc slice
@@ -84,8 +86,19 @@ object Bench {
     // d_dedup_embed_lsh runs alphabetically before the s_ann_* family,
     // so it would otherwise absorb the integer-dot kernel's first JIT
     locally {
-      val tiny = Tables.load(spark, sfDir, "embeddings").limit(64)
-      graft.ops.Dedup.embeddingLshDups(tiny)
+      import org.apache.spark.sql.functions._
+      // mirror d_dedup_embed_lsh's actual shape (planted-dup union →
+      // quantize → bucket explode → cap → pair join → rescore) so the
+      // timed run reuses the same generated stages, not a
+      // broadcast-degenerate 64-row variant of them; warm passes are
+      // untimed, so the bigger slice costs the metric nothing
+      val tiny = Tables.load(spark, sfDir, "embeddings").limit(512)
+      val dup = tiny.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+          col("label"))
+      graft.ops.Dedup.embeddingLshDups(
+        tiny.unionByName(dup.select(tiny.columns.map(col): _*)))
         .write.format("noop").mode("overwrite").save()
     }
     // SPARK_GRAFT_WARM_DIR (dev-only, subset runs): execute every

@@ -218,6 +218,67 @@ object TextHash {
     acc
   }
 
+  private val embedSuf0 = Array[Byte](':', '0')
+  private val embedSuf1 = Array[Byte](':', '1')
+
+  /** text → deterministic 16-dim hash embedding, one byte-scan pass —
+    * the native twin of `Similarity.hashEmbedTokens(tokens(text))`
+    * (which stays as the Column spec for the equivalence property
+    * test). Tokenization is the [[tokenHashes]] scan (same locale
+    * contract); per token the two md5 digests of `token ++ ":0"` /
+    * `":1"` are read as eight 16-bit big-endian byte pairs each —
+    * exactly the Column form's `conv(substr(hex, 4j+1, 4), 16, 10)`,
+    * since 4 hex digits of a digest ARE 2 digest bytes — and each dim
+    * accumulates `(v mod 2001) − 1000` as an exact integer; the single
+    * final /1000.0 is the only float op, so the vector is bit-identical
+    * to the interpreted formulation on any engine and partitioning. */
+  def hashEmbed16(bytes: Array[Byte]): ArrayData = {
+    val md = mdLocal.get()
+    val acc = new Array[Long](16)
+    var buf = new Array[Byte](64)
+    var bl = 0
+    def close(): Unit = {
+      md.reset(); md.update(buf, 0, bl); md.update(embedSuf0)
+      val d0 = md.digest()
+      md.reset(); md.update(buf, 0, bl); md.update(embedSuf1)
+      val d1 = md.digest()
+      var j = 0
+      while (j < 8) {
+        acc(j) += (((d0(2 * j) & 0xff) << 8) |
+          (d0(2 * j + 1) & 0xff)) % 2001 - 1000
+        acc(j + 8) += (((d1(2 * j) & 0xff) << 8) |
+          (d1(2 * j + 1) & 0xff)) % 2001 - 1000
+        j += 1
+      }
+      bl = 0
+    }
+    val n = bytes.length
+    var i = 0
+    var inTok = false
+    while (i <= n) {
+      var c = if (i < n) bytes(i) & 0xff else -1
+      var closeAfter = false
+      if (c == 0xe2 && i + 2 < n && (bytes(i + 1) & 0xff) == 0x84 &&
+          (bytes(i + 2) & 0xff) == 0xaa) { c = 'k'; i += 2 }
+      else if (c == 0xc4 && i + 1 < n && (bytes(i + 1) & 0xff) == 0xb0) {
+        c = 'i'; i += 1; closeAfter = true
+      }
+      if (c >= 'A' && c <= 'Z') c += 32
+      val isTok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (isTok) {
+        inTok = true
+        if (bl == buf.length) buf = java.util.Arrays.copyOf(buf, bl * 2)
+        buf(bl) = c.toByte; bl += 1
+        if (closeAfter) { close(); inTok = false }
+      } else if (inTok) { close(); inTok = false }
+      i += 1
+    }
+    val out = new Array[Double](16)
+    var k = 0
+    while (k < 16) { out(k) = acc(k) / 1000.0; k += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   // ------------------------------------------------------ Column forms
   def tokenHashes(c: Column): Column =
     GraftBridge.column(TokenHashes(GraftBridge.expression(c)))
@@ -231,6 +292,23 @@ object TextHash {
     GraftBridge.column(RepetitionStats(GraftBridge.expression(c)))
   def linearScoreSum(c: Column): Column =
     GraftBridge.column(LinearScoreSum(GraftBridge.expression(c)))
+  def hashEmbed16(c: Column): Column =
+    GraftBridge.column(HashEmbed16(GraftBridge.expression(c)))
+}
+
+/** text → deterministic 16-dim hash embedding
+  * (see [[TextHash.hashEmbed16]]). */
+case class HashEmbed16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "hash_embed16"
+  override def nullSafeEval(input: Any): Any =
+    TextHash.hashEmbed16(input.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.TextHash.hashEmbed16($input.getBytes());")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** token-hash array → exact integer linear-model score sum

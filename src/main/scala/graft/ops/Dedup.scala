@@ -312,7 +312,14 @@ object Dedup {
         .as("tb"))
       .select(col(idCol), col("scale"), col("nrm"), col("l1"), col("nd"),
         col("q"), col("tb.t").as("t"), col("tb.b").as("b"))
+    // the capped bucket relation is tiny (≤ tables·buckets·cap rows of
+    // int8 payload) but its lineage — scan, quantize, 8-table bucket
+    // explode, cap window + exchange — is the query's whole prefix;
+    // both sides of the pair self-join reference it, so checkpoint
+    // once (the [[dupClusters]] recipe) instead of running the prefix
+    // twice. On a real cluster swap for reliable `checkpoint`.
     val capped = capBuckets(b, Seq("t", "b"), idCol, maxBucket)
+      .localCheckpoint(false)
     val left = capped.select(col("t"), col("b"), col(idCol).as("id_a"),
       col("scale").as("sa"), col("nrm").as("na"), col("l1").as("la"),
       col("nd").as("da"), col("q").as("qa"))

@@ -288,6 +288,15 @@ object Similarity {
     transform(sums, s => s.cast(DoubleType) / 1000.0)
   }
 
+  /** [[hashEmbedTokens]]`(TextOps.tokens(text))` as ONE native
+    * codegen'd kernel call ([[graft.functions.TextHash.hashEmbed16]]) —
+    * bit-identical output (KernelPropertySpec), but tokenize + 2
+    * digests/token + integer dim accumulation run as a single compiled
+    * byte-scan instead of the interpreted HOF chain (no per-token
+    * lambda dispatch, no per-dim substr/conv expression evals). */
+  def hashEmbedText(text: Column): Column =
+    graft.functions.TextHash.hashEmbed16(text)
+
   /** Exact top-k neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

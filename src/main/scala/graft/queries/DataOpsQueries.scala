@@ -533,15 +533,14 @@ object DataOpsQueries {
       val chunks = TextAnalysis.chunkTable(
         Tables.load(s, dir, "documents"), chunkTokens = 64, stride = 48)
         .select((col("doc_id") * 1000 + col("chunk_idx")).as("vec_id"),
-          Similarity.hashEmbedTokens(
-            graft.ops.TextOps.tokens(col("chunk_text"))).as("embedding"))
+          Similarity.hashEmbedText(col("chunk_text")).as("embedding"))
       val queries = Seq(
         (9000000001L, "window merge sort"),
         (9000000002L, "hash scan table"),
         (9000000003L, "spark batch value"))
         .toDF("vec_id", "qtext")
-        .select(col("vec_id"), Similarity.hashEmbedTokens(
-          graft.ops.TextOps.tokens(col("qtext"))).as("embedding"))
+        .select(col("vec_id"),
+          Similarity.hashEmbedText(col("qtext")).as("embedding"))
       Similarity.bruteForceTopK(queries, chunks, k = 5)
         .select(col("query_id"), col("rnk"), col("cand_id"),
           expr("cand_id div 1000").as("doc_id"),

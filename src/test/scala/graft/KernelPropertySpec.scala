@@ -97,6 +97,16 @@ class KernelPropertySpec extends AnyFunSuite {
       .select("text").limit(5).collect().map(_.getString(0))
     assert(stBad.isEmpty,
       s"tokenLexStats divergence on: ${stBad.map(s => s"<$s>").mkString(", ")}")
+    // hash embedding: native one-pass kernel vs the interpreted
+    // tokenize → 2-md5 → per-dim conv Column spec (p_rag's encoder) —
+    // integers all the way to one final /1000.0, so exact == applies
+    val embBad = df.select(col("text"),
+      graft.ops.Similarity.hashEmbedText(col("text")).as("ne"),
+      graft.ops.Similarity.hashEmbedTokens(toks).as("se"))
+      .filter(col("ne") =!= col("se"))
+      .select("text").limit(5).collect().map(_.getString(0))
+    assert(embBad.isEmpty,
+      s"hashEmbed16 divergence on: ${embBad.map(s => s"<$s>").mkString(", ")}")
   }
 
   test("bloom: zero false negatives, theoretical-order FPR on generated sets") {

@@ -127,6 +127,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences(physicalPlan("t_quality"), "token_lex_stats(") == 1)
     val fp = physicalPlan("t_fingerprint")
     assert(occurrences(fp, "min_shingle_h32(") == 1)
+    // p_rag's chunk encoder: ONE native hash_embed16 call on the
+    // corpus side (the 3-row query side constant-folds into its
+    // LocalTableScan) and no interpreted tokenize → md5 HOF chain left
+    val rag = physicalPlan("p_rag")
+    assert(occurrences(rag, "hash_embed16(") == 1, rag)
+    assert(occurrences(rag, "aggregate(") == 0,
+      "p_rag must not re-tokenize/embed via the interpreted HOF chain")
     // fingerprint and simhash are pure narrow passes: scan → project,
     // zero exchanges (the round-2 repartition barriers are gone)
     assert(!fp.contains("Exchange"), "t_fingerprint must be a narrow pass")
