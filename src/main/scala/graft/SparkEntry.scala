@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{CoreQueries, DataOpsQueries, EventQueries,
   ExtraQueries, FunctionQueries, MaterializeQueries, PipelineQueries,
-  TestQueries}
+  SqlCorpus, TestQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
     (EventQueries.defs, EventQueries.oracle),
     (ExtraQueries.defs, ExtraQueries.oracle),
     (PipelineQueries.defs, PipelineQueries.oracle),
-    (TestQueries.defs, TestQueries.oracle)
+    (TestQueries.defs, TestQueries.oracle),
+    (SqlCorpus.defs, SqlCorpus.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
