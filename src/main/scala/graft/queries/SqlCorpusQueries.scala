@@ -22,6 +22,14 @@ import graft.transpile.SnowflakeSql
   * Result discipline: every `result` is a STRING derived from integer,
   * date, or string computation only (counts, integer sums, min/max of
   * strings, boundary-exact date math) — no cross-engine doubles.
+  *
+  * Plan note: c24/c25 mirror the reference's QUALIFY forms verbatim,
+  * and c24's window has no PARTITION BY — an unpartitioned QUALIFY is
+  * inherently a single-partition window in ANY engine (same in
+  * Snowflake); it exists here to lock transpiler semantics, not as a
+  * scale operator. The scale-correct global top-1 is `q_topk`
+  * (orderable aggregate); the shipped QUALIFY production queries
+  * (`q_sql_qualify*`) all partition.
   */
 object SqlCorpus {
 
