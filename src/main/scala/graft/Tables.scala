@@ -18,19 +18,27 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // driver-generated events.ts is parquet TIMESTAMP(NANOS) — Spark
-      // has no nanosecond timestamp type, so read the raw int64 and
-      // truncate to micros (the generator writes micro-resolution
-      // values, so truncation is lossless and matches DuckDB's value).
-      // Rewritten tables (e.g. the GenScale sf1 scale-up) store micros
-      // directly and pass through.
+      // The driver's events.ts encoding has varied across rounds:
+      // TIMESTAMP(NANOS) (rounds 1-5) — Spark has no nanosecond
+      // timestamp type, so read the raw int64 and truncate to micros
+      // (the generator writes micro-resolution values, so truncation is
+      // lossless and matches DuckDB's value) — and TIMESTAMP(MICROS,
+      // isAdjustedToUTC=false) (round 6+), which Spark reads as
+      // TIMESTAMP_NTZ. Normalize both to the session timestamp type
+      // (LTZ instants; every graft session pins timeZone=UTC, so the
+      // NTZ wall clock and the UTC instant coincide — bit-identical to
+      // the rounds-1-5 values). Rewritten tables (e.g. the GenScale sf1
+      // scale-up) store UTC-adjusted micros directly and pass through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      val withTs =
-        if (raw.schema("ts").dataType ==
-            org.apache.spark.sql.types.LongType)
+      val withTs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
       withTs.select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
     } else spark.read.parquet(s"$dir/$name.parquet")
