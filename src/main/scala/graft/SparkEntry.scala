@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{CoreQueries, DataOpsQueries, EventQueries,
   ExtraQueries, FunctionQueries, MaterializeQueries, PipelineQueries,
-  SqlCorpus, TestQueries}
+  SqlCorpus, TestQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
     (ExtraQueries.defs, ExtraQueries.oracle),
     (PipelineQueries.defs, PipelineQueries.oracle),
     (TestQueries.defs, TestQueries.oracle),
-    (SqlCorpus.defs, SqlCorpus.oracle)
+    (SqlCorpus.defs, SqlCorpus.oracle),
+    (TpchQueries.defs, TpchQueries.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
