@@ -28,6 +28,40 @@ object DataOpsQueries {
       |  i -> array_to_string(list_slice(t, i, i + 2), ' ')))
       |ELSE [] END""".stripMargin
 
+  /** DuckDB replica of graft.ops.Bpe.trainMerges, `rounds` merge rounds
+    * unrolled (the s_mmr unrolled-greedy recipe): wR = the ||-encoded
+    * word dictionary after R merges, pR/mR = round R's pair counts and
+    * winning pair. Same encoding, same literal-replace merge, same
+    * (count DESC, lhs, rhs) tie-break — bit-identical by construction. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val head =
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest($toksSql) AS w FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY w),
+         |w0 AS (SELECT '||' || regexp_replace(w, '(.)', '\\1||', 'g')
+         |  AS enc, freq FROM words)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val apply =
+        if (r == rounds) ""
+        else s""",
+w$r AS (SELECT replace(enc, '|'||lhs||'||'||rhs||'|',
+  '|'||lhs||rhs||'|') AS enc, freq FROM w${r - 1}, m$r)"""
+      s""",
+p$r AS (SELECT l AS lhs, r AS rhs, SUM(freq) AS pair_count FROM (
+  SELECT freq, arr[i] AS l, arr[i+1] AS r FROM (
+    SELECT freq, list_filter(string_split_regex(enc, '\\|+'),
+      x -> x <> '') AS arr FROM w${r - 1}),
+    unnest(generate_series(1, len(arr) - 1)) g(i)) GROUP BY 1, 2),
+m$r AS (SELECT lhs, rhs, pair_count FROM p$r
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1)$apply"""
+    }.mkString
+    val out = (1 to rounds).map(r =>
+      s"SELECT $r AS merge_rank, lhs, rhs, pair_count FROM m$r")
+      .mkString("\n", "\nUNION ALL ", "")
+    head + steps + out
+  }
+
   /** DuckDB replica of the MinHash-LSH pair pipeline (shared by the
     * d_dedup_minhash and d_dedup_cluster oracles): token hashes →
     * arithmetic 3-gram shingle hashes → 16 universal-hash minima →
@@ -468,6 +502,17 @@ object DataOpsQueries {
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
         .orderBy(col("tf").desc, col("token"))
         .limit(100)),
+
+    // BPE tokenizer training: learn the first 6 merges from the corpus
+    // word-frequency dictionary (graft.ops.Bpe) — the merge-table loop
+    // every LLM pipeline runs before tokenizing. One corpus-sized pass
+    // builds the dictionary; each round is a pair-count aggregate plus
+    // a broadcast 1-row top-pair join, all-integer, fully deterministic
+    // (count DESC, lhs, rhs tie-break), checked end-to-end against a
+    // 6-round unrolled DuckDB replica of the same training loop.
+    "t_bpe_train" -> ((s, dir) =>
+      graft.ops.Bpe.trainMerges(Tables.load(s, dir, "documents"),
+        "text", rounds = 6)),
 
     // End-to-end curation pipeline — the operators composed the way a
     // training-data run chains them: quality gate → exact-dedup
@@ -1089,6 +1134,8 @@ object DataOpsQueries {
          |  to_json(list_transform(t,
          |    x -> coalesce(list_position(vt, x), 0))) AS ids_json
          |FROM toks, vl WHERE len(t) > 0""".stripMargin,
+
+    "t_bpe_train" -> bpeOracleSql(6),
 
     "p_curation_pipeline" ->
       s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),

@@ -849,4 +849,36 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(1)).forall(_ > 0))
     assert(out(0).getDouble(1) > out(1).getDouble(1))
   }
+
+  test("BPE training learns the hand-computable merges in order") {
+    import spark.implicits._
+    // word freqs: lower x3, low x2, newest x1 ->
+    //   round 1 pairs: (l,o) 5+, (o,w) 5, (w,e) 4 (3 lower + 1 newest),
+    //   (e,r) 3, (e,s) 1, (s,t) 1, (n,e) 1
+    //   (l,o)=5 and (o,w)=5 tie -> lex tie-break picks (l,o)
+    //   round 2: (lo,w)=5 wins; round 3: (low,e)=4 (3 lower + ... no:
+    //   newest has no 'low') -> recount: lower="low e r", newest=
+    //   "n e w e s t" -> (low,e)=3, (e,r)=3, (n,e)=1, (e,w)=1, ...
+    //   tie (e,r) vs (low,e): count 3 each -> lex picks (e,r)
+    val docs = Seq(
+      (1L, "lower lower lower"), (2L, "low low"), (3L, "newest")
+    ).toDF("doc_id", "text")
+    val m = graft.ops.Bpe.trainMerges(docs, "text", rounds = 3)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) == ("l", "o", 5L), s"round1=${m(0)}")
+    assert(m(1) == ("lo", "w", 5L), s"round2=${m(1)}")
+    assert(m(2) == ("e", "r", 3L), s"round3=${m(2)}")
+    // inference twin replays the same merges
+    val enc = graft.ops.Bpe.encodeWord("lowers",
+      m.map(t => (t._1, t._2)).toSeq)
+    assert(enc == Seq("low", "er", "s"), s"enc=$enc")
+    // back-to-back occurrences both merge (the double-bar encoding's
+    // guarantee): (a,a) twice in "aaaa" -> [aa, aa]
+    assert(graft.ops.Bpe.encodeWord("aaaa", Seq(("a", "a"))) ==
+      Seq("aa", "aa"))
+    // and the odd tail stays single: "aaa" -> [aa, a]
+    assert(graft.ops.Bpe.encodeWord("aaa", Seq(("a", "a"))) ==
+      Seq("aa", "a"))
+  }
 }
