@@ -93,6 +93,35 @@ object Bpe {
         col("pair_count"))
   }
 
+  /** Apply a learned `rounds`-row merge table to the corpus vocabulary —
+    * the distributed inference twin of [[trainMerges]]: the merge table
+    * collapses to ONE broadcast row (a rank-sorted struct array), and
+    * each merge is a literal replace under the same double-bar encoding,
+    * unrolled statically (`rounds` is the static merge count, so the
+    * whole segmentation is one codegen'd projection — no loop state, no
+    * UDF). Returns (word, subwords_json, n_subwords) per distinct
+    * corpus word of length >= 2. */
+  def segmentVocab(docs: DataFrame, textCol: String, merges: DataFrame,
+      rounds: Int): DataFrame = {
+    val ms = merges
+      .agg(sort_array(collect_list(struct(col("merge_rank"),
+        col("lhs"), col("rhs")))).as("__ms"))
+    val enc0 = concat(lit("||"),
+      regexp_replace(col("w"), "(.)", "$1||"))
+    val encN = (1 to rounds).foldLeft(enc0) { (e, i) =>
+      val m = element_at(col("__ms"), i)
+      replace(e,
+        concat(lit("|"), m("lhs"), lit("||"), m("rhs"), lit("|")),
+        concat(lit("|"), m("lhs"), m("rhs"), lit("|")))
+    }
+    val sub = filter(split(encN, "\\|+"), x => x =!= "")
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2).distinct()
+      .crossJoin(broadcast(ms))
+      .select(col("w").as("word"), to_json(sub).as("subwords_json"),
+        size(sub).as("n_subwords"))
+  }
+
   /** Apply a learned merge table to a token: the inference twin of
     * [[trainMerges]] (merges applied in rank order). Exposed for the
     * spec's round-trip property; tokenization of a corpus would ride

@@ -33,19 +33,20 @@ object DataOpsQueries {
     * word dictionary after R merges, pR/mR = round R's pair counts and
     * winning pair. Same encoding, same literal-replace merge, same
     * (count DESC, lhs, rhs) tie-break — bit-identical by construction. */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeOracleSql(rounds: Int,
+      segment: Boolean = false): String = {
     val head =
       s"""WITH words AS (
          |  SELECT w, count(*) AS freq FROM (
          |    SELECT unnest($toksSql) AS w FROM documents)
          |  WHERE length(w) >= 2 GROUP BY w),
-         |w0 AS (SELECT '||' || regexp_replace(w, '(.)', '\\1||', 'g')
+         |w0 AS (SELECT w, '||' || regexp_replace(w, '(.)', '\\1||', 'g')
          |  AS enc, freq FROM words)""".stripMargin
     val steps = (1 to rounds).map { r =>
       val apply =
-        if (r == rounds) ""
+        if (r == rounds && !segment) ""
         else s""",
-w$r AS (SELECT replace(enc, '|'||lhs||'||'||rhs||'|',
+w$r AS (SELECT w, replace(enc, '|'||lhs||'||'||rhs||'|',
   '|'||lhs||rhs||'|') AS enc, freq FROM w${r - 1}, m$r)"""
       s""",
 p$r AS (SELECT l AS lhs, r AS rhs, SUM(freq) AS pair_count FROM (
@@ -56,9 +57,16 @@ p$r AS (SELECT l AS lhs, r AS rhs, SUM(freq) AS pair_count FROM (
 m$r AS (SELECT lhs, rhs, pair_count FROM p$r
   ORDER BY pair_count DESC, lhs, rhs LIMIT 1)$apply"""
     }.mkString
-    val out = (1 to rounds).map(r =>
-      s"SELECT $r AS merge_rank, lhs, rhs, pair_count FROM m$r")
-      .mkString("\n", "\nUNION ALL ", "")
+    val out =
+      if (segment)
+        s"""
+SELECT w AS word, to_json(sub) AS subwords_json,
+  CAST(len(sub) AS INT) AS n_subwords
+FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
+  x -> x <> '') AS sub FROM w$rounds)"""
+      else (1 to rounds).map(r =>
+        s"SELECT $r AS merge_rank, lhs, rhs, pair_count FROM m$r")
+        .mkString("\n", "\nUNION ALL ", "")
     head + steps + out
   }
 
@@ -513,6 +521,17 @@ m$r AS (SELECT lhs, rhs, pair_count FROM p$r
     "t_bpe_train" -> ((s, dir) =>
       graft.ops.Bpe.trainMerges(Tables.load(s, dir, "documents"),
         "text", rounds = 6)),
+
+    // BPE apply: segment the corpus vocabulary with the 6 learned
+    // merges — the merge table collapses to one broadcast row and the
+    // 6 replaces unroll into a single codegen'd projection over the
+    // distinct-word relation (train -> apply, end-to-end oracle-checked
+    // including the training rounds feeding it).
+    "t_bpe_apply" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      graft.ops.Bpe.segmentVocab(d, "text",
+        graft.ops.Bpe.trainMerges(d, "text", rounds = 6), rounds = 6)
+    }),
 
     // End-to-end curation pipeline — the operators composed the way a
     // training-data run chains them: quality gate → exact-dedup
@@ -1136,6 +1155,8 @@ m$r AS (SELECT lhs, rhs, pair_count FROM p$r
          |FROM toks, vl WHERE len(t) > 0""".stripMargin,
 
     "t_bpe_train" -> bpeOracleSql(6),
+
+    "t_bpe_apply" -> bpeOracleSql(6, segment = true),
 
     "p_curation_pipeline" ->
       s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),
