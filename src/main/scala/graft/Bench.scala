@@ -101,6 +101,23 @@ object Bench {
         tiny.unionByName(dup.select(tiny.columns.map(col): _*)))
         .write.format("noop").mode("overwrite").save()
     }
+    // ... and the 27-case transpiler-corpus union (q_sql_corpus): the
+    // one-query-in-27 gate compiles 27 distinct whole-stage-codegen
+    // branches; run them once over limit-64 views of the same tables
+    // (same expression shapes, untimed) so the timed run measures the
+    // scan+agg work, not first-execution JIT of 27 small stages. The
+    // corpus query re-registers the full views itself at execution.
+    locally {
+      Tables.names.foreach(nm => Tables.load(spark, sfDir, nm)
+        .limit(64).createOrReplaceTempView(nm))
+      graft.queries.SqlCorpus.cases.foreach { c =>
+        try graft.transpile.SnowflakeSql.run(spark, c.sf)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] corpus warm ${c.id}: ${e.getMessage}")
+        }
+      }
+    }
     // SPARK_GRAFT_WARM_DIR (dev-only, subset runs): execute every
     // selected query once, untimed, against a tiny scale dir first. In
     // full-inventory runs the alphabetically-early d_* queries absorb

@@ -434,6 +434,21 @@ object CoreQueries {
             .as("running_spend"))
     }),
 
+    // §2.5 RANGE frame — trailing 30-day spend per customer: the frame
+    // is VALUE-bounded (epoch-second order key, 2,592,000-second
+    // preceding bound), so ties in o_orderdate aggregate together
+    // regardless of row order — the semantics ROWS frames cannot
+    // express. Exact integer seconds and DECIMAL cents on both engines.
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast(LongType))
+        .rangeBetween(-30L * 86400L, 0L)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(dec(col("o_totalprice"), 24, 2)).over(w).cast(DoubleType)
+            .as("spend_30d"))
+    }),
+
     // ------------------------------------------------------------------
     // §2.6 top-k (savings.py:276-291) — deterministic via key tie-break
     "q_topk" -> ((s, dir) => {
@@ -729,6 +744,14 @@ object CoreQueries {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_spend
+        |FROM orders""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS spend_30d
         |FROM orders""".stripMargin,
 
     "q_topk" ->

@@ -23,6 +23,14 @@ import graft.transpile.SnowflakeSql
   * date, or string computation only (counts, integer sums, min/max of
   * strings, boundary-exact date math) — no cross-engine doubles.
   *
+  * Cost note: the union's runtime is dominated by 27 sequential
+  * driver-side parse/transpile/analyze passes plus a ~0.1 s floor per
+  * tiny aggregate branch (profiled per-case: the only data-bound cases
+  * are the two events-JSON probes and the partitioned QUALIFY, ~0.5 s
+  * each at sf0.1) — i.e. the gate's cost is close to FLAT in corpus
+  * size, which is the property that matters at scale; it reads whole
+  * tables only through pushdown-pruned scalar aggregates.
+  *
   * Plan note: c24/c25 mirror the reference's QUALIFY forms verbatim,
   * and c24's window has no PARTITION BY — an unpartitioned QUALIFY is
   * inherently a single-partition window in ANY engine (same in
