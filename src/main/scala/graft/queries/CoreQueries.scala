@@ -440,8 +440,10 @@ object CoreQueries {
     // regardless of row order — the semantics ROWS frames cannot
     // express. Exact integer seconds and DECIMAL cents on both engines.
     "q_window_range" -> ((s, dir) => {
+      // NTZ has no direct integer cast; via TIMESTAMP under the pinned
+      // UTC session the epoch seconds equal DuckDB's epoch()
       val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate").cast(LongType))
+        .orderBy(col("o_orderdate").cast(TimestampType).cast(LongType))
         .rangeBetween(-30L * 86400L, 0L)
       Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),

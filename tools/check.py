@@ -114,6 +114,11 @@ def main():
                       "spark_rows": rows, "oracle_rows": rows,
                       "err": None if ok else v[:200]}
         Path(sys.argv[3]).write_text(json.dumps(art, indent=2, sort_keys=True))
+    # a query that threw inside graft.Verify writes no result dir and
+    # would silently shrink the denominator — surface it as a FAIL
+    for name in oracle:
+        if name not in results:
+            results[name] = "NO-RESULT (query failed or absent in Verify)"
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     n_ro = sum(1 for v in results.values() if v.startswith("rows-only"))
     for k in sorted(results):
