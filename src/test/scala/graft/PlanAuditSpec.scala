@@ -64,7 +64,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "s_mmr",
       // p_triangles: the p_pagerank scalar-broadcast edge-generation
       // shape (1-row node count crossed into the id stream)
-      "p_triangles")
+      "p_triangles",
+      // q_tpch_q11 / q_tpch_q22: TPC-H scalar subqueries expressed as
+      // broadcast 1-row aggregates (global revenue fraction / segment
+      // average balance) crossed into bounded per-part / per-customer
+      // streams — the same collect-free scalar-broadcast pattern
+      "q_tpch_q11", "q_tpch_q22",
+      // t_bpe_apply: the rank-sorted merge table collapses to ONE
+      // broadcast row crossed into the distinct-word vocabulary
+      "t_bpe_apply")
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
