@@ -29,6 +29,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // leave an explicit marker so the gate counts this as a FAIL
+        // instead of silently shrinking its denominator (an analysis
+        // throw would otherwise write no result dir at all)
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_VERIFY_FAILED"),
+          String.valueOf(e.getMessage))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -125,7 +125,10 @@ object TpchQueries {
     // TPC-H q11 (important stock). Adapted: part value = revenue shipped
     // by NATION_1 suppliers (no partsupp); the HAVING > fraction-of-
     // global predicate is the q11 scalar-subquery shape as a broadcast
-    // 1-row join, compared in exact scaled integers (·1000 both sides).
+    // 1-row join. TPC-H divides its fraction by SF so the predicate
+    // stays selective as part count grows; the scale-invariant
+    // equivalent is "over 2x the average part value" — v·nparts >
+    // 2·total, compared in exact scaled integers on both sides.
     "q_tpch_q11" -> ((s, dir) => {
       val n1 = Tables.load(s, dir, "nation")
         .filter(col("n_name") === "NATION_1")
@@ -135,9 +138,10 @@ object TpchQueries {
         .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
         .agg(sum(dec(revScaled)).as("__v"))
-      val tot = per.agg(sum(col("__v")).as("__t"))
+      val tot = per.agg(sum(col("__v")).as("__t"),
+        count(lit(1)).as("__n"))
       per.crossJoin(broadcast(tot))
-        .filter(col("__v") * 1000 > col("__t"))
+        .filter(col("__v") * col("__n") > col("__t") * 2)
         .select(col("l_partkey"),
           (col("__v").cast(DoubleType) / lit(10000.0)).as("part_value"))
     }),
@@ -388,10 +392,11 @@ object TpchQueries {
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  WHERE n_name = 'NATION_1'),
-        |per AS (SELECT l_partkey, SUM(v) AS sv FROM j GROUP BY 1)
+        |per AS (SELECT l_partkey, SUM(v) AS sv FROM j GROUP BY 1),
+        |tot AS (SELECT SUM(sv) AS t, count(*) AS n FROM per)
         |SELECT l_partkey, CAST(sv AS DOUBLE) / 10000.0 AS part_value
-        |FROM per
-        |WHERE sv * 1000 > (SELECT SUM(sv) FROM per)""".stripMargin,
+        |FROM per, tot
+        |WHERE sv * n > t * 2""".stripMargin,
 
     "q_tpch_q12" ->
       """SELECT l_linestatus AS ship_class,

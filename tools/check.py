@@ -61,6 +61,10 @@ def main():
     results = {}
     names = sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir())
     for name in names:
+        marker = Path(out_dir, name, "_VERIFY_FAILED")
+        if marker.exists():
+            results[name] = f"VERIFY-FAIL {marker.read_text()[:200]}"
+            continue
         try:
             tbl = pads.dataset(str(Path(out_dir, name))).to_table()
             scols = [c.lower() for c in tbl.column_names]
@@ -114,11 +118,6 @@ def main():
                       "spark_rows": rows, "oracle_rows": rows,
                       "err": None if ok else v[:200]}
         Path(sys.argv[3]).write_text(json.dumps(art, indent=2, sort_keys=True))
-    # a query that threw inside graft.Verify writes no result dir and
-    # would silently shrink the denominator — surface it as a FAIL
-    for name in oracle:
-        if name not in results:
-            results[name] = "NO-RESULT (query failed or absent in Verify)"
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     n_ro = sum(1 for v in results.values() if v.startswith("rows-only"))
     for k in sorted(results):
