@@ -423,6 +423,19 @@ object CoreQueries {
           first_value(col("o_orderkey")).over(w).as("first_order"))
     }),
 
+    // §2.5 distribution functions — percent_rank/cume_dist over the
+    // per-segment balance order: integer rank arithmetic divided once
+    // per row ((rank-1)/(n-1), peers/n), IEEE-exact identically on both
+    // engines since every operand is an integer
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+    }),
+
     // §2.5 running aggregate with explicit frame
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -747,6 +760,14 @@ object CoreQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_spend
         |FROM orders""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  percent_rank() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey) AS cume
+        |FROM customer""".stripMargin,
 
     "q_window_range" ->
       """SELECT o_orderkey, o_custkey,
