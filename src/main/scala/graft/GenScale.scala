@@ -43,7 +43,16 @@ import org.apache.spark.sql.types._
   * defaults: /root/testdata/sf0.1 → testdata/sf1 (repo-local), 10×.
   */
 object GenScale {
-  private val OFF = 10000000L
+  /** Base key offset between replicas. The EFFECTIVE offset is the
+    * smallest power of 10 that is >= this AND strictly greater than
+    * every key already present in the source — chaining runs
+    * (sf0.1→sf1→sf10) would otherwise collide: sf1 keys already occupy
+    * r·10⁷+k, so shifting them by r₂·10⁷ again maps (r₁+r₂) pairs onto
+    * the same key and every downstream join explodes with up-to-
+    * multiplicity² fanout (caught in round 6: 15 M sf10 orders held
+    * only 2.85 M distinct o_orderkey). A power of 10 keeps the offset
+    * divisible by 10, preserving the modulo-10 query predicates. */
+  private val BASE_OFF = 10000000L
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -58,6 +67,23 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // effective offset: next power of 10 above every source key (see
+    // BASE_OFF scaladoc) — one driver-side max over the key columns
+    val keyCols: Seq[(String, String)] = Seq(
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "orders" -> "o_custkey", "lineitem" -> "l_orderkey",
+      "events" -> "event_id", "events" -> "user_id",
+      "documents" -> "doc_id", "embeddings" -> "vec_id",
+      "embeddings" -> "label")
+    val maxKey = keyCols.map { case (t, c) =>
+      Tables.load(spark, src, t)
+        .agg(max(col(c).cast(LongType))).head().getLong(0)
+    }.max
+    var OFF = BASE_OFF
+    while (OFF <= maxKey) OFF *= 10L
+    println(s"[genscale] maxKey=$maxKey -> replica offset $OFF")
 
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
