@@ -112,9 +112,18 @@ object GenScale {
 
     replicate("documents") { (d, r) =>
       val shifted = shiftKeys(d, r, "doc_id")
+      // the token suffix must stay collision-free under CHAINED runs,
+      // like the key offset: a bare replica digit collides — run2's
+      // replica 0 carries run1-replica-k text (t→"t$k") while run2's
+      // replica k transforms run1-replica-0 text to the same "t$k",
+      // planting byte-identical cross-replica corpora. Scaling the
+      // suffix by OFF/BASE_OFF (run 1 appends r, run 2 appends r·10,
+      // ...) keeps every run's suffix space disjoint, exactly as the
+      // key offsets are.
+      val suffix = r.toLong * (OFF / BASE_OFF)
       if (r == 0) shifted
       else shifted.withColumn("text",
-        regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1" + r.toString))
+        regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1" + suffix))
     }
 
     replicate("embeddings") { (d, r) =>

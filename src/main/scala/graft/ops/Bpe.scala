@@ -110,9 +110,12 @@ object Bpe {
       regexp_replace(col("w"), "(.)", "$1||"))
     val encN = (1 to rounds).foldLeft(enc0) { (e, i) =>
       val m = element_at(col("__ms"), i)
-      replace(e,
+      // a degenerate corpus can learn fewer than `rounds` merges;
+      // element_at past the array end is NULL and a NULL pattern would
+      // null the whole encoding — skip absent merges instead
+      when(m.isNull, e).otherwise(replace(e,
         concat(lit("|"), m("lhs"), lit("||"), m("rhs"), lit("|")),
-        concat(lit("|"), m("lhs"), m("rhs"), lit("|")))
+        concat(lit("|"), m("lhs"), m("rhs"), lit("|"))))
     }
     val sub = filter(split(encN, "\\|+"), x => x =!= "")
     docs.select(explode(tokens(col(textCol))).as("w"))

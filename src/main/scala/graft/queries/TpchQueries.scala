@@ -406,8 +406,8 @@ object TpchQueries {
       """SELECT l_linestatus AS ship_class,
         |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
         |      THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-        |      THEN 0 ELSE 1 END) AS low_line_count
+        |  SUM(CASE WHEN NOT (o_orderpriority IN ('1-URGENT','2-HIGH'))
+        |      THEN 1 ELSE 0 END) AS low_line_count
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -387,6 +387,24 @@ object Warehouse {
     require(from.columns.sorted.sameElements(to.columns.sorted),
       s"diff: schemas differ (${from.columns.mkString(",")} vs " +
         s"${to.columns.mkString(",")})")
+    // the structural <=> row compare requires comparable column types;
+    // MapType is unorderable in Spark and would fail analysis deep in
+    // the join — surface it here with the offending columns named
+    locally {
+      def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+        dt match {
+          case _: org.apache.spark.sql.types.MapType => true
+          case s: org.apache.spark.sql.types.StructType =>
+            s.fields.exists(f => hasMap(f.dataType))
+          case a: org.apache.spark.sql.types.ArrayType =>
+            hasMap(a.elementType)
+          case _ => false
+        }
+      val bad = to.schema.fields.filter(f => hasMap(f.dataType))
+      require(bad.isEmpty,
+        "diff: map-typed columns are not comparable with <=> — drop or " +
+          s"re-encode them first: ${bad.map(_.name).mkString(", ")}")
+    }
     val l = from.select(
       keyCols.map(c => col(c).as(s"__lk_$c")) :+
         struct(cols.map(col): _*).as("__lrow"): _*)

@@ -101,7 +101,10 @@ def main():
         art = {}
         for k, v in results.items():
             ok = v.startswith("OK")
-            rows = int(v.split("rows=")[1]) if "rows=" in v else None
+            try:  # free-text failure messages may embed "rows="
+                rows = int(v.split("rows=")[1]) if "rows=" in v else None
+            except ValueError:
+                rows = None
             if v.startswith("rows-only"):
                 # no oracle — nothing was compared; distinct from a real
                 # mismatch: oracle_present=False, matches None, no err
