@@ -321,4 +321,48 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(rows == Map(1L -> Some("gold"), 2L -> None))
   }
+
+  test("interval-join replay over driver events equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real driver events (sf0.001), replayed through the streaming
+    // interval join in three chunks; the batch twin is the literal
+    // one-sided range predicate on the same rows. Same-key pairs
+    // within [ts_a, ts_a + 60s), self-pairs excluded by id.
+    val evs = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .orderBy(col("event_id")).limit(900)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val batch = {
+      val a = evs.toSeq.toDF("id_a", "ts_a", "user_id")
+      val b = evs.toSeq.toDF("id_b", "ts_b", "user_b")
+      a.join(b, col("user_id") === col("user_b") &&
+          col("ts_b") >= col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 60 SECONDS") &&
+          col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val l = MemoryStream[(Long, Timestamp, Long)]
+    val r = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamOps.intervalJoin(
+      l.toDF().toDF("id", "ts", "user_id"),
+      r.toDF().toDF("id", "ts", "user_id"),
+      key = "user_id", withinSeconds = 60)
+      .filter(col("l_id") =!= col("r_id"))
+      .select(col("l_id"), col("r_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_replay").start()
+    evs.grouped(300).foreach { chunk =>
+      l.addData(chunk); r.addData(chunk); q.processAllAvailable()
+    }
+    val streamed = spark.table("ij_replay").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    q.stop()
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"missing=${(batch -- streamed).take(5)} " +
+        s"extra=${(streamed -- batch).take(5)}")
+    assert(batch.nonEmpty) // the comparison actually exercised pairs
+  }
 }
