@@ -216,9 +216,7 @@ object EventQueries {
           byType.orderBy(col("value"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("n", sum(col("c")).over(byType))
-      // percentile position in pure BIGINT: p = k/100 ⇒
-      // ceil(k·n/100) = (k·n + 99) div 100 — no cross-engine double
-      def pos(k: Int) = expr(s"(($k * n + 99) div 100)")
+      def pos(k: Int) = Exact.pctPos(k)
       val bounds = v.groupBy(col("event_type"))
         .agg(min(when(col("cum") >= pos(1), col("value"))).as("p01"),
           min(when(col("cum") >= pos(99), col("value"))).as("p99"))

@@ -182,9 +182,7 @@ object ExtraQueries {
           byFlag.orderBy(col("l_extendedprice"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("n", sum(col("c")).over(byFlag))
-      // percentile position in pure BIGINT: p = k/100 ⇒
-      // ceil(k·n/100) = (k·n + 99) div 100 — no cross-engine double
-      def pos(k: Int) = expr(s"(($k * n + 99) div 100)")
+      def pos(k: Int) = Exact.pctPos(k)
       v.groupBy(col("l_returnflag"))
         .agg(max(col("n")).as("n_rows"),
           min(when(col("cum") >= pos(50), col("l_extendedprice")))
