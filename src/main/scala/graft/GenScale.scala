@@ -58,6 +58,13 @@ object GenScale {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "testdata/sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
+    // the document token-suffix disjointness argument below assumes
+    // single-digit replica indices scaled by OFF/BASE_OFF; a larger
+    // replica count would let chained suffixes re-collide (e.g.
+    // "1"+"9900" = "19"+"900") — scale by chaining runs instead
+    require(replicas <= 10,
+      s"replicas=$replicas > 10: chain multiple x10 runs instead " +
+        "(token-suffix disjointness assumes single-digit indices)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

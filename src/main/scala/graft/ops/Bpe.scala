@@ -109,10 +109,12 @@ object Bpe {
     val enc0 = concat(lit("||"),
       regexp_replace(col("w"), "(.)", "$1||"))
     val encN = (1 to rounds).foldLeft(enc0) { (e, i) =>
-      val m = element_at(col("__ms"), i)
-      // a degenerate corpus can learn fewer than `rounds` merges;
-      // element_at past the array end is NULL and a NULL pattern would
-      // null the whole encoding — skip absent merges instead
+      // a degenerate corpus can learn fewer than `rounds` merges; a
+      // NULL pattern would null the whole encoding, and plain
+      // element_at past the array end THROWS under Spark 4's default
+      // ANSI mode — try_element_at is NULL-on-out-of-bounds in every
+      // mode, and the isNull guard then skips the absent merge
+      val m = try_element_at(col("__ms"), lit(i))
       when(m.isNull, e).otherwise(replace(e,
         concat(lit("|"), m("lhs"), lit("||"), m("rhs"), lit("|")),
         concat(lit("|"), m("lhs"), m("rhs"), lit("|"))))

@@ -400,7 +400,8 @@ object Warehouse {
             hasMap(a.elementType)
           case _ => false
         }
-      val bad = to.schema.fields.filter(f => hasMap(f.dataType))
+      val bad = (to.schema.fields ++ from.schema.fields)
+        .filter(f => hasMap(f.dataType)).distinctBy(_.name)
       require(bad.isEmpty,
         "diff: map-typed columns are not comparable with <=> — drop or " +
           s"re-encode them first: ${bad.map(_.name).mkString(", ")}")

@@ -881,4 +881,20 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.ops.Bpe.encodeWord("aaa", Seq(("a", "a"))) ==
       Seq("aa", "a"))
   }
+
+  test("BPE segmentation survives a corpus that learns fewer merges " +
+    "than rounds") {
+    import spark.implicits._
+    // "ab" exhausts after one merge: rounds 2-3 learn nothing, the
+    // merge table has 1 row, and segmentVocab must skip the absent
+    // merges (try_element_at NULL guard) instead of nulling/throwing
+    val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val merges = graft.ops.Bpe.trainMerges(docs, "text", rounds = 3)
+    val seg = graft.ops.Bpe.segmentVocab(docs, "text", merges, rounds = 3)
+      .collect()
+    assert(seg.length == 1)
+    assert(seg.head.getString(0) == "ab")
+    assert(seg.head.getString(1) == """["ab"]""", seg.head.getString(1))
+    assert(seg.head.getInt(2) == 1)
+  }
 }

@@ -328,7 +328,8 @@ class StreamingSpec extends AnyFunSuite {
     // real driver events (sf0.001), replayed through the streaming
     // interval join in three chunks; the batch twin is the literal
     // one-sided range predicate on the same rows. Same-key pairs
-    // within [ts_a, ts_a + 60s), self-pairs excluded by id.
+    // within the closed interval [ts_a, ts_a + 60s], self-pairs
+    // excluded by id.
     val evs = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_id"), col("ts"), col("user_id"))
       .orderBy(col("event_id")).limit(900)
