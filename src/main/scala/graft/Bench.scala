@@ -117,6 +117,9 @@ object Bench {
           System.err.println(s"[bench] corpus warm ${c.id}: ${e.getMessage}")
         }
       }
+      // restore full views: a later spark.sql/temp-view consumer must
+      // never silently run against the limit-64 warm-up views
+      Tables.registerAll(spark, sfDir)
     }
     // SPARK_GRAFT_WARM_DIR (dev-only, subset runs): execute every
     // selected query once, untimed, against a tiny scale dir first. In

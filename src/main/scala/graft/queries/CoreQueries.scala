@@ -242,8 +242,8 @@ object CoreQueries {
       // lineitem side — at 60 M rows that sort dominates and spills
       // (measured 4.3× per-row at sf10); hash-building the small side
       // per partition never touches the fact rows' order
-      l.join(o.hint("SHUFFLE_HASH"), l("l_orderkey") === o("o_orderkey"))
-        .join(c.hint("SHUFFLE_HASH"), o("o_custkey") === c("c_custkey"))
+      l.join(Tables.shuffleHash(o), l("l_orderkey") === o("o_orderkey"))
+        .join(Tables.shuffleHash(c), o("o_custkey") === c("c_custkey"))
         .join(su, l("l_suppkey") === su("s_suppkey") &&
           c("c_nationkey") === su("s_nationkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
@@ -384,8 +384,8 @@ object CoreQueries {
       // sort-merge would sort the part-pruned fact stream (measured
       // 4.0× per-row at sf10 from exactly that sort's spill)
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-        .join(o.hint("SHUFFLE_HASH"), l("l_orderkey") === o("o_orderkey"))
-        .join(c.hint("SHUFFLE_HASH"), o("o_custkey") === c("c_custkey"))
+        .join(Tables.shuffleHash(o), l("l_orderkey") === o("o_orderkey"))
+        .join(Tables.shuffleHash(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n1), c("c_nationkey") === col("__cnk"))
         .join(su, l("l_suppkey") === su("s_suppkey"))
         .join(broadcast(n2), su("s_nationkey") === col("__snk"))
@@ -697,7 +697,7 @@ object CoreQueries {
 
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |  year(l_shipdate) AS l_year,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
         |  CAST(SUM(CAST((CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
         |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
         |    AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS revenue
@@ -714,7 +714,7 @@ object CoreQueries {
         |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin,
 
     "q_tpch_q8" ->
-      """SELECT year(o_orderdate) AS o_year,
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
         |      THEN CAST((CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
         |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
@@ -750,8 +750,9 @@ object CoreQueries {
     "q_window_rank" ->
       """SELECT c_custkey, c_mktsegment, rnk, drnk, quartile FROM (
         |  SELECT c_custkey, c_mktsegment,
-        |    RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
-        |    NTILE(4) OVER w AS quartile
+        |    CAST(RANK() OVER w AS INT) AS rnk,
+        |    CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        |    CAST(NTILE(4) OVER w AS INT) AS quartile
         |  FROM customer
         |  WINDOW w AS (PARTITION BY c_mktsegment
         |    ORDER BY c_acctbal DESC, c_custkey)) t

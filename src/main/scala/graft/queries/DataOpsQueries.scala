@@ -43,11 +43,16 @@ object DataOpsQueries {
          |w0 AS (SELECT w, '||' || regexp_replace(w, '(.)', '\\1||', 'g')
          |  AS enc, freq FROM words)""".stripMargin
     val steps = (1 to rounds).map { r =>
+      // LEFT JOIN ON TRUE + CASE: an empty m_r (corpus learned fewer
+      // merges than rounds) must pass words through unchanged, matching
+      // Bpe.segmentVocab's try_element_at skip-absent-merge semantics.
       val apply =
         if (r == rounds && !segment) ""
         else s""",
-w$r AS (SELECT w, replace(enc, '|'||lhs||'||'||rhs||'|',
-  '|'||lhs||rhs||'|') AS enc, freq FROM w${r - 1}, m$r)"""
+w$r AS (SELECT w, CASE WHEN lhs IS NULL THEN enc
+  ELSE replace(enc, '|'||lhs||'||'||rhs||'|',
+    '|'||lhs||rhs||'|') END AS enc, freq
+  FROM w${r - 1} LEFT JOIN m$r ON TRUE)"""
       s""",
 p$r AS (SELECT l AS lhs, r AS rhs, SUM(freq) AS pair_count FROM (
   SELECT freq, arr[i] AS l, arr[i+1] AS r FROM (
@@ -65,7 +70,8 @@ SELECT w AS word, to_json(sub) AS subwords_json,
 FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
   x -> x <> '') AS sub FROM w$rounds)"""
       else (1 to rounds).map(r =>
-        s"SELECT $r AS merge_rank, lhs, rhs, pair_count FROM m$r")
+        s"SELECT $r AS merge_rank, lhs, rhs, " +
+          s"CAST(pair_count AS BIGINT) AS pair_count FROM m$r")
         .mkString("\n", "\nUNION ALL ", "")
     head + steps + out
   }
@@ -892,7 +898,7 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
        |tr AS (SELECT doc_id, len(s) AS n_ngrams, gg
        |  FROM (SELECT doc_id, s FROM sh
        |        WHERE doc_id % 10 <> 0 AND len(s) > 0), unnest(s) u(gg))
-       |SELECT tr.doc_id, any_value(tr.n_ngrams) AS n_ngrams,
+       |SELECT tr.doc_id, CAST(any_value(tr.n_ngrams) AS INT) AS n_ngrams,
        |  count(ev.gg) AS eval_hits,
        |  count(ev.gg)::DOUBLE / any_value(tr.n_ngrams) AS hit_frac
        |FROM tr LEFT JOIN ev USING (gg)
@@ -978,9 +984,9 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
          |  sum(CASE WHEN prev IS NULL OR start > prev + 1 THEN 1 ELSE 0
          |    END) OVER (PARTITION BY doc_id ORDER BY start) AS island
          |  FROM f)
-         |SELECT doc_id, min(start) AS span_start,
-         |  max(start) + 15 AS span_end,
-         |  max(start) + 15 - min(start) + 1 AS span_tokens
+         |SELECT doc_id, CAST(min(start) AS INT) AS span_start,
+         |  CAST(max(start) + 15 AS INT) AS span_end,
+         |  CAST(max(start) + 15 - min(start) + 1 AS INT) AS span_tokens
          |FROM isl GROUP BY doc_id, island""".stripMargin,
 
     "d_dedup_incremental" ->
@@ -1384,7 +1390,7 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
         |     sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y)))
         |    AS cosine
         |  FROM d q JOIN d c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
-        |SELECT query_id, cand_id, cosine, rnk FROM (
+        |SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, cand_id) AS rnk FROM scored) t
         |WHERE rnk <= 5""".stripMargin,
@@ -1475,7 +1481,8 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
          |      ('the','a','and','of','to','in','is') THEN 1 ELSE 0 END), 'sum'), 0)::DOUBLE / len(t)
          |  ELSE 0.0 END AS stopword_ratio
          |  FROM toks)
-         |SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
+         |SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+         |  CAST(n_tokens AS INT) AS n_tokens, mean_token_len, punct_ratio,
          |  stopword_ratio,
          |  CAST((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.4 +
          |  (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.3 +
@@ -1500,10 +1507,10 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
 
     "t_token_count" ->
       """SELECT doc_id,
-        |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-        |    AS ws_tokens,
-        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
-        |    AS bpe_ish_tokens
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS bpe_ish_tokens
         |FROM documents""".stripMargin,
 
     "t_fingerprint" ->
@@ -1537,7 +1544,7 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
          |    AS dup3 FROM (
          |  SELECT doc_id, gg, count(*) AS c FROM g, unnest(g3) u(gg)
          |  GROUP BY doc_id, gg) GROUP BY doc_id)
-         |SELECT g.doc_id, g.n AS n_tokens,
+         |SELECT g.doc_id, CAST(g.n AS INT) AS n_tokens,
          |  CASE WHEN g.n > 0 THEN g.nd::DOUBLE / g.n ELSE 0.0 END AS ttr,
          |  CASE WHEN g.n > 1 THEN COALESCE(c2.top2, 0)::DOUBLE / (g.n - 1)
          |    ELSE 0.0 END AS top2gram_frac,
@@ -1565,7 +1572,7 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
          |tg AS (SELECT doc_id, len(s) AS n_ngrams, gg
          |  FROM (SELECT doc_id, s FROM sh
          |        WHERE doc_id % 10 <> 0 AND len(s) > 0), unnest(s) u(gg))
-         |SELECT tg.doc_id, any_value(tg.n_ngrams) AS n_ngrams,
+         |SELECT tg.doc_id, CAST(any_value(tg.n_ngrams) AS INT) AS n_ngrams,
          |  count(rf.gg) AS seen_ngrams,
          |  (any_value(tg.n_ngrams) - count(rf.gg))::DOUBLE /
          |    any_value(tg.n_ngrams) AS novelty
@@ -1587,7 +1594,7 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
          |  FROM (SELECT doc_id, s FROM sh
          |        WHERE doc_id % 10 <> 0 AND len(s) > 0), unnest(s) u(gg))
          |SELECT tr.doc_id, ev.eval_id, ev.benchmark,
-         |  any_value(tr.n_ngrams) AS n_ngrams,
+         |  CAST(any_value(tr.n_ngrams) AS INT) AS n_ngrams,
          |  count(*) AS shared_ngrams,
          |  count(*)::DOUBLE / any_value(tr.n_ngrams) AS overlap_frac
          |FROM tr JOIN ev USING (gg)

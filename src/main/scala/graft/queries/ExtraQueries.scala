@@ -219,11 +219,11 @@ object ExtraQueries {
         |    generate_series(0, n_regionkey + 2),
         |    x -> x <> n_regionkey))), ',') AS a_except,
         |  list_contains(generate_series(0, 10), n_nationkey) AS a_contains,
-        |  COALESCE(list_position(generate_series(0, 24), n_nationkey), 0)
-        |    AS a_pos,
+        |  CAST(COALESCE(list_position(generate_series(0, 24), n_nationkey),
+        |    0) AS BIGINT) AS a_pos,
         |  array_to_string(list_slice(generate_series(0, 24), 3, 6), ',')
         |    AS a_slice,
-        |  len(generate_series(0, n_nationkey)) AS a_size
+        |  CAST(len(generate_series(0, n_nationkey)) AS INT) AS a_size
         |FROM nation""".stripMargin,
 
     "q_fn_stats" ->
@@ -264,8 +264,8 @@ object ExtraQueries {
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
-        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS TINYINT) AS g_prio,
         |  COUNT(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
@@ -322,7 +322,7 @@ object ExtraQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         |    sum(c) OVER (PARTITION BY l_returnflag) AS n
         |  FROM agg)
-        |SELECT l_returnflag, max(n) AS n_rows,
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
         |  min(CASE WHEN cum >= (50 * n + 99) // 100
         |    THEN l_extendedprice END) AS p50,
         |  min(CASE WHEN cum >= (90 * n + 99) // 100

@@ -321,7 +321,7 @@ object FunctionQueries {
         |  substring(c_name, 10, 9) AS id_part,
         |  trim(upper(c_mktsegment)) AS seg_up,
         |  split_part(c_name, '#', 2) AS num_part,
-        |  length(c_name) AS name_len
+        |  CAST(length(c_name) AS INT) AS name_len
         |FROM customer""".stripMargin,
 
     "q_fn_dates" ->
@@ -329,8 +329,10 @@ object FunctionQueries {
         |  o_orderdate + INTERVAL 3 MONTH AS plus3m,
         |  o_orderdate - INTERVAL 7 DAY AS minus7d,
         |  date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
-        |  date_diff('month', o_orderdate, TIMESTAMP '2002-01-01') AS months_to_2002,
-        |  date_diff('year', o_orderdate, TIMESTAMP '2002-01-01') AS years_to_2002,
+        |  CAST(date_diff('month', o_orderdate, TIMESTAMP '2002-01-01')
+        |    AS INT) AS months_to_2002,
+        |  CAST(date_diff('year', o_orderdate, TIMESTAMP '2002-01-01')
+        |    AS INT) AS years_to_2002,
         |  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr,
         |  CAST(extract(year FROM o_orderdate) AS INT) AS yr
         |FROM orders""".stripMargin,
@@ -408,7 +410,8 @@ object FunctionQueries {
         |  to_json(struct_pack(id := o_orderkey, st := o_orderstatus)) AS obj,
         |  CAST(TRY_CAST(o_orderpriority AS DECIMAL(38,0)) AS DOUBLE) AS bad_num,
         |  o_orderdate + INTERVAL 14 DAY AS plus2w,
-        |  date_diff('month', o_orderdate, TIMESTAMP '2001-12-31') AS m_left
+        |  CAST(date_diff('month', o_orderdate, TIMESTAMP '2001-12-31')
+        |    AS INT) AS m_left
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
   )
 }

@@ -448,7 +448,8 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY doc_id
          |      ORDER BY wq DESC, term) AS kw_rank
          |  FROM w)
-         |SELECT doc_id, term, CAST(wq AS DOUBLE) AS weight, kw_rank
+         |SELECT doc_id, term, CAST(wq AS DOUBLE) AS weight,
+         |  CAST(kw_rank AS INT) AS kw_rank
          |FROM r WHERE kw_rank <= 3""".stripMargin,
 
     "p_pagerank" -> pagerankOracleSql,

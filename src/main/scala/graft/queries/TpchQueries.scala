@@ -117,8 +117,8 @@ object TpchQueries {
       // sf10 from that sort's spill); hash-building the bounded sides
       // per partition leaves the fact rows unsorted
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-        .join(su.hint("SHUFFLE_HASH"), l("l_suppkey") === su("s_suppkey"))
-        .join(o.hint("SHUFFLE_HASH"), l("l_orderkey") === o("o_orderkey"))
+        .join(Tables.shuffleHash(su), l("l_suppkey") === su("s_suppkey"))
+        .join(Tables.shuffleHash(o), l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .groupBy(n("n_name").as("nation"),
           year(o("o_orderdate")).as("o_year"))
@@ -328,7 +328,9 @@ object TpchQueries {
       val segs = Seq("BUILDING", "AUTOMOBILE", "MACHINERY")
       val c = Tables.load(s, dir, "customer")
         .filter(col("c_mktsegment").isin(segs: _*))
-      val avgAgg = c.filter(col("c_acctbal") > 0.0)
+      // filter on the same rounded cents the oracle uses (bal_c > 0) so
+      // a balance in (0, 0.005) can't split the engines by construction
+      val avgAgg = c.filter(c2(col("c_acctbal")) > 0)
         .agg(sum(dec(c2(col("c_acctbal")))).as("__sum"),
           count(lit(1)).as("__cnt"))
       // "no orders in the last N years" (every customer has SOME order
@@ -374,7 +376,7 @@ object TpchQueries {
         |GROUP BY o_orderpriority""".stripMargin,
 
     "q_tpch_q9" ->
-      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
         |  CAST(SUM(CAST(
         |    (CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
         |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
@@ -404,10 +406,10 @@ object TpchQueries {
 
     "q_tpch_q12" ->
       """SELECT l_linestatus AS ship_class,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-        |      THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN NOT (o_orderpriority IN ('1-URGENT','2-HIGH'))
-        |      THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN NOT (o_orderpriority IN ('1-URGENT','2-HIGH'))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -330,9 +330,13 @@ class StreamingSpec extends AnyFunSuite {
     // one-sided range predicate on the same rows. Same-key pairs
     // within the closed interval [ts_a, ts_a + 60s], self-pairs
     // excluded by id.
+    // replay in ts order (event_id tie-break): watermark eviction in the
+    // stream-stream join may drop rows that arrive >1h older than the
+    // chunk before them, so equality with the batch twin must not
+    // depend on the generator's event_id/ts correlation
     val evs = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_id"), col("ts"), col("user_id"))
-      .orderBy(col("event_id")).limit(900)
+      .orderBy(col("ts"), col("event_id")).limit(900)
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
     val batch = {
       val a = evs.toSeq.toDF("id_a", "ts_a", "user_id")

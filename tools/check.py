@@ -25,6 +25,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(v):
     if v is None:
         return "NULL"
+    if hasattr(v, "tzinfo") and getattr(v, "tzinfo", None) is not None:
+        # normalize tz-aware datetimes to naive UTC so an Arrow-side tz
+        # annotation (vs DuckDB's naive TIMESTAMP) can't split the hash
+        import datetime
+        v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
@@ -44,6 +49,42 @@ def table_key(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
     return lines
+
+
+def norm_type(t):
+    """Normalize benign Arrow type spellings so only driver-visible
+    divergences flag: large_string==string, dictionary unwrapped,
+    timestamp tz presence ignored (unit kept — the driver canon is
+    sensitive to unit, not zone annotation on UTC data)."""
+    import pyarrow as pa
+    if pa.types.is_dictionary(t):
+        t = t.value_type
+    if pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        # unit and tz annotation are driver-invisible: Spark writes
+        # INT96 (pyarrow: ns, no tz) vs DuckDB's us, both as_py to
+        # unit-agnostic datetimes, and 6 rounds of driver rows prove the
+        # canon doesn't split there — only the TYPE CLASS must match
+        return "timestamp"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    return str(t)
+
+
+def type_diffs(scols, stypes, ocols, otypes):
+    """Per-column Arrow type comparison (by lower-cased name). Returns
+    the list of columns whose normalized types differ — e.g. DuckDB's
+    uncast SUM(int) exporting decimal128(38,0) against Spark's int64,
+    which the driver canon splits on even when values stringify equal."""
+    smap = dict(zip(scols, stypes))
+    omap = dict(zip(ocols, otypes))
+    out = []
+    for c in sorted(set(smap) & set(omap)):
+        a, b = norm_type(smap[c]), norm_type(omap[c])
+        if a != b:
+            out.append(f"{c}: spark={a} oracle={b}")
+    return out
 
 
 def main():
@@ -68,6 +109,7 @@ def main():
         try:
             tbl = pads.dataset(str(Path(out_dir, name))).to_table()
             scols = [c.lower() for c in tbl.column_names]
+            stypes = [f.type for f in tbl.schema]
             srows = [tuple(col[i].as_py() for col in tbl.columns)
                      for i in range(tbl.num_rows)]
         except Exception as e:
@@ -77,14 +119,23 @@ def main():
             results[name] = f"rows-only rows={len(srows)}"
             continue
         try:
-            cur = con.execute(oracle[name])
-            ocols = [d[0].lower() for d in cur.description]
-            orows = cur.fetchall()
+            # fetch via Arrow so oracle result TYPES are visible: the
+            # driver canon splits on e.g. HUGEINT→decimal128(38,0) vs
+            # int64 even when fetchall() values stringify identically
+            otbl = con.execute(oracle[name]).fetch_arrow_table()
+            ocols = [c.lower() for c in otbl.column_names]
+            otypes = [f.type for f in otbl.schema]
+            orows = [tuple(col[i].as_py() for col in otbl.columns)
+                     for i in range(otbl.num_rows)]
         except Exception as e:
             results[name] = f"ORACLE-FAIL {str(e)[:200]}"
             continue
         if sorted(scols) != sorted(ocols):
             results[name] = f"SCHEMA-MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}"
+            continue
+        tdiffs = type_diffs(scols, stypes, ocols, otypes)
+        if tdiffs:
+            results[name] = "TYPE-WEAK " + " ;; ".join(tdiffs)[:300]
             continue
         if len(srows) != len(orows):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(srows)} oracle={len(orows)}"
