@@ -130,6 +130,58 @@ object SqlCorpus {
       "SELECT 'c27' AS case_id, CAST([r_regionkey, r_regionkey + 1] AS VARCHAR) AS result FROM region WHERE r_regionkey = 0")
   )
 
+  /** Error-path / edge semantics (reference `tests/test_transpiler.py:
+    * 60-84`) as corpus rows: each `result` is the CLASSIFIED runtime
+    * behavior, computed by exercising the API at query-build time —
+    * never a hard-coded literal — so the driver gate value-checks
+    * dialect ERROR semantics the same way it checks dialect results.
+    * The oracle rows carry the reference-specified expectations. */
+  private def edgeRows(sp: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    def classify(body: => String): String =
+      try body catch {
+        case e: IllegalArgumentException =>
+          "rejected:" + e.getClass.getSimpleName
+        case e: Throwable => "error:" + e.getClass.getSimpleName
+      }
+    val rows = Seq(
+      // test_transpiler.py:65-70 — empty SQL must pass through, not crash
+      "c28" -> classify {
+        val t = SnowflakeSql.transpile("")
+        if (t.trim.isEmpty) "empty-passthrough" else "unexpected:" + t
+      },
+      // :65-70 — whitespace-only input likewise
+      "c29" -> classify {
+        val t = SnowflakeSql.transpile("   ")
+        if (t.trim.isEmpty) "whitespace-passthrough"
+        else "unexpected:" + t
+      },
+      // :72-80 — every statement of a multi-statement script survives
+      // transpilation AND executes (both values present in the result)
+      "c30" -> classify {
+        val parts = SnowflakeSql.runAll(sp, "SELECT 11 AS x; SELECT 22 AS x")
+        val total = parts.reduce(_ unionByName _)
+          .agg(sum(col("x")).as("t")).head().getLong(0)
+        s"${parts.length}-statements-sum-$total"
+      },
+      // :82-84 — a non-Spark target dialect must be rejected
+      "c31" -> classify {
+        SnowflakeSql.convertDialect("SELECT 1", "snowflake", "oracle")
+        "unexpected:no-error"
+      })
+    import sp.implicits._
+    rows.toDF("case_id", "result")
+  }
+
+  /** The edge cases' oracle rows: the reference-specified expected
+    * classifications as DuckDB literals. */
+  private val edgeOracle: Seq[String] = Seq(
+    "SELECT 'c28' AS case_id, 'empty-passthrough' AS result",
+    "SELECT 'c29' AS case_id, 'whitespace-passthrough' AS result",
+    "SELECT 'c30' AS case_id, '2-statements-sum-' || " +
+      "CAST((SELECT 11) + (SELECT 22) AS VARCHAR) AS result",
+    "SELECT 'c31' AS case_id, 'rejected:IllegalArgumentException' AS result")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the whole corpus as ONE gate query: per-case (case_id, result)
     // rows union'd — the driver's DuckDB hash compare then checks every
@@ -138,13 +190,15 @@ object SqlCorpus {
     // hash)
     "q_sql_corpus" -> ((s, dir) => {
       Tables.registerAll(s, dir)
-      cases.map(c => SnowflakeSql.run(s, c.sf)).reduce(_.unionByName(_))
+      (cases.map(c => SnowflakeSql.run(s, c.sf)) :+ edgeRows(s))
+        .reduce(_.unionByName(_))
     })
   )
 
   val oracle: Map[String, String] = Map(
     // each case parenthesized: ORDER BY/LIMIT tails (c25) must bind to
     // their own SELECT, not the union
-    "q_sql_corpus" -> cases.map("(" + _.duck + ")").mkString("\nUNION ALL\n")
+    "q_sql_corpus" -> (cases.map("(" + _.duck + ")") ++
+      edgeOracle.map("(" + _ + ")")).mkString("\nUNION ALL\n")
   )
 }

@@ -58,6 +58,54 @@ object SnowflakeSql {
     }
   }
 
+  /** Run a multi-statement script: statements split on top-level `;`
+    * (outside literals and parens), each transpiled and executed in
+    * order — reference `tests/test_transpiler.py:72-80` requires every
+    * statement of `"SELECT 1; SELECT 2"` to survive transpilation.
+    * Returns one DataFrame per non-empty statement. */
+  def runAll(spark: SparkSession, sql: String): Seq[DataFrame] =
+    splitStatements(sql).map(run(spark, _))
+
+  /** Statements at paren depth 0 outside string literals; empty/blank
+    * segments (trailing `;`) dropped. */
+  private[graft] def splitStatements(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var depth = 0
+    var i = 0
+    while (i < sql.length) {
+      val skipped = skipLiteral(sql, i)
+      if (skipped != i) i = skipped
+      else {
+        sql.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ';' if depth == 0 =>
+            out += sql.substring(start, i)
+            start = i + 1
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    out += sql.substring(start)
+    out.result().filter(_.trim.nonEmpty)
+  }
+
+  /** Dialect-conversion front door mirroring the reference's
+    * `convert_dialect(sql, source, target)`
+    * (`tests/test_transpiler.py:82-84`): only the snowflake→spark pair
+    * is supported; any other source or target is rejected with
+    * IllegalArgumentException (the reference raises ValueError). */
+  def convertDialect(sql: String, source: String = "snowflake",
+      target: String = "spark"): String = {
+    require(source.equalsIgnoreCase("snowflake"),
+      s"unsupported source dialect: $source")
+    require(target.equalsIgnoreCase("spark"),
+      s"unsupported target dialect: $target")
+    transpile(sql)
+  }
+
   /** Text-level rewrites only (QUALIFY needs the DataFrame step in
     * [[run]]; `transpile` leaves it in place). */
   def transpile(sql: String): String = {

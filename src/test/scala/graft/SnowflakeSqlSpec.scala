@@ -132,4 +132,26 @@ class SnowflakeSqlSpec extends AnyFunSuite {
     assert(transpile("") == "")
     assert(transpile("   ") == "   ")
   }
+
+  test("multi-statement split respects literals and parens " +
+      "(test_transpiler.py:72-80)") {
+    import graft.transpile.SnowflakeSql.splitStatements
+    assert(splitStatements("SELECT 1; SELECT 2") ==
+      Seq("SELECT 1", " SELECT 2"))
+    // a ';' inside a string literal or parens is not a separator
+    assert(splitStatements("SELECT 'a;b' AS x") == Seq("SELECT 'a;b' AS x"))
+    assert(splitStatements("SELECT f(1) AS x; SELECT 2;").length == 2)
+    assert(splitStatements(";;") == Nil)
+  }
+
+  test("invalid target dialect is rejected (test_transpiler.py:82-84)") {
+    import graft.transpile.SnowflakeSql.convertDialect
+    assert(convertDialect("SELECT 1") == "SELECT 1")
+    intercept[IllegalArgumentException] {
+      convertDialect("SELECT 1", "snowflake", "oracle")
+    }
+    intercept[IllegalArgumentException] {
+      convertDialect("SELECT 1", "tsql", "spark")
+    }
+  }
 }
