@@ -15,18 +15,14 @@ run / fork := true
 // prefixes every line with "[info] ", which breaks the bench driver's
 // single-JSON-line contract (BENCH_r01/r02 recorded parsed:null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-// Spark 4.x on JDK 17 needs these when SparkSession is created outside
-// spark-submit (which normally injects them). Matches
-// org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
-val jdk17AddOpens = Seq(
-  "java.base/java.lang", "java.base/java.lang.invoke",
-  "java.base/java.lang.reflect", "java.base/java.io",
-  "java.base/java.net", "java.base/java.nio",
-  "java.base/java.util", "java.base/java.util.concurrent",
-  "java.base/java.util.concurrent.atomic",
-  "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-  "java.base/sun.security.action", "java.base/sun.util.calendar",
-).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Spark 4.x on JDK 17 needs module opens when SparkSession is created
+// outside spark-submit (which normally injects them). The package list
+// is shared with tools/run.sh (the sbt-free launcher, which also
+// mirrors this build's classpath: /opt/spark/jars + compiled classes)
+// via tools/jdk17-add-opens.txt so the two launchers cannot drift.
+val jdk17AddOpens = IO.readLines(file("tools/jdk17-add-opens.txt"))
+  .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+  .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -147,9 +147,28 @@ object Bench {
       if (recordSpill) Some(graft.telemetry.SpillListener.forContext(spark.sparkContext))
       else None
 
-    val results = SparkEntry.queries.toSeq
+    // Drift sentinel: the same fixed trivial query (q_scan_project — a
+    // narrow projection scan, plan unchanged since round 1) timed at the
+    // start, midpoint, and end of the measured run. Host contention has
+    // moved identical code ±1.5× between rounds (SURVEY §8 rounds 5/7);
+    // the three sentinel values let any reader of a BENCH_r*.json
+    // normalize its totals against the machine state DURING that run
+    // instead of guessing. Sentinel executions are not counted in
+    // `total` or the per-query map.
+    def sentinelTime(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q_scan_project")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelTime() // untimed warm pass (JIT/footer absorption)
+    val sentinels = scala.collection.mutable.ArrayBuffer(sentinelTime())
+
+    val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => onlyQueries.forall(_.contains(name)) }
-      .sortBy(_._1).map { case (name, fn) =>
+      .sortBy(_._1)
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == selected.size / 2 && i > 0) sentinels += sentinelTime()
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
       // Catalyst prune the projection and under-measure).
@@ -159,6 +178,7 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    sentinels += sentinelTime()
     // The driver captures only a bounded stdout tail, so the JSON line
     // must stay comfortably under ~2000 chars: 3-decimal seconds, numeric
     // sf, and if the full per-query map still overflows, keep the slowest
@@ -176,7 +196,8 @@ object Bench {
       val om = if (omitted > 0) s""","omitted_fast_queries":$omitted""" else ""
       val sp = spillListener
         .map(l => s""","spill_bytes":${l.totalSpillBytes}""").getOrElse("")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$sp,"sf":$sf}"""
+      val sent = sentinels.map(fmt).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$sp,"sentinel_sec":$sent,"sf":$sf}"""
     }
     val full = line(results, 0)
     val out =

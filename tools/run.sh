@@ -5,15 +5,15 @@
 # Env: SPARK_DRIVER_MEM (default 8g), SPARK_GRAFT_* knobs pass through.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# Classpath mirrors build.sbt: unmanagedBase=/opt/spark/jars + the
+# compiled classes dir. Module opens come from the shared list also
+# read by build.sbt, so the two launchers cannot drift.
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS=""
-for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
-         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
-  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
-done
-for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
-  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
-done
+while read -r p; do
+  case "$p" in ''|\#*) continue ;; esac
+  OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
+done < tools/jdk17-add-opens.txt
 exec java -cp "$CP" $OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
