@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -15,15 +15,47 @@ import TextOps.tokens
   * dictionary (one shuffle on word — the dictionary is orders of
   * magnitude smaller than the corpus and is the classic BPE training
   * input), and every merge round after that touches only the
-  * dictionary: one narrow pair-explode pass, one map-side-combined
-  * pair-count aggregate (keyed by the pair, bounded by the distinct-
-  * pair vocabulary), a 1-row top-pair aggregate broadcast back, and a
-  * literal string replace to apply the merge. Rounds are inherently
-  * sequential (round r+1's counts depend on round r's merge); the
-  * dictionary is re-checkpointed each round so the plan stays flat
-  * instead of nesting r rounds of subplans (`localCheckpoint` here; on
-  * a real cluster swap for reliable `checkpoint`). Nothing is ever
-  * collected to the driver.
+  * dictionary: one pair-count aggregate (keyed by the pair, bounded by
+  * the distinct-pair vocabulary), a 1-row top-pair aggregate broadcast
+  * back, and a literal string replace to apply the merge. Rounds are
+  * inherently sequential (round r+1's counts depend on round r's
+  * merge); the dictionary is re-checkpointed each round so the plan
+  * stays flat instead of nesting r rounds of subplans (`localCheckpoint`
+  * here; on a real cluster swap for reliable `checkpoint`). Nothing is
+  * ever collected to the driver.
+  *
+  * Two hash-identical round strategies, selected by dictionary size:
+  *
+  *  - **Full recount** (default, small dictionaries): each round
+  *    re-explodes the whole dictionary into adjacent pairs and
+  *    re-aggregates. One checkpoint per round; minimal fixed overhead.
+  *  - **Incremental deltas** (large dictionaries): the dictionary is
+  *    pair-exploded exactly once, and each subsequent round recounts
+  *    only the words the last merge actually touched — count(r+1) =
+  *    count(r) − pairs(old enc of touched) + pairs(new enc of touched),
+  *    an exact integer delta folded into the distinct-pair relation by
+  *    a full-outer join (the fast-BPE bookkeeping, Sennrich et al. 2016
+  *    §3). Costs three checkpoints per round; superseded checkpoint
+  *    blocks are unpersisted as soon as their successors materialize,
+  *    so live cached blocks stay bounded (~2 rounds' worth) instead of
+  *    growing linearly with the round count.
+  *
+  * The crossover is governed by fixed per-round overhead vs dictionary
+  * size: the delta machinery only pays once re-exploding the dictionary
+  * dominates its extra checkpoints, i.e. at real-corpus vocabularies
+  * (millions of distinct words). A round-8 same-host A/B on this repo's
+  * synthetic corpora — whose token vocabulary is degenerate (30
+  * distinct words at sf0.1, 3,099 at sf10) — measured the recount loop
+  * faster at EVERY reachable scale (train 1.3 s vs 1.9 s at sf1; the
+  * incremental leg's un-unpersisted blocks also slowed whatever ran
+  * after it, since fixed), because with a ≤3,099-row dictionary both
+  * loops are pure scheduling overhead and the incremental path
+  * schedules 3× the checkpoints. The size gate encodes the crossover
+  * instead of claiming a payoff this testdata cannot exhibit: below
+  * `graft.bpe.incrementalMinWords` (default 1,000,000) the recount
+  * loop runs; at or above it, the incremental loop. Both emit
+  * bit-identical merge tables (each has passed the sf0.01 driver
+  * oracle; OpsSpec asserts cross-strategy equality directly).
   *
   * Engine-exact and differentially checkable end-to-end: pair counts
   * are integer sums of word frequencies; the winning pair is picked by
@@ -41,13 +73,18 @@ import TextOps.tokens
   */
 object Bpe {
 
+  /** Session-conf key: dictionary size (distinct words) at or above
+    * which the incremental pair-count strategy replaces full recount. */
+  val IncrementalMinWordsKey = "graft.bpe.incrementalMinWords"
+  private val IncrementalMinWordsDefault = 1000000L
+
   private val emptyPairs = array().cast(
     ArrayType(StructType(Seq(StructField("lhs", StringType),
       StructField("rhs", StringType)))))
 
   /** Adjacent symbol pairs (with multiplicity — BPE counts every
     * adjacency, e.g. `aaa` has (a,a) twice) of the `||`-encoded word. */
-  private def adjacentPairs(enc: org.apache.spark.sql.Column) = {
+  private def adjacentPairs(enc: Column) = {
     val arr = filter(split(enc, "\\|+"), x => x =!= "")
     when(size(arr) >= 2,
       transform(sequence(lit(0), size(arr) - 2),
@@ -56,45 +93,105 @@ object Bpe {
       .otherwise(emptyPairs)
   }
 
+  /** The merge as a literal replace over the `||` encoding. */
+  private def applyMerge(enc: Column, lhs: Column, rhs: Column) =
+    replace(enc,
+      concat(lit("|"), lhs, lit("||"), rhs, lit("|")),
+      concat(lit("|"), lhs, rhs, lit("|")))
+
+  /** Eagerly localCheckpoints `df` and remembers which cached RDD
+    * blocks the checkpoint created, so `drop()` can free them once a
+    * successor relation materializes. `Dataset.localCheckpoint` has no
+    * public unpersist; without this, a per-round checkpoint loop's
+    * cached blocks grow linearly with the round count and squeeze
+    * whatever runs after training (measured on the incremental loop in
+    * round 8: the follow-on segmentation pass paid for training's
+    * leaked blocks). */
+  private final class Checkpointed(spark: SparkSession, df: DataFrame) {
+    private val before = spark.sparkContext.getPersistentRDDs.keySet
+    val data: DataFrame = df.localCheckpoint()
+    private val mine =
+      spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    def drop(): Unit = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => mine.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
   /** Learn `rounds` BPE merges from the corpus. Returns one row per
     * merge: (merge_rank 1-based, lhs, rhs, pair_count) in learned
     * order. Words shorter than 2 characters carry no pairs and are
-    * dropped up front.
-    *
-    * Pair counts are maintained INCREMENTALLY (the fast-BPE recipe,
-    * Sennrich et al. 2016 §3): the full dictionary is pair-exploded
-    * exactly once, and each subsequent round recounts only the words
-    * the last merge actually touched — count(r+1) = count(r) −
-    * pairs(old enc of touched) + pairs(new enc of touched), an exact
-    * integer delta folded into the distinct-pair relation by a
-    * full-outer join. Untouched words (the overwhelming majority once
-    * merges specialize) cost one narrow string-replace pass and no
-    * explode, which is what keeps the per-round cost tracking the
-    * touched set instead of the vocabulary (round-6 measured exponent
-    * 0.67 at sf10 came from 6 full re-explodes). Zero-count pairs are
-    * dropped after each delta so the relation stays exactly equal to a
-    * from-scratch recount (a pair is present iff its count is > 0). */
+    * dropped up front. */
   def trainMerges(docs: DataFrame, textCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "bpe: rounds must be >= 1")
+    val spark = docs.sparkSession
     // corpus -> word-frequency dictionary (the only corpus-sized pass)
-    val dict0 = docs
+    val dict0 = new Checkpointed(spark, docs
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(concat(lit("||"),
-        regexp_replace(col("w"), "(.)", "$1||")).as("enc"), col("freq"))
-    var dict = dict0.localCheckpoint()
-    // the one full-vocabulary pair explode
-    def pairCounts(d: DataFrame, f: org.apache.spark.sql.Column,
-        enc: String) = d
+        regexp_replace(col("w"), "(.)", "$1||")).as("enc"), col("freq")))
+    val minWords = spark.conf.getOption(IncrementalMinWordsKey)
+      .map(_.toLong).getOrElse(IncrementalMinWordsDefault)
+    // the gate probe counts the already-materialized checkpoint blocks
+    // — no recompute, one trivial job
+    val merges =
+      if (dict0.data.count() >= minWords) trainIncremental(dict0, rounds)
+      else trainRecount(dict0, rounds)
+    merges.reduce(_ union _)
+      .select(col("merge_rank"), col("lhs"), col("rhs"),
+        col("pair_count"))
+  }
+
+  /** Small-dictionary strategy: re-explode and re-count every round. */
+  private def trainRecount(dict0: Checkpointed,
+      rounds: Int): Seq[DataFrame] = {
+    val spark = dict0.data.sparkSession
+    var dict = dict0
+    var merges: Seq[DataFrame] = Nil
+    for (r <- 1 to rounds) {
+      val top = dict.data
+        .select(explode(adjacentPairs(col("enc"))).as("p"), col("freq"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .localCheckpoint()
+      merges = merges :+ top.withColumn("merge_rank", lit(r))
+      if (r < rounds) {
+        val next = new Checkpointed(spark,
+          dict.data.crossJoin(broadcast(top.select(col("lhs"), col("rhs"))))
+            .select(applyMerge(col("enc"), col("lhs"), col("rhs"))
+              .as("enc"), col("freq")))
+        dict.drop()
+        dict = next
+      }
+    }
+    merges
+  }
+
+  /** Large-dictionary strategy: one full pair explode, then per-round
+    * exact integer deltas over the touched words only. Zero-count
+    * pairs are dropped after each delta so the relation stays exactly
+    * equal to a from-scratch recount (a pair is present iff its count
+    * is > 0). */
+  private def trainIncremental(dict0: Checkpointed,
+      rounds: Int): Seq[DataFrame] = {
+    val spark = dict0.data.sparkSession
+    def pairCounts(d: DataFrame, f: Column, enc: String) = d
       .select(explode(adjacentPairs(col(enc))).as("p"), f.as("f"))
       .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
       .agg(sum(col("f")).as("pair_count"))
-    var counts = pairCounts(dict, col("freq"), "enc").localCheckpoint()
+    // dictDf is a narrow select over dictOwner's checkpointed blocks —
+    // dictOwner must stay live until its successor materializes
+    var dictDf: DataFrame = dict0.data
+    var dictOwner: Checkpointed = dict0
+    var counts = new Checkpointed(spark,
+      pairCounts(dictDf, col("freq"), "enc"))
     var merges: Seq[DataFrame] = Nil
     for (r <- 1 to rounds) {
-      val top = counts
+      val top = counts.data
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
         .limit(1)
         .localCheckpoint()
@@ -103,30 +200,30 @@ object Bpe {
         val topLR = broadcast(top.select(col("lhs"), col("rhs")))
         // one narrow pass over the dictionary: apply the merge, keep
         // the pre-merge encoding so the touched set is `enc0 != enc`
-        val applied = dict.crossJoin(topLR)
-          .select(col("enc").as("enc0"),
-            replace(col("enc"),
-              concat(lit("|"), col("lhs"), lit("||"), col("rhs"), lit("|")),
-              concat(lit("|"), col("lhs"), col("rhs"), lit("|"))).as("enc"),
-            col("freq"))
-          .localCheckpoint()
-        val touched = applied.filter(col("enc0") =!= col("enc"))
+        val nextApplied = new Checkpointed(spark,
+          dictDf.crossJoin(topLR)
+            .select(col("enc").as("enc0"),
+              applyMerge(col("enc"), col("lhs"), col("rhs")).as("enc"),
+              col("freq")))
+        dictOwner.drop() // superseded: the new encoding is materialized
+        val touched = nextApplied.data.filter(col("enc0") =!= col("enc"))
         val delta = pairCounts(touched, -col("freq"), "enc0")
           .unionByName(pairCounts(touched, col("freq"), "enc"))
           .groupBy(col("lhs"), col("rhs"))
           .agg(sum(col("pair_count")).as("d"))
-        counts = counts.join(delta, Seq("lhs", "rhs"), "full_outer")
-          .select(col("lhs"), col("rhs"),
-            (coalesce(col("pair_count"), lit(0L))
-              + coalesce(col("d"), lit(0L))).as("pair_count"))
-          .filter(col("pair_count") > 0)
-          .localCheckpoint()
-        dict = applied.select(col("enc"), col("freq"))
+        val nextCounts = new Checkpointed(spark,
+          counts.data.join(delta, Seq("lhs", "rhs"), "full_outer")
+            .select(col("lhs"), col("rhs"),
+              (coalesce(col("pair_count"), lit(0L))
+                + coalesce(col("d"), lit(0L))).as("pair_count"))
+            .filter(col("pair_count") > 0))
+        counts.drop()
+        counts = nextCounts
+        dictDf = nextApplied.data.select(col("enc"), col("freq"))
+        dictOwner = nextApplied
       }
     }
-    merges.reduce(_ union _)
-      .select(col("merge_rank"), col("lhs"), col("rhs"),
-        col("pair_count"))
+    merges
   }
 
   /** Apply a learned `rounds`-row merge table to the corpus vocabulary —

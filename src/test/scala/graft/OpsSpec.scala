@@ -882,6 +882,31 @@ class OpsSpec extends AnyFunSuite {
       Seq("aa", "a"))
   }
 
+  test("BPE incremental and recount strategies learn identical merge tables") {
+    import spark.implicits._
+    // real corpus slice + the hand-computed toy: force each strategy
+    // via the size gate's conf knob and compare full merge tables. The
+    // incremental path's delta bookkeeping (full-outer count merge,
+    // zero-count drop, touched-set recount) must be exactly equal to a
+    // from-scratch recount at every round.
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+      .unionByName(Seq((90001L, "lower lower lower"), (90002L, "low low"),
+        (90003L, "newest")).toDF("doc_id", "text"), allowMissingColumns = true)
+      .select("doc_id", "text")
+    def table(minWords: String): Seq[(Int, String, String, Long)] = {
+      spark.conf.set(graft.ops.Bpe.IncrementalMinWordsKey, minWords)
+      try graft.ops.Bpe.trainMerges(docs, "text", rounds = 5)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      finally spark.conf.unset(graft.ops.Bpe.IncrementalMinWordsKey)
+    }
+    val recount = table(minWords = Long.MaxValue.toString)
+    val incremental = table(minWords = "0")
+    assert(recount == incremental, s"recount=$recount incr=$incremental")
+    assert(recount.length == 5)
+  }
+
   test("BPE segmentation survives a corpus that learns fewer merges " +
     "than rounds") {
     import spark.implicits._
