@@ -68,31 +68,12 @@ final class SourceCache(spark: SparkSession, root: String,
   def contains(schema: String, table: String): Boolean =
     entries.contains(key(schema, table))
 
-  /** Complex-typed (Array/Map/Struct — the VARIANT/OBJECT/ARRAY family)
-    * columns downgraded to JSON text, the reference's TO_VARCHAR wrap on
-    * cache ingest (source_cache.py:224-308): cached sources carry plain
-    * scalar columns so every downstream engine can read them, and path
-    * access goes through get_json_object exactly as it does against the
-    * warehouse's VARIANT columns. */
-  private def downgradeVariants(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, to_json}
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    val cols = df.schema.fields.map { f =>
-      f.dataType match {
-        case _: ArrayType | _: MapType | _: StructType =>
-          to_json(col(s"`${f.name}`")).as(f.name)
-        case _ => col(s"`${f.name}`")
-      }
-    }
-    df.select(cols.toSeq: _*)
-  }
-
   /** Cache-miss ingest: materialize the source DataFrame into the cache
     * (the Arrow-batches→Parquet path of source_cache.py:310-387; on
     * Spark a distributed snappy-parquet write). */
   def put(schema: String, table: String, df: DataFrame): Unit = {
     val k = key(schema, table)
-    downgradeVariants(df).write.mode("overwrite")
+    SourceCache.downgradeVariants(df).write.mode("overwrite")
       .option("compression", "snappy")
       .parquet(dirOf(k))
     import scala.jdk.CollectionConverters._
@@ -143,4 +124,40 @@ final class SourceCache(spark: SparkSession, root: String,
 
   def totalSizeBytes: Long = entries.values.map(_._2).sum
   def size: Int = entries.size
+}
+
+object SourceCache {
+  /** Names of the complex-typed (Array/Map/Struct) columns — the
+    * VARIANT/OBJECT/ARRAY family the reference detects from
+    * INFORMATION_SCHEMA before cache ingest
+    * (source_cache.py:224-269 `_get_variant_columns`,
+    * `unsupported_types = ("VARIANT","OBJECT","ARRAY")`; truth table
+    * tests/test_variant_handling.py:42-75). */
+  def variantColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    schema.fields.collect {
+      case f if (f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      }) => f.name
+    }.toSeq
+  }
+
+  /** Complex-typed columns downgraded to JSON text, the reference's
+    * TO_VARCHAR wrap on cache ingest (source_cache.py:271-308
+    * `_build_select_with_variant_cast`; truth table
+    * tests/test_variant_handling.py:77-117): cached sources carry plain
+    * scalar columns so every downstream engine can read them, and path
+    * access goes through get_json_object exactly as it does against the
+    * warehouse's VARIANT columns. Non-variant columns pass through
+    * untouched. */
+  def downgradeVariants(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, to_json}
+    val variants = variantColumns(df.schema).toSet
+    val cols = df.schema.fields.map { f =>
+      if (variants.contains(f.name)) to_json(col(s"`${f.name}`")).as(f.name)
+      else col(s"`${f.name}`")
+    }
+    df.select(cols.toSeq: _*)
+  }
 }

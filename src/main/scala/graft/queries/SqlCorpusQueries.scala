@@ -168,9 +168,62 @@ object SqlCorpus {
       "c31" -> classify {
         SnowflakeSql.convertDialect("SELECT 1", "snowflake", "oracle")
         "unexpected:no-error"
-      })
+      }) ++ variantTruthRows(sp)
     import sp.implicits._
     rows.toDF("case_id", "result")
+  }
+
+  /** The VARIANT-handling truth table (reference
+    * `tests/test_variant_handling.py:11-117`) as value-checked rows:
+    * the error classifier's fallback decisions over the reference's
+    * five literal error strings, and the source cache's VARIANT
+    * detection / TO_VARCHAR-downgrade behavior — all computed by
+    * exercising the live APIs, never hard-coded. */
+  private def variantTruthRows(sp: SparkSession): Seq[(String, String)] = {
+    import graft.planner.ErrorClassifier
+    // the reference classifier takes the error STRING; ours classifies
+    // a Throwable — a plain RuntimeException carries exactly the string
+    def fallback(msg: String): String =
+      ErrorClassifier.classify(new RuntimeException(msg)) match {
+        case Some(c) => s"fallback:${c.name}"
+        case None => "no-fallback"
+      }
+    val classifier = Seq(
+      // :18-20 function-not-found triggers fallback
+      "c32" -> fallback("Scalar Function 'CONVERT_TIMEZONE' does not exist"),
+      // :22-26 VARIANT-unsupported triggers fallback
+      "c33" -> fallback("DuckDB error: Not implemented Error: A table " +
+        "cannot be created from a VARIANT column yet"),
+      // :28-30 general not-implemented triggers fallback
+      "c34" -> fallback("Not implemented Error: some feature"),
+      // :32-35 a missing TABLE is missing on every venue — NO fallback
+      "c35" -> fallback("Table 'my_table' does not exist"),
+      // :37-39 a syntax error re-raised as-is — NO fallback (the string
+      // form; an actual local ParseException is a separate class)
+      "c36" -> fallback("Parser Error: syntax error at or near 'SELECTT'"))
+    // :44-75 — VARIANT/OBJECT detection from the schema, and the
+    // :77-117 TO_VARCHAR (to_json) downgrade projection
+    import org.apache.spark.sql.functions.{col, lit, map, struct}
+    val src = sp.range(1).select(lit(7L).as("id"), lit("n1").as("name"),
+      struct(lit(1L).as("k")).as("flow_document"),
+      map(lit("m"), lit(2L)).as("metadata"))
+    val detected = graft.cache.SourceCache.variantColumns(src.schema)
+    val none = graft.cache.SourceCache.variantColumns(
+      sp.range(1).select(col("id"), lit("x").as("name")).schema)
+    val down = graft.cache.SourceCache.downgradeVariants(src)
+    val allString = down.schema.fields
+      .filter(f => detected.contains(f.name))
+      .forall(_.dataType ==
+        org.apache.spark.sql.types.StringType)
+    val row = down.head()
+    val cache = Seq(
+      "c37" -> s"detected:${detected.sorted.mkString("+")}:n=${detected.length}",
+      "c38" -> (if (none.isEmpty) "detected:none" else
+        s"unexpected:${none.mkString("+")}"),
+      "c39" -> (s"plain=${row.getLong(0)}:${row.getString(1)}" +
+        s"|json=${row.getString(2)}:${row.getString(3)}" +
+        s"|variant-cols-stringified=$allString"))
+    classifier ++ cache
   }
 
   /** The edge cases' oracle rows: the reference-specified expected
@@ -180,7 +233,19 @@ object SqlCorpus {
     "SELECT 'c29' AS case_id, 'whitespace-passthrough' AS result",
     "SELECT 'c30' AS case_id, '2-statements-sum-' || " +
       "CAST((SELECT 11) + (SELECT 22) AS VARCHAR) AS result",
-    "SELECT 'c31' AS case_id, 'rejected:IllegalArgumentException' AS result")
+    "SELECT 'c31' AS case_id, 'rejected:IllegalArgumentException' AS result",
+    // VARIANT-handling truth table (tests/test_variant_handling.py):
+    // the reference-specified classifier decisions ...
+    "SELECT 'c32' AS case_id, 'fallback:function_missing' AS result",
+    "SELECT 'c33' AS case_id, 'fallback:variant_unsupported' AS result",
+    "SELECT 'c34' AS case_id, 'fallback:not_implemented' AS result",
+    "SELECT 'c35' AS case_id, 'no-fallback' AS result",
+    "SELECT 'c36' AS case_id, 'no-fallback' AS result",
+    // ... and the source-cache detection/downgrade expectations
+    "SELECT 'c37' AS case_id, 'detected:flow_document+metadata:n=2' AS result",
+    "SELECT 'c38' AS case_id, 'detected:none' AS result",
+    "SELECT 'c39' AS case_id, 'plain=7:n1|json={\"k\":1}:{\"m\":2}" +
+      "|variant-cols-stringified=true' AS result")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the whole corpus as ONE gate query: per-case (case_id, result)
