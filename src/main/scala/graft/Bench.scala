@@ -167,14 +167,26 @@ object Bench {
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => onlyQueries.forall(_.contains(name)) }
       .sortBy(_._1)
+    // per-query spill attribution (dev-only, SPARK_GRAFT_SPILL runs):
+    // queries run serially, so a before/after snapshot of the listener's
+    // running total attributes spill to the query that caused it (the
+    // GraftSession model-attribution recipe; listener-bus async delivery
+    // can bleed a task's bytes into the next delta, which at these
+    // query durations is noise, not structure)
+    val spillByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
     val results = selected.zipWithIndex.map { case ((name, fn), i) =>
       if (i == selected.size / 2 && i > 0) sentinels += sentinelTime()
+      val spill0 = spillListener.map(_.totalSpillBytes).getOrElse(0L)
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
       // Catalyst prune the projection and under-measure).
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      spillListener.foreach { l =>
+        val d = l.totalSpillBytes - spill0
+        if (d > 0) spillByQuery += name -> d
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
@@ -195,7 +207,12 @@ object Bench {
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted_fast_queries":$omitted""" else ""
       val sp = spillListener
-        .map(l => s""","spill_bytes":${l.totalSpillBytes}""").getOrElse("")
+        .map { l =>
+          val byQ = if (spillByQuery.isEmpty) "" else
+            spillByQuery.map { case (k, v) => "\"" + k + "\":" + v }
+              .mkString(""","spill_by_query":{""", ",", "}")
+          s""","spill_bytes":${l.totalSpillBytes}$byQ"""
+        }.getOrElse("")
       val sent = sentinels.map(fmt).mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$sp,"sentinel_sec":$sent,"sf":$sf}"""
     }
