@@ -155,25 +155,45 @@ object Bench {
     // normalize its totals against the machine state DURING that run
     // instead of guessing. Sentinel executions are not counted in
     // `total` or the per-query map.
-    def sentinelTime(): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries("q_scan_project")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    sentinelTime() // untimed warm pass (JIT/footer absorption)
-    val sentinels = scala.collection.mutable.ArrayBuffer(sentinelTime())
-
-    val selected = SparkEntry.queries.toSeq
-      .filter { case (name, _) => onlyQueries.forall(_.contains(name)) }
-      .sortBy(_._1)
     // per-query spill attribution (dev-only, SPARK_GRAFT_SPILL runs):
     // queries run serially, so a before/after snapshot of the listener's
     // running total attributes spill to the query that caused it (the
     // GraftSession model-attribution recipe; listener-bus async delivery
     // can bleed a task's bytes into the next delta, which at these
-    // query durations is noise, not structure)
+    // query durations is noise, not structure). Sentinel executions get
+    // their own "__sentinel" entry so the map reconciles with the total.
     val spillByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def recordSpillDelta(name: String, spill0: Long): Unit =
+      spillListener.foreach { l =>
+        val d = l.totalSpillBytes - spill0
+        if (d > 0) spillByQuery += name ->
+          (spillByQuery.getOrElse(name, 0L) + d)
+      }
+    // a sentinel failure must not abort the run: the bench's
+    // single-JSON-line contract outranks one sentinel sample (the timed
+    // loop tolerates per-query failures for the same reason)
+    def sentinelTime(): Double = {
+      val spill0 = spillListener.map(_.totalSpillBytes).getOrElse(0L)
+      val t0 = System.nanoTime()
+      try SparkEntry.queries("q_scan_project")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] sentinel failed: ${e.getMessage}")
+      }
+      recordSpillDelta("__sentinel", spill0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelTime() // untimed warm pass (JIT/footer absorption)
+    // global spill baseline: bytes spilled before this point (warm-up +
+    // first sentinel) are excluded from the reported total, so
+    // spill_bytes == sum(spill_by_query) + unattributed listener lag
+    val spillBase = spillListener.map(_.totalSpillBytes).getOrElse(0L)
+    spillByQuery.clear()
+    val sentinels = scala.collection.mutable.ArrayBuffer(sentinelTime())
+
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => onlyQueries.forall(_.contains(name)) }
+      .sortBy(_._1)
     val results = selected.zipWithIndex.map { case ((name, fn), i) =>
       if (i == selected.size / 2 && i > 0) sentinels += sentinelTime()
       val spill0 = spillListener.map(_.totalSpillBytes).getOrElse(0L)
@@ -184,10 +204,7 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      spillListener.foreach { l =>
-        val d = l.totalSpillBytes - spill0
-        if (d > 0) spillByQuery += name -> d
-      }
+      recordSpillDelta(name, spill0)
       name -> (System.nanoTime() - t0) / 1e9
     }
     sentinels += sentinelTime()
@@ -208,10 +225,13 @@ object Bench {
       val om = if (omitted > 0) s""","omitted_fast_queries":$omitted""" else ""
       val sp = spillListener
         .map { l =>
-          val byQ = if (spillByQuery.isEmpty) "" else
-            spillByQuery.map { case (k, v) => "\"" + k + "\":" + v }
+          // bounded: top spillers only, so a wide spill regime can't
+          // push the line past the driver's stdout tail
+          val top = spillByQuery.toSeq.sortBy(-_._2).take(20)
+          val byQ = if (top.isEmpty) "" else
+            top.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
               .mkString(""","spill_by_query":{""", ",", "}")
-          s""","spill_bytes":${l.totalSpillBytes}$byQ"""
+          s""","spill_bytes":${l.totalSpillBytes - spillBase}$byQ"""
         }.getOrElse("")
       val sent = sentinels.map(fmt).mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$sp,"sentinel_sec":$sent,"sf":$sf}"""

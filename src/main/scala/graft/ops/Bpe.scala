@@ -168,6 +168,9 @@ object Bpe {
         dict = next
       }
     }
+    // the final round's dictionary backs nothing in the returned merge
+    // table (only the 1-row `top` checkpoints do) — release it too
+    dict.drop()
     merges
   }
 
@@ -223,6 +226,10 @@ object Bpe {
         dictOwner = nextApplied
       }
     }
+    // the final round's dictionary and pair counts back nothing in the
+    // returned merge table (only the 1-row `top` checkpoints do)
+    dictOwner.drop()
+    counts.drop()
     merges
   }
 

@@ -66,15 +66,25 @@ object SnowflakeSql {
   def runAll(spark: SparkSession, sql: String): Seq[DataFrame] =
     splitStatements(sql).map(run(spark, _))
 
-  /** Statements at paren depth 0 outside string literals; empty/blank
-    * segments (trailing `;`) dropped. */
+  /** Statements at paren depth 0 outside string literals and SQL
+    * comments (line comments `-- …` to newline, and block comments
+    * star-slash-delimited — a `;` inside either is text, not a
+    * separator); empty/blank segments (trailing `;`) dropped. */
   private[graft] def splitStatements(sql: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var start = 0
     var depth = 0
     var i = 0
+    def skipComment(s: String, at: Int): Int =
+      if (s.startsWith("--", at)) {
+        val nl = s.indexOf('\n', at)
+        if (nl < 0) s.length else nl + 1
+      } else if (s.startsWith("/*", at)) {
+        val end = s.indexOf("*/", at + 2)
+        if (end < 0) s.length else end + 2
+      } else at
     while (i < sql.length) {
-      val skipped = skipLiteral(sql, i)
+      val skipped = skipComment(sql, skipLiteral(sql, i))
       if (skipped != i) i = skipped
       else {
         sql.charAt(i) match {

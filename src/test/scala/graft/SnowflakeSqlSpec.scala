@@ -142,6 +142,12 @@ class SnowflakeSqlSpec extends AnyFunSuite {
     assert(splitStatements("SELECT 'a;b' AS x") == Seq("SELECT 'a;b' AS x"))
     assert(splitStatements("SELECT f(1) AS x; SELECT 2;").length == 2)
     assert(splitStatements(";;") == Nil)
+    // a ';' inside a line or block comment is text, not a separator
+    assert(splitStatements("SELECT 1 -- note; still the note\n; SELECT 2")
+      .length == 2)
+    assert(splitStatements("SELECT 1 /* a;b */; SELECT 2").length == 2)
+    assert(splitStatements("SELECT 1 -- trailing; comment") ==
+      Seq("SELECT 1 -- trailing; comment"))
   }
 
   test("invalid target dialect is rejected (test_transpiler.py:82-84)") {

@@ -25,10 +25,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(v):
     if v is None:
         return "NULL"
-    if hasattr(v, "tzinfo") and getattr(v, "tzinfo", None) is not None:
+    import datetime
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
         # normalize tz-aware datetimes to naive UTC so an Arrow-side tz
         # annotation (vs DuckDB's naive TIMESTAMP) can't split the hash
-        import datetime
+        # (datetime only: a tz-aware datetime.time has tzinfo but no
+        # astimezone, and must not crash the whole gate run)
         v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     if isinstance(v, bool):
         return "true" if v else "false"
@@ -54,8 +56,10 @@ def table_key(cols, rows):
 def norm_type(t):
     """Normalize benign Arrow type spellings so only driver-visible
     divergences flag: large_string==string, dictionary unwrapped,
-    timestamp tz presence ignored (unit kept — the driver canon is
-    sensitive to unit, not zone annotation on UTC data)."""
+    timestamps collapsed to the bare type CLASS (unit AND tz annotation
+    ignored — Spark INT96 reads as ns-naive vs DuckDB's us, and six
+    rounds of driver rows prove the canon is unit-agnostic there; a
+    date-vs-timestamp class split still flags)."""
     import pyarrow as pa
     if pa.types.is_dictionary(t):
         t = t.value_type
