@@ -255,8 +255,24 @@ object SqlCorpus {
     // hash)
     "q_sql_corpus" -> ((s, dir) => {
       Tables.registerAll(s, dir)
-      (cases.map(c => SnowflakeSql.run(s, c.sf)) :+ edgeRows(s))
-        .reduce(_.unionByName(_))
+      // branch construction (parse + transpile + analyze) is pure
+      // driver-side work with a per-case floor; at 39 cases it WAS the
+      // query's dominant cost (3.7 s of serial analysis at any sf —
+      // execution itself is one unioned job). Analyze the branches
+      // concurrently: Spark sessions support concurrent query
+      // submission, the transpiler is pure string work, and QUALIFY
+      // temp views are UUID-named. Registry.register runs once first
+      // so no two threads race the function registry. Future.sequence
+      // preserves case order, so the union (and the driver hash) is
+      // byte-identical to the serial build.
+      SnowflakeSql.run(s, "SELECT 1 AS __warm")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val branches = Await.result(
+        Future.sequence(cases.map(c => Future(SnowflakeSql.run(s, c.sf)))),
+        Duration.Inf)
+      (branches :+ edgeRows(s)).reduce(_.unionByName(_))
     })
   )
 
