@@ -907,6 +907,26 @@ class OpsSpec extends AnyFunSuite {
     assert(recount.length == 5)
   }
 
+  test("BPE training releases all checkpoint blocks except the 1-row tops") {
+    // both strategies unpersist superseded AND final-round dictionary/
+    // count checkpoints; only the `rounds` 1-row top-pair checkpoints
+    // (which back the returned merge table) may stay cached. Guards the
+    // round-8 leak fix: before it, cached blocks grew with the round
+    // count and squeezed whatever ran after training.
+    val docs = Tables.load(spark, sf, "documents").limit(300)
+    for (minWords <- Seq(Long.MaxValue.toString, "0")) {
+      spark.conf.set(graft.ops.Bpe.IncrementalMinWordsKey, minWords)
+      try {
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val rounds = 4
+        graft.ops.Bpe.trainMerges(docs, "text", rounds).collect()
+        val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+        assert(added.size <= rounds,
+          s"minWords=$minWords leaked ${added.size} cached RDDs (> $rounds tops)")
+      } finally spark.conf.unset(graft.ops.Bpe.IncrementalMinWordsKey)
+    }
+  }
+
   test("BPE segmentation survives a corpus that learns fewer merges " +
     "than rounds") {
     import spark.implicits._
