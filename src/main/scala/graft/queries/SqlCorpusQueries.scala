@@ -23,9 +23,10 @@ import graft.transpile.SnowflakeSql
   * date, or string computation only (counts, integer sums, min/max of
   * strings, boundary-exact date math) — no cross-engine doubles.
   *
-  * Cost note: the union's runtime is dominated by 27 sequential
-  * driver-side parse/transpile/analyze passes plus a ~0.1 s floor per
-  * tiny aggregate branch (profiled per-case: the only data-bound cases
+  * Cost note: the union's runtime is dominated by driver-side
+  * parse/transpile/analyze floors per branch (39 cases as of round 8),
+  * now paid CONCURRENTLY (order-preserving Future.sequence in `defs`),
+  * plus the single unioned job's execution (the only data-bound cases
   * are the two events-JSON probes and the partitioned QUALIFY, ~0.5 s
   * each at sf0.1) — i.e. the gate's cost is close to FLAT in corpus
   * size, which is the property that matters at scale; it reads whole
