@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{CoreQueries, DataOpsQueries, EventQueries,
   ExtraQueries, FunctionQueries, MaterializeQueries, PipelineQueries,
-  SqlCorpus, TestQueries, TpchQueries}
+  SkewQueries, SqlCorpus, TestQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
     (PipelineQueries.defs, PipelineQueries.oracle),
     (TestQueries.defs, TestQueries.oracle),
     (SqlCorpus.defs, SqlCorpus.oracle),
-    (TpchQueries.defs, TpchQueries.oracle)
+    (TpchQueries.defs, TpchQueries.oracle),
+    (SkewQueries.defs, SkewQueries.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -124,14 +124,21 @@ object Registry {
     }
   )
 
-  /** Idempotent per-session registration. */
+  /** Idempotent per-session registration — safe under concurrent first
+    * calls (the transpiler corpus analyzes branches in parallel):
+    * createOrReplaceTempFunction is idempotent by construction, and the
+    * extraOptimizations check-then-append (not atomic on its own —
+    * concurrent first calls could double-append JsonPathCse or lose it)
+    * is serialized here rather than relying on call-site ordering. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
     }
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.JsonPathCse))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.JsonPathCse
+    Registry.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.JsonPathCse))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.JsonPathCse
+    }
   }
 }

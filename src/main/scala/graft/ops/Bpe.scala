@@ -108,10 +108,16 @@ object Bpe {
     * round 8: the follow-on segmentation pass paid for training's
     * leaked blocks). */
   private final class Checkpointed(spark: SparkSession, df: DataFrame) {
-    private val before = spark.sparkContext.getPersistentRDDs.keySet
     val data: DataFrame = df.localCheckpoint()
-    private val mine =
-      spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    // Ownership comes from the returned Dataset's own plan: a
+    // localCheckpoint'ed Dataset is backed by a LogicalRDD whose rdd IS
+    // the persisted one. (A getPersistentRDDs keyset diff around the
+    // call — the first formulation — would claim any RDD a CONCURRENT
+    // job happened to persist in that window and unrecoverably drop its
+    // blocks; the plan-derived id cannot.)
+    private val mine: Set[Int] = data.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }.toSet
     def drop(): Unit = spark.sparkContext.getPersistentRDDs
       .filter { case (id, _) => mine.contains(id) }
       .values.foreach(_.unpersist(blocking = false))
@@ -132,8 +138,11 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(concat(lit("||"),
         regexp_replace(col("w"), "(.)", "$1||")).as("enc"), col("freq")))
+    // malformed conf values fall back to the default instead of
+    // aborting training with a NumberFormatException
     val minWords = spark.conf.getOption(IncrementalMinWordsKey)
-      .map(_.toLong).getOrElse(IncrementalMinWordsDefault)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(IncrementalMinWordsDefault)
     // the gate probe counts the already-materialized checkpoint blocks
     // — no recompute, one trivial job
     val merges =

@@ -262,10 +262,12 @@ object SqlCorpus {
       // execution itself is one unioned job). Analyze the branches
       // concurrently: Spark sessions support concurrent query
       // submission, the transpiler is pure string work, and QUALIFY
-      // temp views are UUID-named. Registry.register runs once first
-      // so no two threads race the function registry. Future.sequence
-      // preserves case order, so the union (and the driver hash) is
-      // byte-identical to the serial build.
+      // temp views are UUID-named, and Registry.register is itself
+      // thread-safe (the extraOptimizations append is synchronized) —
+      // the warm call below is purely a performance warm, not a
+      // correctness precondition. Future.sequence preserves case
+      // order, so the union (and the driver hash) is byte-identical
+      // to the serial build.
       SnowflakeSql.run(s, "SELECT 1 AS __warm")
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration

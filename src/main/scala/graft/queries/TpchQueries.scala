@@ -56,9 +56,16 @@ object TpchQueries {
     // TPC-H q2 (minimum-cost supplier). Adapted: partsupp stand-in =
     // DISTINCT (l_partkey, l_suppkey) observed in lineitem; supply cost
     // stand-in = s_acctbal. Same shape: region-filtered supplier dim,
-    // per-part MIN correlated predicate as a partial agg + equi-join
-    // (exact double equality — min() selects a stored value, never
-    // computes one).
+    // per-part MIN correlated predicate — expressed as a per-partition
+    // WINDOW min + filter (the greatest-n-per-group rewrite), not as a
+    // partial agg self-joined back: the self-join form referenced the
+    // joined relation TWICE, and unless ReuseExchange fired, the widest
+    // distinct in the suite (the partsupp stand-in) was computed twice —
+    // measured as q2 alone spilling 15.99 GB of the 8 g sf10 leg's
+    // 29.46 GB total. The window pass shuffles once on p_partkey and
+    // reads the distinct exactly once. Exact double equality is
+    // untouched: min() over a window selects a stored value, never
+    // computes one.
     "q_tpch_q2" -> ((s, dir) => {
       val ps = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey")).distinct()
@@ -74,10 +81,10 @@ object TpchQueries {
         .join(su, col("l_suppkey") === col("s_suppkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"))
-      val minBal = j.groupBy(col("p_partkey").as("__pk"))
-        .agg(min(col("s_acctbal")).as("__minbal"))
-      j.join(broadcast(minBal), col("p_partkey") === col("__pk") &&
-          col("s_acctbal") === col("__minbal"))
+      val byPart = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_partkey"))
+      j.withColumn("__minbal", min(col("s_acctbal")).over(byPart))
+        .filter(col("s_acctbal") === col("__minbal"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
@@ -203,18 +210,27 @@ object TpchQueries {
     // stand-in = DISTINCT lineitem pairs; the "customer complaints"
     // supplier exclusion becomes s_acctbal < 0, as a broadcast
     // anti-join. COUNT(DISTINCT supplier) groups on the part attrs.
+    // Both broadcast prunes run BELOW the wide distinct: joining the
+    // filtered part dim and anti-joining the bad suppliers against raw
+    // lineitem first cuts ~5/6 of the rows before the distinct's
+    // shuffle — the distinct-then-join order spilled 9.45 GB on the 8 g
+    // sf10 leg because the suite's widest distinct ran at full width.
+    // Distinctness over (pair, part attrs) equals distinctness over the
+    // pair: the part attributes are functionally dependent on p_partkey.
     "q_tpch_q16" -> ((s, dir) => {
-      val ps = Tables.load(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
       val bad = Tables.load(s, dir, "supplier")
         .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
       val p = Tables.load(s, dir, "part")
         .filter(col("p_brand") =!= "Brand#1" &&
           col("p_type") =!= "LARGE" &&
           col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23))
-      ps.join(broadcast(bad), ps("l_suppkey") === bad("s_suppkey"),
+      val l = Tables.load(s, dir, "lineitem")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(broadcast(bad), l("l_suppkey") === bad("s_suppkey"),
           "left_anti")
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("p_brand"), col("p_type"), col("p_size"))
+        .distinct()
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
     }),
@@ -292,20 +308,23 @@ object TpchQueries {
     // over lineitem instead of two correlated self-join probes, the
     // scale-correct formulation of the same predicate. Nation filter
     // widened to region ASIA (as q20).
+    // Single-pass shape: with __nl = 1 the blocking supplier IS the
+    // order's only late supplier, so max(when(late, suppkey)) recovers
+    // it inside the same aggregate — the earlier two-pass form re-read
+    // the semi-joined lineitem a second time (blockers distinct +
+    // semi-join back), spilling 4.02 GB on the 8 g sf10 leg.
     "q_tpch_q21" -> ((s, dir) => {
       val fOrders = Tables.load(s, dir, "orders")
         .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
       val l = Tables.load(s, dir, "lineitem")
         .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      val perOrder = l.groupBy(col("l_orderkey").as("__ok"))
+      val blockers = l.groupBy(col("l_orderkey").as("__ok"))
         .agg(countDistinct(col("l_suppkey")).as("__ns"),
           countDistinct(when(col("l_returnflag") === "R",
-            col("l_suppkey"))).as("__nl"))
+            col("l_suppkey"))).as("__nl"),
+          max(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("l_suppkey"))
         .filter(col("__ns") > 1 && col("__nl") === 1)
-        .select(col("__ok"))
-      val blockers = l.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        .join(perOrder, col("l_orderkey") === col("__ok"), "left_semi")
       val su = Tables.load(s, dir, "supplier")
         .join(broadcast(Tables.load(s, dir, "nation")),
           col("s_nationkey") === col("n_nationkey"))

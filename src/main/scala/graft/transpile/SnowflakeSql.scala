@@ -67,16 +67,17 @@ object SnowflakeSql {
     splitStatements(sql).map(run(spark, _))
 
   /** Statements at paren depth 0 outside string literals and SQL
-    * comments (line comments `-- …` to newline, and block comments
-    * star-slash-delimited — a `;` inside either is text, not a
-    * separator); empty/blank segments (trailing `;`) dropped. */
+    * comments (line comments `-- …` and Snowflake's `// …` to newline,
+    * and block comments star-slash-delimited — a `;` inside any is
+    * text, not a separator); empty/blank segments (trailing `;`)
+    * dropped. */
   private[graft] def splitStatements(sql: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var start = 0
     var depth = 0
     var i = 0
     def skipComment(s: String, at: Int): Int =
-      if (s.startsWith("--", at)) {
+      if (s.startsWith("--", at) || s.startsWith("//", at)) {
         val nl = s.indexOf('\n', at)
         if (nl < 0) s.length else nl + 1
       } else if (s.startsWith("/*", at)) {

@@ -905,6 +905,10 @@ class OpsSpec extends AnyFunSuite {
     val incremental = table(minWords = "0")
     assert(recount == incremental, s"recount=$recount incr=$incremental")
     assert(recount.length == 5)
+    // a malformed gate conf falls back to the default instead of
+    // aborting training with a NumberFormatException
+    val malformed = table(minWords = "not-a-number")
+    assert(malformed == recount)
   }
 
   test("BPE training releases all checkpoint blocks except the 1-row tops") {

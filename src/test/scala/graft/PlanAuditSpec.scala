@@ -72,7 +72,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_tpch_q11", "q_tpch_q22",
       // t_bpe_apply: the rank-sorted merge table collapses to ONE
       // broadcast row crossed into the distinct-word vocabulary
-      "t_bpe_apply")
+      "t_bpe_apply",
+      // q_skew_salted: the 1-row hot-supplier aggregate crossed into
+      // lineitem — the scalar-broadcast pattern (the salted join
+      // itself is an equi-join on (key, salt))
+      "q_skew_salted")
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

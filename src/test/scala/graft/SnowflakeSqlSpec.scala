@@ -148,6 +148,11 @@ class SnowflakeSqlSpec extends AnyFunSuite {
     assert(splitStatements("SELECT 1 /* a;b */; SELECT 2").length == 2)
     assert(splitStatements("SELECT 1 -- trailing; comment") ==
       Seq("SELECT 1 -- trailing; comment"))
+    // Snowflake's // line-comment form behaves exactly like --
+    assert(splitStatements("SELECT 1 // note; still the note\n; SELECT 2")
+      .length == 2)
+    assert(splitStatements("SELECT 1 // trailing; comment") ==
+      Seq("SELECT 1 // trailing; comment"))
   }
 
   test("invalid target dialect is rejected (test_transpiler.py:82-84)") {
