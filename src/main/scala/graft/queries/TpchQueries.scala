@@ -62,13 +62,14 @@ object TpchQueries {
     // joined relation TWICE, and unless ReuseExchange fired, the widest
     // distinct in the suite (the partsupp stand-in) was computed twice —
     // measured as q2 alone spilling 15.99 GB of the 8 g sf10 leg's
-    // 29.46 GB total. The window pass shuffles once on p_partkey and
-    // reads the distinct exactly once. Exact double equality is
-    // untouched: min() over a window selects a stored value, never
-    // computes one.
+    // 29.46 GB total. Second reshape: the distinct's INPUT is pruned by
+    // both broadcast dims first — keys-only part/supplier prunes cut
+    // the pair stream to a few percent of lineitem before its shuffle
+    // (inner equi-joins commute with the pair distinct), the attribute
+    // joins re-attach to the post-distinct trickle, and the window pass
+    // shuffles once on p_partkey. Exact double equality is untouched:
+    // min() over a window selects a stored value, never computes one.
     "q_tpch_q2" -> ((s, dir) => {
-      val ps = Tables.load(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
       val su = Tables.load(s, dir, "supplier")
         .join(broadcast(Tables.load(s, dir, "nation")),
           col("s_nationkey") === col("n_nationkey"))
@@ -77,8 +78,16 @@ object TpchQueries {
           col("n_regionkey") === col("r_regionkey"))
       val p = Tables.load(s, dir, "part")
         .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
-      val j = p.join(ps, col("p_partkey") === col("l_partkey"))
-        .join(su, col("l_suppkey") === col("s_suppkey"))
+      val l = Tables.load(s, dir, "lineitem")
+      val pairs = l
+        .join(broadcast(p.select(col("p_partkey").as("__pp"))),
+          col("l_partkey") === col("__pp"))
+        .join(broadcast(su.select(col("s_suppkey").as("__ss"))),
+          col("l_suppkey") === col("__ss"))
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val j = pairs
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"))
       val byPart = org.apache.spark.sql.expressions.Window
@@ -308,21 +317,29 @@ object TpchQueries {
     // over lineitem instead of two correlated self-join probes, the
     // scale-correct formulation of the same predicate. Nation filter
     // widened to region ASIA (as q20).
-    // Single-pass shape: with __nl = 1 the blocking supplier IS the
-    // order's only late supplier, so max(when(late, suppkey)) recovers
-    // it inside the same aggregate — the earlier two-pass form re-read
-    // the semi-joined lineitem a second time (blockers distinct +
-    // semi-join back), spilling 4.02 GB on the 8 g sf10 leg.
+    // Two-stage plain-aggregate shape: a per-(order, supplier) late
+    // flag first (map-side-combined max — the fact stream shrinks to
+    // distinct pairs before any wide shuffle), then per-order counts
+    // over the pair relation, where count(*) IS countDistinct(supplier)
+    // and sum(late) IS countDistinct(late supplier); with __nl = 1 the
+    // blocker is recovered as max(when(late, suppkey)) in the same
+    // pass. No Expand anywhere: the earlier formulations either re-read
+    // the semi-joined lineitem twice (4.02 GB spill on the 8 g sf10
+    // leg) or fed 60 M rows through a ×3 distinct-aggregate Expand
+    // (14.1 GB) — partial aggregation is the only shape whose shuffle
+    // width is the DISTINCT pair count, not the fact row count.
     "q_tpch_q21" -> ((s, dir) => {
       val fOrders = Tables.load(s, dir, "orders")
         .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
       val l = Tables.load(s, dir, "lineitem")
         .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      val blockers = l.groupBy(col("l_orderkey").as("__ok"))
-        .agg(countDistinct(col("l_suppkey")).as("__ns"),
-          countDistinct(when(col("l_returnflag") === "R",
-            col("l_suppkey"))).as("__nl"),
-          max(when(col("l_returnflag") === "R", col("l_suppkey")))
+      val perPair = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
+          .as("__late"))
+      val blockers = perPair.groupBy(col("l_orderkey").as("__ok"))
+        .agg(count(lit(1)).as("__ns"),
+          sum(col("__late")).as("__nl"),
+          max(when(col("__late") === 1, col("l_suppkey")))
             .as("l_suppkey"))
         .filter(col("__ns") > 1 && col("__nl") === 1)
       val su = Tables.load(s, dir, "supplier")

@@ -911,6 +911,25 @@ class OpsSpec extends AnyFunSuite {
     assert(malformed == recount)
   }
 
+  test("BPE strategies agree on a diversified synthetic vocabulary") {
+    // the documents corpus has a degenerate vocabulary (30 distinct
+    // words at sf0.01); the syllable-composed BpeCrossover corpus has
+    // thousands of distinct words with shared subword structure — the
+    // shape the incremental strategy exists for (its full-size 1 M+
+    // word A/B runs via `runMain graft.BpeCrossover`, SCALING.md r9)
+    val docs = graft.BpeCrossover.syntheticCorpus(spark, 20000L, 10000L)
+    def table(minWords: String): Seq[String] = {
+      spark.conf.set(graft.ops.Bpe.IncrementalMinWordsKey, minWords)
+      try graft.ops.Bpe.trainMerges(docs, "text", rounds = 6)
+        .orderBy("merge_rank").collect().map(_.mkString("|")).toSeq
+      finally spark.conf.unset(graft.ops.Bpe.IncrementalMinWordsKey)
+    }
+    val recount = table(Long.MaxValue.toString)
+    val incremental = table("0")
+    assert(recount == incremental, s"recount=$recount incr=$incremental")
+    assert(recount.length == 6)
+  }
+
   test("BPE training releases all checkpoint blocks except the 1-row tops") {
     // both strategies unpersist superseded AND final-round dictionary/
     // count checkpoints; only the `rounds` 1-row top-pair checkpoints
