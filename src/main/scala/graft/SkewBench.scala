@@ -11,34 +11,58 @@ import graft.queries.SkewQueries
 
 /** Salted-vs-unsalted skew measurement (developer tooling, not a driver
   * surface): runs the q_skew_salted join shape — ~20% of lineitem rows
-  * on ONE hot supplier key — three ways on `SPARK_GRAFT_SF_DIR`:
+  * on ONE hot supplier key — four ways on `SPARK_GRAFT_SF_DIR`:
   *
-  *  1. `unsalted`       — plain sort-merge join, AQE skew-join OFF:
-  *                        the naive plan, paced by its one hot partition
-  *  2. `unsalted_aqe`   — plain join, AQE skew-join ON: Spark's runtime
-  *                        mitigation (splits oversized SMJ partitions)
-  *  3. `salted`         — [[Skew.saltedJoin]], AQE skew-join OFF: the
-  *                        by-construction mitigation that also covers
-  *                        the shapes AQE can't split (shuffled-hash
-  *                        build sides, aggregation keys)
+  *  1. `unsalted_merge`     — sort-merge join, AQE skew-join OFF: the
+  *                            naive plan, paced by its hot partition
+  *  2. `unsalted_merge_aqe` — sort-merge, AQE skew-join ON: Spark's
+  *                            runtime mitigation (splits oversized
+  *                            SMJ partitions)
+  *  3. `unsalted_hash`      — shuffled-hash join, skew unmitigated:
+  *                            the shape AQE's skew rule does not
+  *                            split by default
+  *  4. `salted_hash`        — [[Skew.saltedJoin]] + shuffled-hash:
+  *                            the by-construction mitigation,
+  *                            sortless and balanced
   *
   * Per leg (after an untimed warm run of the scan): wall seconds, max
   * single-task milliseconds (the straggler signal — an unsalted run's
-  * max task IS the hot partition), and spilled bytes. One JSON line per
-  * leg + a row-count identity check across legs. Results land in
-  * SCALING.md (round 9).
+  * max task IS the hot partition), spilled bytes, and per-stage
+  * (max, mean, tasks) for the top stages — a balanced stage has
+  * max ≈ mean, a skewed one max >> mean. One JSON line per leg + a
+  * row-count identity check across legs. Results land in SCALING.md
+  * (round 9).
   */
 object SkewBench {
 
   private final class TaskStats extends SparkListener {
     val spill = new AtomicLong(0L)
     val maxTaskMs = new AtomicLong(0L)
+    // per-stage (max task ms, task count, stage task-time sum) — the
+    // straggler signal must be ATTRIBUTED: a scan-stage straggler and a
+    // hot join reducer look identical in a global max
+    val byStage = new java.util.concurrent.ConcurrentHashMap[
+      Int, (Long, Long, Long)]()
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null)
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
-      if (e.taskInfo != null)
-        maxTaskMs.getAndUpdate(c => math.max(c, e.taskInfo.duration))
+      if (e.taskInfo != null) {
+        val d = e.taskInfo.duration
+        maxTaskMs.getAndUpdate(c => math.max(c, d))
+        byStage.merge(e.stageId, (d, 1L, d),
+          (a, b) => (math.max(a._1, b._1), a._2 + b._2, a._3 + b._3))
+      }
+    }
+    /** Top-k stages by max task, as a compact JSON fragment: each entry
+      * (stage, max task ms, mean task ms, tasks) — a balanced stage has
+      * max ≈ mean; a skewed one has max >> mean. */
+    def topStages(k: Int): String = {
+      import scala.jdk.CollectionConverters._
+      byStage.asScala.toSeq.sortBy(-_._2._1).take(k)
+        .map { case (sid, (mx, n, sum)) =>
+          s"""{"stage":$sid,"max_ms":$mx,"mean_ms":${sum / n},"tasks":$n}"""
+        }.mkString("[", ",", "]")
     }
   }
 
@@ -50,6 +74,12 @@ object SkewBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the SURVEY sizing rule, applied: sf10's lineitem is one 1.1 GB
+      // parquet file, and the default 128 MB split gives a 9-task scan
+      // stage whose ~22 s stragglers MASK the join-stage skew this tool
+      // exists to measure (observed: every leg's max task was a scan
+      // task). 32 MB splits put the map side at ~36 tasks on 32 cores.
+      .config("spark.sql.files.maxPartitionBytes", (32L << 20).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,18 +88,30 @@ object SkewBench {
       .groupBy(col("s_name"), col("n_name"))
       .agg(count(lit(1)).as("n_lines"), sum(col("__rev")).as("rev"))
 
+    // Leg design note (measured on the way here, sf10): salting a
+    // SORT-MERGE join balances the stage (max/mean task 1.10 vs 2.37)
+    // but the salt as a tie-breaking second sort key turns the
+    // prefix-tied key comparisons (~300 distinct suppliers per
+    // partition) into full-record compares — stage CPU doubled and the
+    // balance bought nothing. The scale-correct composition is salting
+    // + SHUFFLED-HASH: no sort anywhere, the replicated dim builds a
+    // tiny per-partition hash map, and the probe side streams balanced.
     def legs: Seq[(String, Boolean, () => DataFrame)] = Seq(
-      ("unsalted", false, () =>
+      ("unsalted_merge", false, () =>
         agg(SkewQueries.skewedLines(spark, sfDir)
           .join(SkewQueries.supplierDim(spark, sfDir).hint("MERGE"),
             Seq("supp_eff")))),
-      ("unsalted_aqe", true, () =>
+      ("unsalted_merge_aqe", true, () =>
         agg(SkewQueries.skewedLines(spark, sfDir)
           .join(SkewQueries.supplierDim(spark, sfDir).hint("MERGE"),
             Seq("supp_eff")))),
-      ("salted", false, () =>
+      ("unsalted_hash", false, () =>
+        agg(SkewQueries.skewedLines(spark, sfDir)
+          .join(SkewQueries.supplierDim(spark, sfDir)
+            .hint("SHUFFLE_HASH"), Seq("supp_eff")))),
+      ("salted_hash", false, () =>
         agg(Skew.saltedJoin(SkewQueries.skewedLines(spark, sfDir),
-          SkewQueries.supplierDim(spark, sfDir).hint("MERGE"),
+          SkewQueries.supplierDim(spark, sfDir).hint("SHUFFLE_HASH"),
           Seq("supp_eff"), saltFactor = 8)))
     )
 
@@ -90,7 +132,8 @@ object SkewBench {
       counts(name) = build().count()
       println(f"""{"leg":"$name","sec":$sec%.3f,""" +
         s""""max_task_ms":${stats.maxTaskMs.get()},""" +
-        s""""spill_bytes":${stats.spill.get()},"sf_dir":"$sfDir"}""")
+        s""""spill_bytes":${stats.spill.get()},""" +
+        s""""top_stages":${stats.topStages(3)},"sf_dir":"$sfDir"}""")
     }
     require(counts.values.toSet.size == 1,
       s"result-group counts diverged across legs: $counts")

@@ -22,9 +22,14 @@ import graft.ops.Skew
   *
   * [[graft.ops.Skew.saltedJoin]] spreads the hot key over 8 salt
   * values (big side salted deterministically, supplier dim replicated
-  * 8×, join on (key, salt)); the MERGE hint pins the shuffle join so
-  * the registered query exercises the exact scale shape even where the
-  * 8×-replicated dim would otherwise broadcast. Row results are
+  * 8×, join on (key, salt)); the SHUFFLE_HASH hint pins the shuffle
+  * join so the registered query exercises the exact scale shape even
+  * where the 8×-replicated dim would otherwise broadcast — and hash,
+  * not merge, because salting a sort-merge join poisons its sort (the
+  * salt becomes a tie-breaking second key and the prefix-tied
+  * comparisons fall into full-record compares; SkewBench measured the
+  * stage CPU doubling), while the hash join is sortless and its
+  * replicated dim builds a tiny per-partition map. Row results are
   * identical to the unsalted join by construction — the oracle is a
   * plain (unsalted) SQL join. The salted-vs-unsalted straggler and
   * spill delta is measured by [[graft.SkewBench]] and recorded in
@@ -68,7 +73,7 @@ object SkewQueries {
   val defs: Map[String, Q] = Map(
     "q_skew_salted" -> ((s, dir) => {
       Skew.saltedJoin(skewedLines(s, dir),
-          supplierDim(s, dir).hint("MERGE"), Seq("supp_eff"),
+          supplierDim(s, dir).hint("SHUFFLE_HASH"), Seq("supp_eff"),
           saltFactor = 8)
         .groupBy(col("s_name"), col("n_name"))
         .agg(count(lit(1)).as("n_lines"),

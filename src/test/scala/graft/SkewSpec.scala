@@ -66,7 +66,13 @@ class SkewSpec extends AnyFunSuite {
       "broadcasting the dim") {
     val p = SparkEntry.queries("q_skew_salted")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(p.contains("SortMergeJoin"), p)
+    // shuffled-hash, not sort-merge: salting an SMJ makes the salt a
+    // tie-breaking second sort key and the prefix-tied comparisons
+    // (few distinct suppliers per partition) fall into full-record
+    // compares — SkewBench measured the stage CPU doubling. The hash
+    // join has no sort to poison; the replicated dim builds a tiny
+    // per-partition map.
+    assert(p.contains("ShuffledHashJoin"), p)
     assert(p.contains("__graft_salt"), p)
   }
 }
