@@ -42,20 +42,25 @@ import TextOps.tokens
   *
   * The crossover is governed by fixed per-round overhead vs dictionary
   * size: the delta machinery only pays once re-exploding the dictionary
-  * dominates its extra checkpoints, i.e. at real-corpus vocabularies
-  * (millions of distinct words). A round-8 same-host A/B on this repo's
-  * synthetic corpora — whose token vocabulary is degenerate (30
-  * distinct words at sf0.1, 3,099 at sf10) — measured the recount loop
-  * faster at EVERY reachable scale (train 1.3 s vs 1.9 s at sf1; the
-  * incremental leg's un-unpersisted blocks also slowed whatever ran
-  * after it, since fixed), because with a ≤3,099-row dictionary both
-  * loops are pure scheduling overhead and the incremental path
-  * schedules 3× the checkpoints. The size gate encodes the crossover
-  * instead of claiming a payoff this testdata cannot exhibit: below
-  * `graft.bpe.incrementalMinWords` (default 1,000,000) the recount
-  * loop runs; at or above it, the incremental loop. Both emit
-  * bit-identical merge tables (each has passed the sf0.01 driver
-  * oracle; OpsSpec asserts cross-strategy equality directly).
+  * dominates its extra checkpoints. Two same-host A/Bs bracket it. A
+  * round-8 A/B on this repo's testdata corpora — whose token vocabulary
+  * is degenerate (30 distinct words at sf0.1, 3,099 at sf10) — measured
+  * the recount loop faster at every reachable scale (both loops are
+  * pure scheduling floor there and incremental schedules 3× the
+  * checkpoints). A round-9 A/B on the diversified syllable-composed
+  * corpus ([[graft.BpeCrossover]], 8 rounds, minima of repeats,
+  * bit-identical tables asserted every leg) measured the actual
+  * crossover: recount wins at 10 k distinct words (3.6 s vs 4.3 s),
+  * incremental wins from 30 k up (6.1 vs 7.3 at 30 k; 16.2 vs 17.4 at
+  * 1.28 M; 37.8 vs 50.0 at 4 M — the gap widens with the vocabulary,
+  * as the touched-word fraction shrinks). The size gate encodes that
+  * measurement: below `graft.bpe.incrementalMinWords` (default
+  * 100,000 — above the 10-30 k crossover band with margin for corpora
+  * whose merges touch more of the dictionary) the recount loop runs;
+  * at or above it, the incremental loop. Both emit bit-identical merge
+  * tables (each has passed the sf0.01 driver oracle; OpsSpec asserts
+  * cross-strategy equality on both the testdata and the diversified
+  * corpus).
   *
   * Engine-exact and differentially checkable end-to-end: pair counts
   * are integer sums of word frequencies; the winning pair is picked by
@@ -76,7 +81,7 @@ object Bpe {
   /** Session-conf key: dictionary size (distinct words) at or above
     * which the incremental pair-count strategy replaces full recount. */
   val IncrementalMinWordsKey = "graft.bpe.incrementalMinWords"
-  private val IncrementalMinWordsDefault = 1000000L
+  private val IncrementalMinWordsDefault = 100000L
 
   private val emptyPairs = array().cast(
     ArrayType(StructType(Seq(StructField("lhs", StringType),
