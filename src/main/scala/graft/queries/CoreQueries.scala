@@ -82,7 +82,16 @@ object CoreQueries {
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+          // integer-cents, like the rest of the revenue family (the
+          // round-5 recipe): the old 6-dp decimal cast of this computed
+          // product column rounds the shortest string repr in Spark but
+          // the binary value in DuckDB, and at 600 M rows (sf100) the
+          // ~1e-5-per-row boundary divergences accumulate past the
+          // sum's ulp — caught by the round-9 fourth-decade probe.
+          // floor(x·100 + 0.5) is identical IEEE arithmetic on both
+          // engines at every row, so the exact sums cannot drift.
+          (sum(c2(col("l_extendedprice")).cast(DecimalType(28, 0)))
+            .cast(DoubleType) / lit(100.0)).as("sum_base_price"),
           sumRevenue.as("sum_disc_price"),
           (sum((revScaled * (lit(100L) + c2(col("l_tax"))))
             .cast(DecimalType(28, 0))).cast(DoubleType) / lit(1000000.0))
@@ -548,7 +557,8 @@ object CoreQueries {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |    AS DECIMAL(28,0))) AS DOUBLE) / 100.0 AS sum_base_price,
         |  CAST(SUM(CAST((CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
         |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
         |    AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS sum_disc_price,
