@@ -20,9 +20,16 @@ object Bench {
     val recordSpill = sys.env.get("SPARK_GRAFT_SPILL").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // dev-only: decouple shuffle partitions from cores — the SURVEY
+    // sizing rule ("size shuffle.partitions so partitions fit in
+    // executor memory at the target SF") needs >cores partitions at
+    // the fourth decade (600 M-row shuffles / 32 = 19 M rows per
+    // partition spills; AQE coalesces the small-SF cases back down)
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
