@@ -14,9 +14,15 @@ object Verify {
       if (args.length > 2) Some(args(2).split(',').map(_.trim).toSet)
       else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev-only (driver sets neither): SPARK_GRAFT_SHUFFLE decouples
+    // shuffle partitions from cores, as in Bench — the house sizing
+    // rule needs >cores partitions at the fourth decade (e.g. q9's
+    // shuffled-hash build of 150 M orders / 32 partitions exceeds any
+    // reasonable heap; /128 fits)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -169,13 +169,19 @@ object TpchQueries {
     // TPC-H q12 (shipping-mode priority). Adapted: l_shipmode stand-in =
     // l_linestatus; the commit/receipt lateness predicate drops (no such
     // columns) — the join + dual conditional-count rollup is the shape.
+    // SHUFFLE_HASH on the year-filtered lineitem side (the smaller,
+    // ~1/7 of lines): sort-merge sorted BOTH the 86 M-row filtered
+    // lines AND the 150 M-row orders at sf100, spilling 15 GB at 32
+    // partitions — hash-building the bounded side leaves the orders
+    // stream unsorted (the q9 recipe; build fits per-partition under
+    // the house partition-sizing rule).
     "q_tpch_q12" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
       val l = Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01") &&
           col("l_shipdate") < lit("1997-01-01"))
       val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
+      Tables.shuffleHash(l).join(o, l("l_orderkey") === o("o_orderkey"))
         .groupBy(col("l_linestatus").as("ship_class"))
         .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
           sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
