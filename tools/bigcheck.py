@@ -1,0 +1,164 @@
+#!/usr/bin/env python3
+"""Scalable differential for row-giant queries (developer tooling).
+
+Same verdict semantics as tools/check.py (sorted column names, row
+count, order-insensitive content compare over canonicalized values) but
+the canonicalization and hashing run INSIDE DuckDB on both sides, so a
+150 M-row result diffs in C++ on all cores instead of a Python row
+loop. The Spark result parquet and the oracle query are both read by
+the SAME DuckDB session and canonicalized by the SAME SQL expressions,
+so any engine-specific rendering cancels out: two sides hash equal iff
+their multisets of canonical row strings are equal (64-bit sum-of-hash
+multiset digest + exact count; collisions are 2^-64-improbable and
+non-adversarial here).
+
+Usage: bigcheck.py <sfDir> <verifyOutDir> [names-csv] [artifact.json]
+
+Artifact (optional 4th arg) is written in the driver CORRECTNESS format
+so batches can merge into CORRECTNESS_sf*.json.
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon_expr(col, typ):
+    """SQL canonicalization mirroring check.py's canon(): one string per
+    value, NULL marker, shortest-consistent float text (both sides go
+    through the same printf, so equality of the text is equality of the
+    doubles), naive-UTC timestamps, 'true'/'false' booleans. Nested
+    types render via DuckDB's own ::VARCHAR — identical on both sides
+    by construction."""
+    t = typ.upper()
+    q = f'"{col}"'
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        v = f"printf('%.17g', {q}::DOUBLE)"
+    elif t.startswith("TIMESTAMP"):
+        # TimeZone is pinned UTC: TIMESTAMPTZ::TIMESTAMP = naive UTC
+        v = f"strftime({q}::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f')"
+    elif t == "BOOLEAN":
+        v = f"CASE WHEN {q} THEN 'true' ELSE 'false' END"
+    else:
+        v = f"{q}::VARCHAR"
+    return f"COALESCE({v}, chr(1))"  # chr(1) = unambiguous NULL marker
+
+
+def norm_type(t):
+    """Benign-equivalence map matching check.py's norm_type: timestamp
+    unit/tz collapse; the rest compare as-is (class splits flag)."""
+    t = t.lower()
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "json":
+        # Arrow (check.py's fetch path) has no JSON type — DuckDB JSON
+        # exports as string there, so the classes are driver-equal
+        return "varchar"
+    return t
+
+
+def digest(con, view, cols_types):
+    order = sorted(cols_types, key=lambda ct: ct[0].lower())
+    parts = ", ".join(canon_expr(c, t) for c, t in order)
+    row = f"concat_ws(chr(2), {parts})"
+    n, h = con.execute(
+        f"SELECT count(*), COALESCE(sum(hash({row})::HUGEINT), 0) "
+        f"FROM {view}").fetchone()
+    return n, h
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 and sys.argv[3] else None
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute("SET memory_limit='80GB'")
+    for t in TABLES:
+        p = Path(sf_dir, f"{t}.parquet")
+        pat = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    results = {}
+    names = sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir())
+    if only:
+        names = [n for n in names if n in only]
+    for name in names:
+        marker = Path(out_dir, name, "_VERIFY_FAILED")
+        if marker.exists():
+            results[name] = f"VERIFY-FAIL {marker.read_text()[:200]}"
+            continue
+        if name not in oracle:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).fetchone()[0]
+            results[name] = f"rows-only rows={n}"
+            continue
+        try:
+            con.execute(
+                f"CREATE OR REPLACE VIEW __s AS "
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            con.execute(f"CREATE OR REPLACE VIEW __o AS {oracle[name]}")
+            sct = con.execute("DESCRIBE __s").fetchall()
+            oct_ = con.execute("DESCRIBE __o").fetchall()
+            scols = {r[0].lower(): r[1] for r in sct}
+            ocols = {r[0].lower(): r[1] for r in oct_}
+        except Exception as e:
+            results[name] = f"SETUP-FAIL {str(e)[:200]}"
+            continue
+        if sorted(scols) != sorted(ocols):
+            results[name] = (f"SCHEMA-MISMATCH spark={sorted(scols)} "
+                             f"oracle={sorted(ocols)}")
+            continue
+        tdiffs = [f"{c}: spark={norm_type(scols[c])} oracle={norm_type(ocols[c])}"
+                  for c in sorted(scols)
+                  if norm_type(scols[c]) != norm_type(ocols[c])]
+        if tdiffs:
+            results[name] = "TYPE-WEAK " + " ;; ".join(tdiffs)[:300]
+            continue
+        try:
+            sn, sh = digest(con, "__s", [(r[0], r[1]) for r in sct])
+            on_, oh = digest(con, "__o", [(r[0], r[1]) for r in oct_])
+        except Exception as e:
+            results[name] = f"DIGEST-FAIL {str(e)[:200]}"
+            continue
+        if sn != on_:
+            results[name] = f"ROWCOUNT-MISMATCH spark={sn} oracle={on_}"
+        elif sh != oh:
+            results[name] = f"HASH-MISMATCH digests spark={sh} oracle={oh}"
+        else:
+            results[name] = f"OK rows={sn}"
+    if len(sys.argv) > 4:
+        art = {}
+        for k, v in results.items():
+            ok = v.startswith("OK")
+            try:
+                rows = int(v.split("rows=")[1]) if "rows=" in v else None
+            except ValueError:
+                rows = None
+            if v.startswith("rows-only"):
+                art[k] = {"oracle_present": False, "rows_match": None,
+                          "schema_match": None, "hash_match": None,
+                          "spark_rows": rows, "oracle_rows": None, "err": None}
+                continue
+            art[k] = {"oracle_present": True,
+                      "rows_match": ok or v.startswith("HASH"),
+                      "schema_match": ok or not v.startswith("SCHEMA"),
+                      "hash_match": ok,
+                      "spark_rows": rows, "oracle_rows": rows,
+                      "err": None if ok else v[:200]}
+        Path(sys.argv[4]).write_text(json.dumps(art, indent=2, sort_keys=True))
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    n_ro = sum(1 for v in results.values() if v.startswith("rows-only"))
+    for k in sorted(results):
+        print(f"{k:28s} {results[k]}")
+    print(f"\n{n_ok} OK, {n_ro} rows-only, "
+          f"{len(results) - n_ok - n_ro} FAIL of {len(results)}")
+    sys.exit(0 if n_ok + n_ro == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
