@@ -27,9 +27,21 @@ object Bench {
     // partition spills; AQE coalesces the small-SF cases back down)
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // AQE sizes each shuffle from its measured map output: start every
+    // exchange at max(8x cores, static) reducer partitions and let
+    // coalescePartitions merge back toward the 64 MB advisory target.
+    // This automates the SURVEY sizing rule ("partitions must scale
+    // with the data") — at sf0.1 AQE coalesces to the same effective
+    // counts as before (measured: bench flat), at sf100 the wide
+    // shuffles keep ~256 partitions and the sizing-rule spill vanishes
+    // without anyone setting SPARK_GRAFT_SHUFFLE by hand.
+    val initialPartitions = sys.env.getOrElse("SPARK_GRAFT_INITIAL",
+      math.max(8 * cpus.toInt, shufflePartitions.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialPartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

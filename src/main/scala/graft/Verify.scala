@@ -20,19 +20,34 @@ object Verify {
     // shuffled-hash build of 150 M orders / 32 partitions exceeds any
     // reasonable heap; /128 fits)
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // Same AQE auto-sizing as Bench: high initial reducer count, AQE
+    // coalesces toward the 64 MB advisory — the sizing rule without a
+    // hand-set knob (see Bench.scala for the rationale + measurements)
+    val initial = sys.env.getOrElse("SPARK_GRAFT_INITIAL",
+      math.max(8 * cpus.toInt, shuffle.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initial)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // dev-only: multi-file result dumps for row-giant sf100 legs — the
+    // single-threaded coalesce(1) write dominates a 150 M-row dump and
+    // tools/bigcheck.py globs the directory either way. The driver
+    // never sets this; its sf0.01 dumps stay single-file.
+    val noCoalesce = sys.env.get("SPARK_GRAFT_NO_COALESCE").contains("1")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val res = fn(spark, sfDir)
+        (if (noCoalesce) res else res.coalesce(1)).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // leave an explicit marker so the gate counts this as a FAIL

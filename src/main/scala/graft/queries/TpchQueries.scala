@@ -104,13 +104,28 @@ object TpchQueries {
     // TPC-H q4 (order priority checking). Adapted: the late-delivery
     // EXISTS (l_commitdate < l_receiptdate) becomes EXISTS a returned
     // line (l_returnflag = 'R') — same semi-join + priority rollup.
+    // Two-step semi: the direct orders-semi-lineitem sort-merge sorted
+    // the 150 M-row R-line side for a build it can never host (left-semi
+    // hash-builds the RIGHT side, and flipping sides flips the
+    // semantics), spilling 4.3 GB at sf100 under every partition count.
+    // Step 1 semi-filters the R-lines by the 3-month order keys — the
+    // SMALL side is now on the right, so SHUFFLE_HASH builds ~5 M keys
+    // and streams the 150 M lines unsorted. Step 2 dedupes the ~5 M
+    // surviving line keys (partial-agg shrinks them map-side) and
+    // hash-builds THEM for the final orders semi. Same rows out; the
+    // only big-side cost left is one unsorted shuffle.
     "q_tpch_q4" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01") &&
           col("o_orderdate") < lit("1996-04-01"))
       val ret = Tables.load(s, dir, "lineitem")
         .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
-      o.join(ret, o("o_orderkey") === ret("l_orderkey"), "left_semi")
+      val oKeys = o.select(col("o_orderkey").as("__ok"))
+      val hitKeys = ret.join(Tables.shuffleHash(oKeys),
+          col("l_orderkey") === col("__ok"), "left_semi")
+        .distinct()
+      o.join(Tables.shuffleHash(hitKeys),
+          o("o_orderkey") === hitKeys("l_orderkey"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
     }),
