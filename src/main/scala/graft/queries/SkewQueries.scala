@@ -78,11 +78,48 @@ object SkewQueries {
         .groupBy(col("s_name"), col("n_name"))
         .agg(count(lit(1)).as("n_lines"),
           (sum(col("__rev")).cast(DoubleType) / lit(10000.0)).as("revenue"))
+    }),
+
+    // The aggregate-before-join twin: when the downstream agg commutes
+    // past the join (it only needs per-key partials), pre-aggregating by
+    // the join key makes salting unnecessary — map-side partial
+    // aggregation absorbs the hot key (each task emits ONE combined row
+    // for it, so the reduce side sees num_tasks rows, not 120 M), and
+    // the join then handles one row per supplier. Same oracle as the
+    // salted twin; SCALING.md records the measured delta. The decision
+    // tree this pair documents: pre-agg when the aggregate distributes
+    // over the join; salt when you genuinely need row-level join output.
+    "q_skew_preagg" -> ((s, dir) => {
+      skewedLines(s, dir)
+        .groupBy(col("supp_eff"))
+        .agg(count(lit(1)).as("__n"), sum(col("__rev")).as("__r"))
+        .join(Tables.shuffleHash(supplierDim(s, dir)), Seq("supp_eff"))
+        .groupBy(col("s_name"), col("n_name"))
+        .agg(sum(col("__n")).as("n_lines"),
+          (sum(col("__r")).cast(DoubleType) / lit(10000.0)).as("revenue"))
     })
   )
 
   val oracle: Map[String, String] = Map(
     "q_skew_salted" ->
+      """WITH hot AS (SELECT min(s_suppkey) AS h FROM supplier),
+        |l AS (
+        |  SELECT CASE WHEN l_orderkey % 5 = 0 THEN h ELSE l_suppkey END
+        |    AS supp_eff,
+        |  CAST((CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+        |    AS DECIMAL(28,0)) AS rev
+        |  FROM lineitem, hot)
+        |SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(rev) AS DOUBLE) / 10000.0 AS revenue
+        |FROM l
+        |JOIN supplier ON supp_eff = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY s_name, n_name""".stripMargin,
+
+    // identical answer to the salted twin — only the physical plan
+    // differs, which is the point of the pair
+    "q_skew_preagg" ->
       """WITH hot AS (SELECT min(s_suppkey) AS h FROM supplier),
         |l AS (
         |  SELECT CASE WHEN l_orderkey % 5 = 0 THEN h ELSE l_suppkey END

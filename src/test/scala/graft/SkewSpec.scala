@@ -75,4 +75,21 @@ class SkewSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), p)
     assert(p.contains("__graft_salt"), p)
   }
+
+  test("the pre-agg twin returns the salted twin's exact answer, " +
+      "joins AFTER aggregating, and carries no salt") {
+    val salted = SparkEntry.queries("q_skew_salted")(spark, sf)
+    val preagg = SparkEntry.queries("q_skew_preagg")(spark, sf)
+    assert(rows(salted) == rows(preagg))
+    val p = preagg.queryExecution.executedPlan.toString
+    assert(!p.contains("__graft_salt"), p)
+    // the hot key must be absorbed by partial aggregation BELOW the
+    // join: the plan's first HashAggregate (partial, by supp_eff) sits
+    // under the join, so the join input is one row per supplier key
+    val joinIdx = p.indexOf("ShuffledHashJoin")
+    val partialAggIdx = p.indexOf("partial_count")
+    assert(joinIdx >= 0 && partialAggIdx > joinIdx,
+      s"expected partial agg below the join: join@$joinIdx " +
+        s"partialAgg@$partialAggIdx\n$p")
+  }
 }
