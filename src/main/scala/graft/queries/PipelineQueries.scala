@@ -90,14 +90,22 @@ object PipelineQueries {
          |sel$i AS (SELECT * FROM sel${i - 1}
          |  UNION ALL SELECT * FROM p$i)""".stripMargin
     }.mkString(",\n")
+    // Scale note (sf100 lesson): the top-20 sort must NOT carry the
+    // 64-double vector payload, and c0 must be MATERIALIZED — the
+    // greedy steps reference it ~9 times, and DuckDB otherwise
+    // re-evaluates the full 2 M-row scored scan per reference while
+    // top-N-sorting the list payload (OOM-killed at 76 GB at sf100).
+    // Rank ids only, join the vectors back for the 20 winners.
     s"""WITH d AS (SELECT vec_id,
        |    list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
        |q AS (SELECT v AS qv FROM d WHERE vec_id = 0),
-       |c0 AS (SELECT d.vec_id AS cand_id, ${cos("q.qv", "d.v")} AS rel,
-       |    d.v
+       |c0ids AS MATERIALIZED (SELECT d.vec_id AS cand_id,
+       |    ${cos("q.qv", "d.v")} AS rel
        |  FROM d, q WHERE d.vec_id <> 0
        |  ORDER BY rel DESC, cand_id LIMIT 20),
+       |c0 AS MATERIALIZED (SELECT i.cand_id, i.rel, d.v
+       |  FROM c0ids i JOIN d ON d.vec_id = i.cand_id),
        |p1 AS (SELECT cand_id, rel, v, 1 AS mmr_rank, rel AS mmr_score
        |  FROM c0 ORDER BY rel DESC, cand_id LIMIT 1),
        |sel1 AS (SELECT * FROM p1),
