@@ -660,9 +660,10 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
         .mkString("[", ", ", "]")
     def bucketExpr(t: Int): String =
       (0 until numPlanes).map { p =>
-        s"""(CASE WHEN list_reduce(list_transform(
-           |  generate_series(1, len(v)), i -> v[i] * (${planeLit(t, p)})[i]),
-           |  (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END)""".stripMargin
+        // native sequential dot — bit-identical sign to the fold form
+        // (see the dot/nrm helper note), 48 plane tests per vector
+        s"""(CASE WHEN list_dot_product(v, ${planeLit(t, p)})
+           |  >= 0 THEN 1 ELSE 0 END)""".stripMargin
       }.reduceLeft((acc, b) => s"($acc * 2 + $b)")
     (0 until numTables)
       .map(t => s"WHEN ${t} THEN ${bucketExpr(t)}")
@@ -684,10 +685,9 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
        |  JOIN c USING (t, bucket) WHERE query_id <> cand_id),
        |scored AS (
        |  SELECT query_id, cand_id,
-       |    list_reduce(list_transform(generate_series(1, len(dq.v)),
-       |      i -> dq.v[i] * dc.v[i]), (x, y) -> x + y) /
-       |    (sqrt(list_reduce(list_transform(dq.v, x -> x * x), (x, y) -> x + y)) *
-       |     sqrt(list_reduce(list_transform(dc.v, x -> x * x), (x, y) -> x + y)))
+       |    list_dot_product(dq.v, dc.v) /
+       |    (sqrt(list_dot_product(dq.v, dq.v)) *
+       |     sqrt(list_dot_product(dc.v, dc.v)))
        |    AS cosine
        |  FROM cand JOIN d dq ON dq.vec_id = query_id
        |  JOIN d dc ON dc.vec_id = cand_id)
@@ -703,13 +703,18 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
     * the oracle re-runs k-means + probe + search independently and the
     * two engines hash-match. */
   // Vector/k-means DuckDB fragments shared by the IVF and SemDeDup
-  // oracles (sequential-fold cosines, deterministic-seed Lloyd with
-  // DECIMAL-exact means — the engine's float conventions)
+  // oracles (sequential cosines, deterministic-seed Lloyd with
+  // DECIMAL-exact means — the engine's float conventions).
+  // list_dot_product is DuckDB's sequential multiply-add loop:
+  // bit-identical to the left fold it replaced (same summation order,
+  // no FMA/reassociation — probed on 200k mixed-magnitude pairs and
+  // re-differenced hash-exact at sf0.01/sf1), but native instead of
+  // lambda-interpreted, which is what makes the 2M-vector sf100
+  // oracles tractable.
   private def dot(a: String, b: String) =
-    s"list_reduce(list_transform(generate_series(1, len($a)), " +
-      s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    s"list_dot_product($a, $b)"
   private def nrm(a: String) =
-    s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+    s"sqrt(list_dot_product($a, $a))"
   private def cos(a: String, b: String) =
     s"(${dot(a, b)} / (${nrm(a)} * ${nrm(b)}))"
   private def assign(points: String, cents: String, pid: String,
@@ -1283,6 +1288,11 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
          |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
 
+    // Norms are hoisted per row (sqrt(dot(v,v)) computed once in d,
+    // not once per pair) and the pair dot is the native sequential
+    // list_dot_product — same expression tree as the fold form it
+    // replaced, so bit-identical cosines, but the ~2×10⁸ label-blocked
+    // pairs at sf100 evaluate in native code instead of lambdas.
     "d_dedup_embed" ->
       """WITH base AS (
         |  SELECT vec_id, label, embedding FROM embeddings
@@ -1290,20 +1300,14 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
         |  SELECT vec_id + 10000, label,
         |    list_transform(embedding, x -> x * 1.001::FLOAT)
         |  FROM embeddings WHERE vec_id % 100 = 0),
-        |d AS (SELECT vec_id, label,
-        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM base)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_reduce(list_transform(generate_series(1, len(a.v)),
-        |    i -> a.v[i] * b.v[i]), (x, y) -> x + y) /
-        |  (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y)) *
-        |   sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
-        |  AS cosine
-        |FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_reduce(list_transform(generate_series(1, len(a.v)),
-        |    i -> a.v[i] * b.v[i]), (x, y) -> x + y) /
-        |  (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y)) *
-        |   sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
-        |  >= 0.99""".stripMargin,
+        |d AS MATERIALIZED (SELECT vec_id, label, v,
+        |  sqrt(list_dot_product(v, v)) AS nn
+        |  FROM (SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM base)),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cosine
+        |FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.99""".stripMargin,
 
     "s_ann_lsh" -> lshOracleSql,
 
@@ -1323,10 +1327,9 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
          |    ORDER BY vec_id) <= 1000),
          |pairs AS (
          |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-         |    list_reduce(list_transform(generate_series(1, len(a.v)),
-         |      i -> a.v[i] * b2.v[i]), (x, y) -> x + y) /
-         |    (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y)) *
-         |     sqrt(list_reduce(list_transform(b2.v, x -> x * x), (x, y) -> x + y)))
+         |    list_dot_product(a.v, b2.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) *
+         |     sqrt(list_dot_product(b2.v, b2.v)))
          |    AS cosine
          |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket
          |    AND a.vec_id < b2.vec_id)
@@ -1340,27 +1343,25 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
         |sc AS (SELECT vec_id, v,
         |  list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0
         |    AS scale FROM d),
-        |z AS (SELECT vec_id, v, scale,
-        |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-        |    ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
-        |    END AS q FROM sc),
-        |qs AS (SELECT vec_id AS query_id, scale AS qsc, q AS qq, v AS qv
+        |z AS MATERIALIZED (SELECT vec_id, v, scale,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |    ELSE list_transform(v,
+        |      x -> CAST(floor(x / scale + 0.5) AS INT)::DOUBLE)
+        |    END AS qd FROM sc),
+        |qs AS (SELECT vec_id AS query_id, scale AS qsc, qd AS qq, v AS qv
         |  FROM z WHERE vec_id < 50),
-        |cs AS (SELECT vec_id AS cand_id, scale AS csc, q AS cq, v AS cv
+        |cs AS (SELECT vec_id AS cand_id, scale AS csc, qd AS cq, v AS cv
         |  FROM z),
         |approx AS (SELECT query_id, cand_id, qv, cv,
-        |  (list_reduce(list_transform(generate_series(1, len(qq)),
-        |    i -> CAST(qq[i] * cq[i] AS BIGINT)), (a, b) -> a + b)::DOUBLE
-        |    * qsc) * csc AS approx
+        |  (list_dot_product(qq, cq) * qsc) * csc AS approx
         |  FROM qs JOIN cs ON query_id <> cand_id),
         |cand AS (SELECT query_id, cand_id, qv, cv FROM approx
         |  QUALIFY row_number() OVER (PARTITION BY query_id
         |    ORDER BY approx DESC, cand_id) <= 32),
         |scored AS (SELECT query_id, cand_id,
-        |  list_reduce(list_transform(generate_series(1, len(qv)),
-        |    i -> qv[i] * cv[i]), (x, y) -> x + y) /
-        |  (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)) *
-        |   sqrt(list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y)))
+        |  list_dot_product(qv, cv) /
+        |  (sqrt(list_dot_product(qv, qv)) *
+        |   sqrt(list_dot_product(cv, cv)))
         |  AS cosine FROM cand)
         |SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1384,10 +1385,9 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
         |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |    list_reduce(list_transform(generate_series(1, len(q.v)),
-        |      i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
-        |    (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y)) *
-        |     sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y)))
+        |    list_dot_product(q.v, c.v) /
+        |    (sqrt(list_dot_product(q.v, q.v)) *
+        |     sqrt(list_dot_product(c.v, c.v)))
         |    AS cosine
         |  FROM d q JOIN d c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
         |SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk FROM (
@@ -1396,13 +1396,27 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
         |WHERE rnk <= 5""".stripMargin,
 
     "p_rag" -> {
-      def embSql(src: String) =
-        s"""SELECT vec_id, list_transform(generate_series(0, 15), j ->
-           |  COALESCE(list_aggregate(list_transform(t, x ->
-           |    (('0x' || substr(md5(x || ':0') || md5(x || ':1'),
-           |      j * 4 + 1, 4))::BIGINT % 2001) - 1000), 'sum'), 0)
-           |    / 1000.0) AS v
-           |FROM $src""".stripMargin
+      // Hash-embedding CTE chain: md5 per token computed ONCE (the
+      // inline form re-hashed every token for each of the 16 dims —
+      // ~6×10⁹ md5 calls at sf100), then per-dim INTEGER sums via
+      // GROUP BY. Integer addition is order-independent, so the
+      // regrouping is exact; values and the /1000.0 division are
+      // unchanged. Empty-token chunks are restored by the LEFT JOIN
+      // with an all-zero vector, matching COALESCE(sum, 0)/1000.0.
+      def embCtes(src: String, p: String) =
+        s"""${p}h AS (SELECT vec_id, md5(x || ':0') || md5(x || ':1') AS h
+           |  FROM (SELECT vec_id, unnest(t) AS x FROM $src)),
+           |${p}dim AS (SELECT vec_id, j,
+           |    CAST(SUM((('0x' || substr(h, j * 4 + 1, 4))::BIGINT % 2001)
+           |      - 1000) AS BIGINT) AS s
+           |  FROM ${p}h, unnest(generate_series(0, 15)) g(j)
+           |  GROUP BY vec_id, j),
+           |${p}vec AS (SELECT vec_id, list(s / 1000.0 ORDER BY j) AS v
+           |  FROM ${p}dim GROUP BY vec_id),
+           |${p}emb AS (SELECT b.vec_id,
+           |    COALESCE(w.v, list_transform(generate_series(0, 15),
+           |      j -> 0.0)) AS v
+           |  FROM $src b LEFT JOIN ${p}vec w USING (vec_id))""".stripMargin
       s"""WITH tk0 AS (SELECT doc_id,
          |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
          |  FROM documents),
