@@ -40,14 +40,19 @@ object BpeCrossover {
     for (o <- onsets; r <- rimes) yield o + r // 64 syllables
   }
 
-  /** Word for id `k` (must be < 64^4): 4 base-64 digit syllables. */
+  /** Word for id `k` (must be < 64^4): 4 base-64 digit syllables.
+    * Digits come from integer shifts (shiftright by 6·p, pmod 64), not
+    * Column `/` — `/` is DOUBLE division, whose exactness for this
+    * range is incidental and would silently break past 2^53. */
   private def wordFor(k: org.apache.spark.sql.Column) = {
     val syl = array(syllables.map(lit): _*)
+    def digit(p: Int) =
+      (pmod(shiftright(k.cast("long"), 6 * p), lit(64L)) + 1).cast("int")
     concat(
-      element_at(syl, (pmod(k, lit(64L)) + 1).cast("int")),
-      element_at(syl, (pmod(k / 64L, lit(64L)) + 1).cast("int")),
-      element_at(syl, (pmod(k / 4096L, lit(64L)) + 1).cast("int")),
-      element_at(syl, (pmod(k / 262144L, lit(64L)) + 1).cast("int")))
+      element_at(syl, digit(0)),
+      element_at(syl, digit(1)),
+      element_at(syl, digit(2)),
+      element_at(syl, digit(3)))
   }
 
   /** Deterministic corpus with exactly `nWords` distinct words (modulo

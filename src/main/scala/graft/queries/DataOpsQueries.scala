@@ -1403,20 +1403,23 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
       // regrouping is exact; values and the /1000.0 division are
       // unchanged. Empty-token chunks are restored by the LEFT JOIN
       // with an all-zero vector, matching COALESCE(sum, 0)/1000.0.
+      // intermediate CTEs carry a `_` so the prefix can never collide
+      // with the outer chunking CTEs (p="c" would otherwise emit `ch`,
+      // the name of the chunk CTE)
       def embCtes(src: String, p: String) =
-        s"""${p}h AS (SELECT vec_id, md5(x || ':0') || md5(x || ':1') AS h
+        s"""${p}_h AS (SELECT vec_id, md5(x || ':0') || md5(x || ':1') AS h
            |  FROM (SELECT vec_id, unnest(t) AS x FROM $src)),
-           |${p}dim AS (SELECT vec_id, j,
+           |${p}_dim AS (SELECT vec_id, j,
            |    CAST(SUM((('0x' || substr(h, j * 4 + 1, 4))::BIGINT % 2001)
            |      - 1000) AS BIGINT) AS s
-           |  FROM ${p}h, unnest(generate_series(0, 15)) g(j)
+           |  FROM ${p}_h, unnest(generate_series(0, 15)) g(j)
            |  GROUP BY vec_id, j),
-           |${p}vec AS (SELECT vec_id, list(s / 1000.0 ORDER BY j) AS v
-           |  FROM ${p}dim GROUP BY vec_id),
+           |${p}_vec AS (SELECT vec_id, list(s / 1000.0 ORDER BY j) AS v
+           |  FROM ${p}_dim GROUP BY vec_id),
            |${p}emb AS (SELECT b.vec_id,
            |    COALESCE(w.v, list_transform(generate_series(0, 15),
            |      j -> 0.0)) AS v
-           |  FROM $src b LEFT JOIN ${p}vec w USING (vec_id))""".stripMargin
+           |  FROM $src b LEFT JOIN ${p}_vec w USING (vec_id))""".stripMargin
       s"""WITH tk0 AS (SELECT doc_id,
          |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
          |  FROM documents),
@@ -1429,14 +1432,14 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
          |  FROM c, unnest(generate_series(1, nc)) g(i)),
          |ct AS (SELECT vec_id, list_filter(string_split_regex(
          |  lower(chunk_text), '[^a-z0-9]+'), x -> x <> '') AS t FROM ch),
-         |emb AS (${embSql("ct")}),
+         |${embCtes("ct", "c")},
          |q(vec_id, qtext) AS (VALUES
          |  (9000000001, 'window merge sort'),
          |  (9000000002, 'hash scan table'),
          |  (9000000003, 'spark batch value')),
          |qt AS (SELECT vec_id, list_filter(string_split_regex(
          |  lower(qtext), '[^a-z0-9]+'), x -> x <> '') AS t FROM q),
-         |qemb AS (${embSql("qt")}),
+         |${embCtes("qt", "q")},
          |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          |    list_reduce(list_transform(generate_series(1, len(q.v)),
@@ -1445,7 +1448,7 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
          |      (x, y) -> x + y)) *
          |     sqrt(list_reduce(list_transform(c.v, x -> x * x),
          |      (x, y) -> x + y))) AS cosine
-         |  FROM qemb q JOIN emb c ON q.vec_id <> c.vec_id)
+         |  FROM qemb q JOIN cemb c ON q.vec_id <> c.vec_id)
          |SELECT query_id, CAST(rnk AS INT) AS rnk, cand_id,
          |  cand_id // 1000 AS doc_id,
          |  CAST(cand_id % 1000 AS INT) AS chunk_idx, cosine FROM (

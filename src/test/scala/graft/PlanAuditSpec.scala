@@ -73,10 +73,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // t_bpe_apply: the rank-sorted merge table collapses to ONE
       // broadcast row crossed into the distinct-word vocabulary
       "t_bpe_apply",
-      // q_skew_salted: the 1-row hot-supplier aggregate crossed into
-      // lineitem — the scalar-broadcast pattern (the salted join
-      // itself is an equi-join on (key, salt))
-      "q_skew_salted")
+      // q_skew_salted / q_skew_preagg: the 1-row hot-supplier aggregate
+      // crossed into lineitem — the scalar-broadcast pattern (the salted
+      // join itself is an equi-join on (key, salt); the pre-agg variant
+      // shares the same skewedLines generator)
+      "q_skew_salted", "q_skew_preagg")
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

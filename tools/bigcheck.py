@@ -132,9 +132,11 @@ def main():
         else:
             results[name] = f"OK rows={sn}"
     if len(sys.argv) > 4:
+        # Encode only what each verdict actually established; None means
+        # "never compared" (e.g. SETUP-FAIL before the schema check), so
+        # merged CORRECTNESS files can't overstate coverage.
         art = {}
         for k, v in results.items():
-            ok = v.startswith("OK")
             try:
                 rows = int(v.split("rows=")[1]) if "rows=" in v else None
             except ValueError:
@@ -144,12 +146,31 @@ def main():
                           "schema_match": None, "hash_match": None,
                           "spark_rows": rows, "oracle_rows": None, "err": None}
                 continue
-            art[k] = {"oracle_present": True,
-                      "rows_match": ok or v.startswith("HASH"),
-                      "schema_match": ok or not v.startswith("SCHEMA"),
-                      "hash_match": ok,
-                      "spark_rows": rows, "oracle_rows": rows,
-                      "err": None if ok else v[:200]}
+            rec = {"oracle_present": True, "rows_match": None,
+                   "schema_match": None, "hash_match": None,
+                   "spark_rows": None, "oracle_rows": None,
+                   "err": None if v.startswith("OK") else v[:200]}
+            if v.startswith("OK"):
+                rec.update(rows_match=True, schema_match=True,
+                           hash_match=True, spark_rows=rows,
+                           oracle_rows=rows)
+            elif v.startswith("HASH-MISMATCH"):
+                # schema + row counts were compared and matched before
+                # the digest step; only the digest differed
+                rec.update(rows_match=True, schema_match=True,
+                           hash_match=False)
+            elif v.startswith("ROWCOUNT-MISMATCH"):
+                try:
+                    rec["spark_rows"] = int(v.split("spark=")[1].split()[0])
+                    rec["oracle_rows"] = int(v.split("oracle=")[1].split()[0])
+                except (ValueError, IndexError):
+                    pass
+                rec.update(rows_match=False, schema_match=True,
+                           hash_match=False)
+            elif v.startswith(("SCHEMA-MISMATCH", "TYPE-WEAK")):
+                rec["schema_match"] = False
+            # SETUP-FAIL / DIGEST-FAIL / VERIFY-FAIL: nothing established
+            art[k] = rec
         Path(sys.argv[4]).write_text(json.dumps(art, indent=2, sort_keys=True))
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     n_ro = sum(1 for v in results.values() if v.startswith("rows-only"))
