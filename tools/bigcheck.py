@@ -86,7 +86,10 @@ def main():
     names = sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir())
     if only:
         names = [n for n in names if n in only]
+    import time
     for name in names:
+        print(f"[bigcheck] {name} start {time.strftime('%H:%M:%S')}",
+              file=sys.stderr, flush=True)
         marker = Path(out_dir, name, "_VERIFY_FAILED")
         if marker.exists():
             results[name] = f"VERIFY-FAIL {marker.read_text()[:200]}"
