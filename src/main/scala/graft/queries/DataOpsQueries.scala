@@ -1337,6 +1337,11 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
          |WHERE cosine >= 0.99""".stripMargin
     },
 
+    // Scale note (the round-9 MMR-oracle lesson, re-learned at sf100):
+    // the coarse pass ranks on ids + approx score ONLY — carrying the
+    // two 64-double vectors through the queries×corpus join made DuckDB
+    // spill ~1 KB × 100 M rows (>51 GB temp, disk-full at sf100). The
+    // exact vectors join back AFTER QUALIFY, on ≤ queries×32 rows.
     "s_ann_int8" ->
       """WITH d AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -1348,21 +1353,23 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
         |    ELSE list_transform(v,
         |      x -> CAST(floor(x / scale + 0.5) AS INT)::DOUBLE)
         |    END AS qd FROM sc),
-        |qs AS (SELECT vec_id AS query_id, scale AS qsc, qd AS qq, v AS qv
+        |qs AS (SELECT vec_id AS query_id, scale AS qsc, qd AS qq
         |  FROM z WHERE vec_id < 50),
-        |cs AS (SELECT vec_id AS cand_id, scale AS csc, qd AS cq, v AS cv
+        |cs AS (SELECT vec_id AS cand_id, scale AS csc, qd AS cq
         |  FROM z),
-        |approx AS (SELECT query_id, cand_id, qv, cv,
+        |approx AS (SELECT query_id, cand_id,
         |  (list_dot_product(qq, cq) * qsc) * csc AS approx
         |  FROM qs JOIN cs ON query_id <> cand_id),
-        |cand AS (SELECT query_id, cand_id, qv, cv FROM approx
+        |cand AS (SELECT query_id, cand_id FROM approx
         |  QUALIFY row_number() OVER (PARTITION BY query_id
         |    ORDER BY approx DESC, cand_id) <= 32),
         |scored AS (SELECT query_id, cand_id,
-        |  list_dot_product(qv, cv) /
-        |  (sqrt(list_dot_product(qv, qv)) *
-        |   sqrt(list_dot_product(cv, cv)))
-        |  AS cosine FROM cand)
+        |  list_dot_product(q.v, c.v) /
+        |  (sqrt(list_dot_product(q.v, q.v)) *
+        |   sqrt(list_dot_product(c.v, c.v)))
+        |  AS cosine FROM cand
+        |  JOIN z q ON q.vec_id = query_id
+        |  JOIN z c ON c.vec_id = cand_id)
         |SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, cand_id) AS rnk FROM scored)
