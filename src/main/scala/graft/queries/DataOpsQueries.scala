@@ -717,13 +717,19 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
     s"sqrt(list_dot_product($a, $a))"
   private def cos(a: String, b: String) =
     s"(${dot(a, b)} / (${nrm(a)} * ${nrm(b)}))"
+  // The ranked subquery carries ids + score ONLY and the vector joins
+  // back on the survivors: windowing points×centroids rows with the
+  // 64-double payload attached spilled >51 GB of DuckDB temp at sf100
+  // (2 M points × 16 cells × ~1 KB, three chained rounds). `points`
+  // must be a MATERIALIZED CTE so the join-back does not re-evaluate it.
   private def assign(points: String, cents: String, pid: String,
       vec: String, n: Int) =
-    s"""SELECT $pid, $vec, cell FROM (
-       |  SELECT p.$pid, p.$vec, c.cell,
+    s"""SELECT t.$pid, p2.$vec, t.cell FROM (
+       |  SELECT p.$pid, c.cell,
        |    ROW_NUMBER() OVER (PARTITION BY p.$pid
        |      ORDER BY ${cos(s"p.$vec", "c.centroid")} DESC, c.cell) AS rn
-       |  FROM $points p CROSS JOIN $cents c) t WHERE rn <= $n""".stripMargin
+       |  FROM $points p CROSS JOIN $cents c) t
+       |  JOIN $points p2 ON p2.$pid = t.$pid WHERE t.rn <= $n""".stripMargin
   private def lloyd(assigned: String) =
     s"""SELECT cell, list(m ORDER BY dim) AS centroid FROM (
        |  SELECT cell, dim, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
@@ -733,14 +739,19 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
        |  GROUP BY cell, dim) GROUP BY cell""".stripMargin
   /** Two-iteration Lloyd + final cell assignment over a `d(cand_id, cv)`
     * CTE — the shared k-means prefix. */
+  // Every stage MATERIALIZED: c2 is referenced from both `cells` and
+  // (in the IVF oracle) `probed`, and DuckDB re-evaluates inlined CTEs
+  // per reference — without the hints the whole two-round Lloyd chain
+  // ran twice and the fused DAG overflowed memory+temp at sf100.
   private def kmeansCtes: String =
-    s"""c0 AS (SELECT cand_id AS cell, cv AS centroid FROM d
+    s"""c0 AS MATERIALIZED (SELECT cand_id AS cell, cv AS centroid FROM d
        |  ORDER BY cand_id LIMIT 16),
-       |a1 AS (${assign("d", "c0", "cand_id", "cv", 1)}),
-       |c1 AS (${lloyd("a1")}),
-       |a2 AS (${assign("d", "c1", "cand_id", "cv", 1)}),
-       |c2 AS (${lloyd("a2")}),
-       |cells AS (${assign("d", "c2", "cand_id", "cv", 1)})""".stripMargin
+       |a1 AS MATERIALIZED (${assign("d", "c0", "cand_id", "cv", 1)}),
+       |c1 AS MATERIALIZED (${lloyd("a1")}),
+       |a2 AS MATERIALIZED (${assign("d", "c1", "cand_id", "cv", 1)}),
+       |c2 AS MATERIALIZED (${lloyd("a2")}),
+       |cells AS MATERIALIZED (${assign("d", "c2", "cand_id", "cv", 1)})"""
+      .stripMargin
 
   /** DuckDB replica of the PQ pipeline: 4 fixed 16-dim subspaces
     * (mirrors pqTopK's dynamic size(cv)/numSub on the 64-dim table),
@@ -842,10 +853,11 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
   }
 
   private def ivfOracleSql: String = {
-    s"""WITH d AS (SELECT vec_id AS cand_id,
+    s"""WITH d AS MATERIALIZED (SELECT vec_id AS cand_id,
        |    list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings),
        |$kmeansCtes,
-       |q AS (SELECT cand_id AS query_id, cv AS qv FROM d WHERE cand_id < 50),
+       |q AS MATERIALIZED (SELECT cand_id AS query_id, cv AS qv
+       |  FROM d WHERE cand_id < 50),
        |probed AS (${assign("q", "c2", "query_id", "qv", 4)}),
        |scored AS (
        |  SELECT query_id, cand_id, ${cos("qv", "cv")} AS cosine
@@ -861,7 +873,7 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
     * shared k-means prefix → within-cell cosine pairs → recursive
     * transitive closure → drop list. */
   private def semdedupOracleSql: String =
-    s"""WITH RECURSIVE d AS (
+    s"""WITH RECURSIVE d AS MATERIALIZED (
        |  SELECT vec_id AS cand_id,
        |    list_transform(embedding, x -> x::DOUBLE) AS cv FROM (
        |    SELECT vec_id, embedding FROM embeddings
@@ -869,7 +881,7 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
        |      list_transform(embedding, x -> x * 1.001::FLOAT)
        |    FROM embeddings WHERE vec_id % 100 = 0)),
        |$kmeansCtes,
-       |capped AS (SELECT cand_id, cv, cell FROM cells
+       |capped AS MATERIALIZED (SELECT cand_id, cv, cell FROM cells
        |  QUALIFY row_number() OVER (PARTITION BY cell
        |    ORDER BY cand_id) <= 1000),
        |pairs AS (
@@ -912,7 +924,7 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
 
   val oracle: Map[String, String] = Map(
     "p_kmeans" ->
-      s"""WITH d AS (SELECT vec_id AS cand_id,
+      s"""WITH d AS MATERIALIZED (SELECT vec_id AS cand_id,
          |    list_transform(embedding, x -> x::DOUBLE) AS cv
          |  FROM embeddings),
          |$kmeansCtes

@@ -307,14 +307,19 @@ object PipelineQueries {
     * edge derivation, 5 unrolled iteration CTEs, DECIMAL(38,18) rank
     * sums, all literals forced DOUBLE (bare decimals parse as DECIMAL
     * in DuckDB and would change the arithmetic). */
+  // Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+  // so `e` (a 10 M-row DISTINCT) re-evaluated from nodes/od/c1..c5 and
+  // the five chained iterations fused into ONE operator DAG — at sf100
+  // that overflowed the 80 GB memory limit and then filled >51 GB of
+  // temp disk. Materialization bounds the peak to one iteration.
   private def pagerankOracleSql: String = {
     def iter(prev: String, i: Int): String =
-      s"""c$i AS (SELECT e.dst AS node,
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS node,
          |    CAST(SUM(CAST(CAST(0.85 AS DOUBLE) * (r.rank / od.outdeg)
          |      AS DECIMAL(38,18))) AS DOUBLE) AS inflow
          |  FROM e JOIN od USING (src) JOIN $prev r ON r.node = e.src
          |  GROUP BY e.dst),
-         |r$i AS (SELECT nodes.node,
+         |r$i AS MATERIALIZED (SELECT nodes.node,
          |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n_nodes +
          |      COALESCE(inflow, CAST(0.0 AS DOUBLE)) AS rank
          |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.node = c$i.node)"""
@@ -325,11 +330,11 @@ object PipelineQueries {
        |  FROM documents, n
        |  UNION ALL
        |  SELECT doc_id, (doc_id * 17 + 3) % cnt FROM documents, n),
-       |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
-       |nodes AS (SELECT DISTINCT node FROM (
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
        |nn AS (SELECT count(*) AS n_nodes FROM nodes),
-       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n_nodes AS rank
        |  FROM nodes CROSS JOIN nn),
        |${(1 to 5).map(i => iter(s"r${i - 1}", i)).mkString(",\n")}
