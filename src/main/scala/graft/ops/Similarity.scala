@@ -207,15 +207,30 @@ object Similarity {
       .select(col("sub"), col("code"), col("sv").as("cw"))
       .localCheckpoint()
 
-    // L2 codeword assignment: argmax (sv·cw − cw·cw/2), code tie-break
+    // L2 codeword assignment: argmax (sv·cw − cw·cw/2), code tie-break.
+    // Shape note: the codebook collapses to ONE array row per subspace
+    // (code-ascending), so assignment is a pure broadcast-join
+    // PROJECTION — every subvector row computes its codebookSize scores
+    // inline and takes the first-max index. The earlier row_number
+    // window over points×codebook rows sorted 8 M × codebookSize rows
+    // with both 128-byte vectors attached and spilled ~19 GB per pass
+    // at sf100 (×3 passes ≈ the family's whole spill budget); a
+    // max(struct(..., sv)) aggregate was no better — a struct buffer
+    // with an array field is not hash-aggregatable and fell to a
+    // SortAggregate over the same fat join. This form adds ZERO rows
+    // and ZERO exchanges. first-occurrence array_position == smallest
+    // code among score ties — the window's (desc __s, asc code) order.
     def assign(pts: DataFrame, pid: String): DataFrame = {
-      val w = Window.partitionBy(col(pid), col("sub"))
-        .orderBy(col("__s").desc, col("code"))
-      pts.join(broadcast(books), Seq("sub"))
-        .withColumn("__s", dot(col("sv"), col("cw"))
-          - dot(col("cw"), col("cw")) / 2.0)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      val booksBySub = books
+        .groupBy(col("sub"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("code"), col("cw")))),
+          e => e.getField("cw")).as("cws"))
+      pts.join(broadcast(booksBySub), Seq("sub"))
+        .withColumn("__scores", transform(col("cws"),
+          cw => dot(col("sv"), cw) - dot(cw, cw) / 2.0))
+        .withColumn("code", (array_position(col("__scores"),
+          array_max(col("__scores"))) - 1).cast(IntegerType))
         .select(col(pid), col("sub"), col("sv"), col("code"))
     }
 
