@@ -221,16 +221,24 @@ object Similarity {
     // and ZERO exchanges. first-occurrence array_position == smallest
     // code among score ties — the window's (desc __s, asc code) order.
     def assign(pts: DataFrame, pid: String): DataFrame = {
+      // Carry the TRUE code list alongside the code-sorted codeword
+      // array: position-1 only equals the code while codes are
+      // contiguous per subspace, and a Lloyd round that empties a
+      // codeword (duplicate-heavy data, larger codebooks) breaks that —
+      // the recon join on (sub, code) would then silently drop rows.
       val booksBySub = books
         .groupBy(col("sub"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("code"), col("cw")))),
-          e => e.getField("cw")).as("cws"))
+        .agg(array_sort(collect_list(struct(col("code"), col("cw"))))
+          .as("sorted"))
+        .select(col("sub"),
+          transform(col("sorted"), e => e.getField("cw")).as("cws"),
+          transform(col("sorted"), e => e.getField("code")).as("codes"))
       pts.join(broadcast(booksBySub), Seq("sub"))
         .withColumn("__scores", transform(col("cws"),
           cw => dot(col("sv"), cw) - dot(cw, cw) / 2.0))
-        .withColumn("code", (array_position(col("__scores"),
-          array_max(col("__scores"))) - 1).cast(IntegerType))
+        .withColumn("code", element_at(col("codes"),
+          array_position(col("__scores"), array_max(col("__scores")))
+            .cast(IntegerType)))
         .select(col(pid), col("sub"), col("sv"), col("code"))
     }
 

@@ -461,6 +461,39 @@ class OpsSpec extends AnyFunSuite {
       again.map(_.toString).sorted.toSeq)
   }
 
+  test("PQ ANN: non-contiguous codes (emptied codeword) keep every point") {
+    // Duplicate-heavy corpus: the 8 seed vectors hold only TWO distinct
+    // values, so after one Lloyd round only codes {0, 6} stay populated
+    // per subspace. A position-derived code (position-1 in the sorted
+    // codeword array) would relabel them {0, 1}; the reconstruction join
+    // on (sub, code) would then silently drop every cluster-B point and
+    // B-queries would rank orthogonal A-vectors first. iterations = 1
+    // makes the FINAL Lloyd output the non-contiguous one (with ≥2
+    // rounds the relabeling is self-consistent and the bug hides).
+    import spark.implicits._
+    val a = Array(1f, 0f, 1f, 0f, 1f, 0f, 1f, 0f)
+    val b = Array(0f, 1f, 0f, 1f, 0f, 1f, 0f, 1f)
+    def jit(v: Array[Float], at: Int, d: Float): Array[Float] = {
+      val c = v.clone(); c(at) = c(at) + d; c
+    }
+    val rows =
+      (0L to 5L).map(i => (i, a)) ++ Seq((6L, b), (7L, b)) ++
+      (8L to 17L).map(i => (i, jit(a, 0, (i - 7) * 1e-4f))) ++
+      (18L to 27L).map(i => (i, jit(b, 1, (i - 17) * 1e-4f)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(8L, 18L))
+    val top = graft.ops.Similarity.pqTopK(queries, corpus, k = 3,
+      iterations = 1).collect()
+    val byQuery = top.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(8L, 18L), s"queries lost: ${byQuery.keySet}")
+    byQuery.foreach { case (qid, rs) =>
+      val first = rs.minBy(_.getInt(3))
+      assert(first.getDouble(2) > 0.99,
+        s"query $qid rank-1 cosine ${first.getDouble(2)} — same-cluster " +
+          "candidates were dropped by the reconstruction join")
+    }
+  }
+
   test("leak-free split: planted near-dups always share a split") {
     val d = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))

@@ -24,11 +24,22 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out"
 python3 tools/check.py /root/testdata/sf0.01 "$out"
 
 echo "== preclose 4/4: Bench contract smoke at sf0.001 (one JSON line, rc=0)"
-line=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 \
-  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"')
-n=$(printf '%s\n' "$line" | wc -l)
-[ "$n" -eq 1 ] || { echo "FAIL: expected 1 metric line, got $n"; exit 1; }
+# Capture to a file first: under pipefail a Bench crash (or a run that
+# emits no metric line) otherwise aborts the gate with zero diagnostics,
+# making the most likely failure the hardest to debug.
+benchlog=$(mktemp /tmp/preclose_bench.XXXX)
+if ! SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 \
+    sbt -batch "runMain graft.Bench" >"$benchlog" 2>&1; then
+  echo "FAIL: Bench exited nonzero; log tail:"; tail -40 "$benchlog"; exit 1
+fi
+line=$(grep '"metric"' "$benchlog" || true)
+n=$(printf '%s\n' "$line" | grep -c '"metric"' || true)
+if [ "$n" -ne 1 ]; then
+  echo "FAIL: expected 1 metric line, got $n; log tail:"
+  tail -40 "$benchlog"; exit 1
+fi
 python3 -c "import json,sys; json.loads(sys.argv[1])" "$line"
+rm -f "$benchlog"
 
 rm -rf "$out"
 echo "== preclose: ALL GREEN — safe to close the round at this HEAD"
