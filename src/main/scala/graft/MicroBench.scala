@@ -21,11 +21,18 @@ object MicroBench {
     spark.sparkContext.setLogLevel("WARN")
     val name = args.headOption.getOrElse("d_dedup_embed_lsh")
     val runs = args.lift(1).map(_.toInt).getOrElse(4)
+    val spill = graft.telemetry.SpillListener
+      .forContext(spark.sparkContext)
     (1 to runs).foreach { i =>
+      val s0 = spill.totalSpillBytes
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously — settle before reading
+      Thread.sleep(500)
+      val gb = (spill.totalSpillBytes - s0) / 1e9
+      println(f"run $i: $sec%.3f s  spill ${gb}%.2f GB")
     }
     spark.stop()
   }

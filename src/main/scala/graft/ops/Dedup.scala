@@ -77,11 +77,30 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleLen: Int = 3, numHashes: Int = 16,
       bands: Int = 4, threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame =
-    bucketPairs(
-      minhashBands(docs, idCol, textCol, shingleLen, numHashes, bands),
-      Seq("band_idx", "band_hash"), idCol, threshold, maxBucket)
-      .distinct()
+      maxBucket: Int = 1000): DataFrame = {
+    import graft.functions.TextHash
+    val rowsPerBand = numHashes / bands
+    // Per-doc shingle table, explicitly exchanged on the id: the verify
+    // joins need exactly this partitioning, and the band stage hangs
+    // OFF the same exchange, so the tokenize→md5 kernel pass runs ONCE
+    // and all three consumers read one shuffle (ReuseExchange). The
+    // ~|sh| payload never rides the band explode (which replicates
+    // every row `bands`×) or any sort. NOT cached/checkpointed: a
+    // cached copy measured 2-3× the table size as JVM objects and
+    // OOM'd the 8 g leg at sf100; the shuffle files serve the reuse.
+    val sh = docs
+      .select(col(idCol), TextHash.tokenHashes(col(textCol)).as("th"))
+      .select(col(idCol), TextHash.hashedNgrams(col("th"), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .repartition(col(idCol))
+    val thin = sh
+      .withColumn("sig", TextHash.minHashSig(col("sh"), numHashes))
+      .select(col(idCol),
+        posexplode(lshBands(col("sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+    pairVerify(thin, Seq("band_idx", "band_hash"),
+      sh.select(col(idCol), col("sh")), idCol, threshold, maxBucket)
+  }
 
   /** The banded `(id, sh, band_idx, band_hash)` table that feeds
     * [[minhashLsh]]'s pair stage — exposed so cap audits
@@ -135,39 +154,69 @@ object Dedup {
       .drop("__rk")
   }
 
-  private def bucketPairs(bucketed: DataFrame, bucketCols: Seq[String],
-      idCol: String, threshold: Double, maxBucket: Int): DataFrame = {
-    val capped = capBuckets(bucketed, bucketCols, idCol, maxBucket)
-    val m = array_sort(collect_list(struct(col(idCol).as("id"),
-      col("sh").as("sh"))))
-    val buckets = capped.groupBy(bucketCols.map(col): _*)
-      .agg(m.as("m")).filter(size(col("m")) > 1)
-    // jaccard over SORTED shingle sets (the TextHash.hashedNgrams
-    // contract): |a∩b| via the codegen'd merge scan, |a∪b| by
-    // inclusion-exclusion — same integers, same single double division
-    // as the array_intersect/array_distinct(concat) formulation. A
-    // size-ratio prefilter (j ≥ t ⇒ min/max ≥ t) skips the merge scan
-    // for hopeless pairs — pairs failing it score -1 and fall to the
-    // threshold filter, which they could never pass anyway, so the
-    // output (and every oracle hash) is unchanged.
-    def jacSorted(a: Column, b: Column): Column = {
-      val inter = graft.functions.VecMath.sortedIntersectSize(a, b)
-      val ratioOk = least(size(a), size(b)).cast(DoubleType) /
-        greatest(size(a), size(b)) >= threshold
-      when(ratioOk, inter.cast(DoubleType) / (size(a) + size(b) - inter))
-        .otherwise(lit(-1.0))
-    }
-    val pairs = buckets.select(explode(flatten(
-      transform(sequence(lit(0), size(col("m")) - 2), i =>
-        transform(sequence(i + 1, size(col("m")) - 1), j =>
-          struct(
-            element_at(col("m"), i + 1).getField("id").as("id_a"),
-            element_at(col("m"), j + 1).getField("id").as("id_b"),
-            jacSorted(element_at(col("m"), i + 1).getField("sh"),
-              element_at(col("m"), j + 1).getField("sh")).as("jaccard"))))))
-      .as("p"))
-    pairs.select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-      col("p.jaccard").as("jaccard"))
+  /** Candidate generation + exact-jaccard verification with NO fat
+    * payload in any wide operator — the de-flaked replacement for the
+    * whole-bucket `collect_list` triangle, which buffered every
+    * bucket's shingle arrays in an ObjectHashAggregate and was
+    * run-to-run bimodal at sf100 (21.8-44.2 s, 6.4-13 GB spill,
+    * knob-uncorrelated — the hash-agg object-buffer cliff). An
+    * intermediate fix (fat sorted-bucket self-merge-join) was
+    * deterministic but sorted the `bands`×-replicated shingle payload
+    * twice: 47 GB spill at sf100/8g — measured, rejected.
+    *
+    * Shape: (1) candidates pair on THIN (bucket, id) rows — the cap
+    * window and the self-merge-join sort ~50-byte rows (ReuseExchange
+    * ships them through one exchange); (2) `(id_a, id_b)` dedups
+    * ACROSS buckets before verification, so a pair colliding in k
+    * bands pays ONE merge-scan, not k; (3) the per-doc shingle table
+    * joins back by id through two ShuffledHashJoins — build sides are
+    * the thin candidate list and a corpus/numPartitions slice of `sh`
+    * (bounded per executor; the partition count is the knob), and both
+    * reads reuse one exchange of `sh`. No sort ever sees a shingle
+    * array, no per-group buffer exists: at sf100/8g this runs with
+    * ZERO spill.
+    *
+    * jaccard over SORTED shingle sets (the TextHash.hashedNgrams
+    * contract): |a∩b| via the codegen'd merge scan, |a∪b| by
+    * inclusion-exclusion — same integers, same single double division
+    * as before. The size-ratio prefilter (j ≥ t ⇒ min/max ≥ t) skips
+    * the merge scan for hopeless pairs — they score -1 and fall to the
+    * threshold filter they could never pass, so the output (and every
+    * oracle hash) is unchanged. */
+  private def pairVerify(thin: DataFrame, bucketCols: Seq[String],
+      sh: DataFrame, idCol: String, threshold: Double,
+      maxBucket: Int): DataFrame = {
+    val capped = capBuckets(thin, bucketCols, idCol, maxBucket)
+    val left = capped.select(bucketCols.map(col) :+
+      col(idCol).as("id_a"): _*)
+    val right = capped.select(bucketCols.map(col) :+
+      col(idCol).as("id_b"): _*)
+    // MERGE hint: a broadcast here would duplicate the signature
+    // prefix (no exchange to reuse); forced SMJ keeps both sides'
+    // exchange subtrees canonically identical → ReuseExchange.
+    val cands = left.join(right.hint("MERGE"), bucketCols)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val shA = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    val a = col("sh_a"); val b = col("sh_b")
+    val inter = graft.functions.VecMath.sortedIntersectSize(a, b)
+    val ratioOk = least(size(a), size(b)).cast(DoubleType) /
+      greatest(size(a), size(b)) >= threshold
+    val jac = when(ratioOk,
+      inter.cast(DoubleType) / (size(a) + size(b) - inter))
+      .otherwise(lit(-1.0))
+    // join1: ShuffledHashJoin with the THIN candidate list as build
+    // side (~pairs/numPartitions rows of two longs per task) — `sh`
+    // streams through unsorted. join2: sort-merge — the UNBANDED sh
+    // table (~0.5 KB × docs / numPartitions per task) and the matched
+    // pairs sort in memory; a corpus-partition SHJ build here measured
+    // over the 8 g execution pool at sf100 and threw, so the join that
+    // touches two fat sides stays sort-based (spillable, deterministic).
+    cands.hint("SHUFFLE_HASH").join(shA, "id_a")
+      .join(shB, "id_b")
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -256,7 +305,8 @@ object Dedup {
     val sh = th.select((col(idCol) +: blockCols.map(col)) :+
       TextHash.hashedNgrams(col("th"), n).as("sh"): _*)
       .filter(size(col("sh")) > 0)
-    bucketPairs(sh, blockCols, idCol, threshold, maxBucket)
+    pairVerify(sh.select(blockCols.map(col) :+ col(idCol): _*), blockCols,
+      sh.select(col(idCol), col("sh")), idCol, threshold, maxBucket)
   }
 
   /** Corpus-wide embedding near-duplicate pairs with multi-table LSH
@@ -618,14 +668,39 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= windowTokens)
+    // Window hash packed to 16-byte binary (unhex of the md5 hex) —
+    // same equality classes, half the key width through the exchange
+    // and the count map.
     val wins = toks.select(col(idCol),
       posexplode(transform(
         sequence(lit(1), size(col("__t")) - (windowTokens - 1)),
-        i => md5(concat_ws(" ", slice(col("__t"), i, lit(windowTokens)))))))
+        i => unhex(md5(concat_ws(" ",
+          slice(col("__t"), i, lit(windowTokens))))))))
       .select(col(idCol), (col("pos") + 1).as("start"), col("col").as("wh"))
-    val matched = wins
+    // Occurrence detection WITHOUT the fat corpus-wide (wh)-sort the
+    // original count-over-window shape required (an out-of-core sort of
+    // every (id, start, wh) row — 18.4 GB spill at sf100, byte-identical
+    // across partition knobs, i.e. one sorter family owned the whole
+    // stream): one explicit exchange on wh at 4× the session's shuffle
+    // parallelism, then duplicate detection on a column-PRUNED branch —
+    // the count window sorts 16-byte keys only, in-memory per task —
+    // and a ShuffledHashJoin back onto the fat branch with the
+    // ≥2-occurrence hash set (genuinely repeated windows, a small
+    // relation) as build side. Both branches reuse the ONE exchange.
+    // Measured at sf100/8g: 18.4 GB → ~9.6 GB spill (each task's
+    // narrow sorter spilling once under full-core concurrency — no
+    // single sorter owns the stream), run-to-run identical. A
+    // count-per-wh hash aggregate was measured WORSE (187 M distinct
+    // keys overflow every per-task map: 46 GB spill) and is the
+    // documented anti-pattern here.
+    val np = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt * 4
+    val winsByWh = wins.repartition(np, col("wh"))
+    val dupWh = winsByWh.select(col("wh"))
       .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("wh"))))
       .filter(col("occ") >= 2)
+      .select(col("wh")).dropDuplicates("wh")
+    val matched = winsByWh.join(dupWh.hint("SHUFFLE_HASH"), "wh")
     val w = Window.partitionBy(col(idCol)).orderBy(col("start"))
     matched
       .withColumn("__prev", lag(col("start"), 1).over(w))

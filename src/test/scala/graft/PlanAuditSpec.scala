@@ -153,11 +153,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!physicalPlan("d_dedup_simhash").contains("Exchange"),
       "d_dedup_simhash must be a narrow pass")
     // the dedup LSH prefix shuffles only for buckets/pairs — no
-    // REPARTITION_BY_COL barrier exchanges survive
-    Seq("d_dedup_minhash", "d_dedup_ngram", "d_dedup_embed_lsh").foreach {
+    // REPARTITION_BY_COL barrier exchanges survive. Exception:
+    // d_dedup_minhash deliberately pre-partitions the shingle table on
+    // the doc id — that exchange IS the verify joins' required
+    // distribution and the band stage hangs off the same shuffle
+    // (ReuseExchange), so the tokenize kernel runs once; assert it
+    // appears exactly once and is keyed on the id, not a barrier.
+    Seq("d_dedup_ngram", "d_dedup_embed_lsh").foreach {
       n => assert(!physicalPlan(n).contains("REPARTITION_BY_COL"),
         s"$n still carries a barrier repartition")
     }
+    // (the pre-execution plan prints the shared exchange once per
+    // consumer — at runtime AQE dedups them into ReusedExchange, so
+    // assert the KEY of every repartition, not a textual count)
+    val mh = physicalPlan("d_dedup_minhash")
+    val reparts = mh.linesIterator
+      .filter(_.contains("REPARTITION_BY_COL")).toSeq
+    assert(reparts.nonEmpty, "the shared id exchange is gone")
+    assert(reparts.forall(_.contains("hashpartitioning(doc_id")),
+      s"unexpected repartition key:\n${reparts.mkString("\n")}")
+    assert(!mh.contains("ObjectHashAggregate"),
+      "the pair stage must not buffer buckets in an object aggregate")
   }
 
   test("chunking is a zero-exchange narrow pass") {
