@@ -213,13 +213,25 @@ object Bench {
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => onlyQueries.forall(_.contains(name)) }
       .sortBy(_._1)
+    // Plan-shape self-audit (the bench tail must not scroll WARN-class
+    // scale signals past the record): any dense join or unpartitioned
+    // window outside PlanGuard's audited allowlists is collected and
+    // annotated into the JSON line as plan_warnings, so a future
+    // corpus-sized offender is visible in the driver record itself.
+    val planWarnings = scala.collection.mutable.ArrayBuffer[String]()
     val results = selected.zipWithIndex.map { case ((name, fn), i) =>
       if (i == selected.size / 2 && i > 0) sentinels += sentinelTime()
       val spill0 = spillListener.map(_.totalSpillBytes).getOrElse(0L)
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
       // Catalyst prune the projection and under-measure).
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
+      try {
+        val df = fn(spark, sfDir)
+        graft.plans.PlanGuard
+          .scaleWarnings(name, df.queryExecution.executedPlan)
+          .foreach(tag => planWarnings += s"$name:$tag")
+        df.write.format("noop").mode("overwrite").save()
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
@@ -253,7 +265,12 @@ object Bench {
           s""","spill_bytes":${l.totalSpillBytes - spillBase}$byQ"""
         }.getOrElse("")
       val sent = sentinels.map(fmt).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$sp,"sentinel_sec":$sent,"sf":$sf}"""
+      // bounded: 10 tags max — presence is the signal, the suite has
+      // the full list
+      val pw = if (planWarnings.isEmpty) "" else
+        planWarnings.take(10).map("\"" + _ + "\"")
+          .mkString(""","plan_warnings":[""", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$sp$pw,"sentinel_sec":$sent,"sf":$sf}"""
     }
     val full = line(results, 0)
     val out =

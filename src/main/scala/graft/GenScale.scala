@@ -39,8 +39,12 @@ import org.apache.spark.sql.types._
   *
   * Everything is a column program — no RNG state, no wall clock — so
   * the output is bit-reproducible. Usage:
-  *   GenScale [srcDir] [dstDir] [replicas]
-  * defaults: /root/testdata/sf0.1 → testdata/sf1 (repo-local), 10×.
+  *   GenScale [srcDir] [dstDir] [replicas] [tables-csv]
+  * defaults: /root/testdata/sf0.1 → testdata/sf1 (repo-local), 10×,
+  * all tables. `tables-csv` restricts generation to the named fact
+  * tables (dims region/nation are always copied) — the fifth-decade
+  * probe scales only documents/embeddings/events because lineitem at
+  * sf1000 (~110 GB) exceeds the sandbox disk.
   */
 object GenScale {
   /** Base key offset between replicas. The EFFECTIVE offset is the
@@ -58,6 +62,8 @@ object GenScale {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "testdata/sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     // the document token-suffix disjointness argument below assumes
     // single-digit replica indices scaled by OFF/BASE_OFF; a larger
     // replica count would let chained suffixes re-collide (e.g.
@@ -84,7 +90,7 @@ object GenScale {
       "events" -> "event_id", "events" -> "user_id",
       "documents" -> "doc_id", "embeddings" -> "vec_id",
       "embeddings" -> "label")
-    val maxKey = keyCols.map { case (t, c) =>
+    val maxKey = keyCols.filter(tc => only.isEmpty || only(tc._1)).map { case (t, c) =>
       Tables.load(spark, src, t)
         .agg(max(col(c).cast(LongType))).head().getLong(0)
     }.max
@@ -97,11 +103,12 @@ object GenScale {
       println(s"[genscale] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
     }
 
-    def replicate(name: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
-      val base = Tables.load(spark, src, name)
-      write((0 until replicas).map(r => tx(base, r))
-        .reduce(_ unionByName _), name)
-    }
+    def replicate(name: String)(tx: (DataFrame, Int) => DataFrame): Unit =
+      if (only.isEmpty || only(name)) {
+        val base = Tables.load(spark, src, name)
+        write((0 until replicas).map(r => tx(base, r))
+          .reduce(_ unionByName _), name)
+      } else println(s"[genscale] $name: skipped (not in tables-csv)")
     def shiftKeys(df: DataFrame, r: Int, keys: String*): DataFrame =
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * OFF)))
 

@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** WARN-class scale-signal detector shared by the CI plan audit
+  * (`PlanAuditSpec`) and the benchmark main (`graft.Bench`) — one
+  * source of truth for "which queries are ALLOWED to plan a dense join
+  * or an unpartitioned window", so the bench record stays self-auditing
+  * as the inventory grows: a new corpus-sized Cartesian product or
+  * single-partition window fails the suite AND annotates the driver's
+  * BENCH_r*.json instead of scrolling past as a log WARN.
+  */
+object PlanGuard {
+
+  /** Deliberate dense pairings, documented in their operators: the
+    * exact and int8-scan ANN baselines score every (query, candidate)
+    * pair by definition (query side broadcast); everything else in the
+    * set crosses only a ONE-ROW aggregate or a collected constant array
+    * into a bounded stream — the scalar-broadcast idiom, not a pairing
+    * of two relations (see PlanAuditSpec's per-query rationale).
+    */
+  val denseByDesign: Set[String] =
+    Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8", "s_ann_pq",
+      "d_decontaminate_bloom", "d_resample_temp", "s_bm25",
+      "s_hybrid_rrf", "p_pagerank", "t_perplexity", "d_mixture",
+      "p_rag", "d_dsir", "p_kmeans", "t_pmi", "t_keywords",
+      "s_mmr", "p_triangles", "q_tpch_q11", "q_tpch_q22",
+      "t_bpe_apply", "q_skew_salted", "q_skew_preagg")
+
+  /** Queries allowed to plan an unpartitioned WindowExec — each one's
+    * window provably sits above a bounded relation (a LIMIT or an
+    * aggregate that reduced the stream to keys-sized: the top-100 vocab
+    * rank, the top-100 fused ranking, pack-manifest's N/1000 bucket
+    * offsets). Growing this set requires re-arguing boundedness in
+    * PlanAuditSpec.
+    */
+  val boundedWindowAllow: Set[String] =
+    Set("t_vocab_topk", "s_hybrid_rrf", "t_pack_manifest",
+      "p_rag", "q_sql_qualify_order")
+
+  /** True iff the subtree contains a node that bounds its output size
+    * (a limit, or an aggregate reducing to group-key cardinality). */
+  def bounded(p: SparkPlan): Boolean = p.exists {
+    case _: GlobalLimitExec | _: LocalLimitExec => true
+    case _: BaseAggregateExec => true
+    case _ => false
+  }
+
+  /** WARN-class scale signals in a physical plan, as short tags.
+    * Empty = the plan is clean for `name` under the audited allowlists.
+    */
+  def scaleWarnings(name: String, plan: SparkPlan): Seq[String] = {
+    val tags = scala.collection.mutable.ArrayBuffer[String]()
+    if (!denseByDesign(name)) {
+      val txt = plan.toString
+      if (txt.contains("CartesianProduct") ||
+          txt.contains("BroadcastNestedLoopJoin"))
+        tags += "dense_join"
+    }
+    val unpartitioned = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    if (unpartitioned.exists(w => !bounded(w.child)))
+      tags += "unbounded_window"
+    else if (unpartitioned.nonEmpty && !boundedWindowAllow(name))
+      tags += "unlisted_window"
+    tags.toSeq
+  }
+}

@@ -54,30 +54,24 @@ class PlanAuditSpec extends AnyFunSuite {
   // into vocab-sized streams (pair counts / per-term idf) —
   // scalar-broadcast again; the corpus itself never enters a dense
   // join.
-  private val denseByDesign =
-    Set("s_ann_bruteforce", "s_ann_ivf", "s_ann_int8", "s_ann_pq",
-      "d_decontaminate_bloom", "d_resample_temp", "s_bm25",
-      "s_hybrid_rrf", "p_pagerank", "t_perplexity", "d_mixture",
-      "p_rag", "d_dsir", "p_kmeans", "t_pmi", "t_keywords",
-      // s_mmr: the 1-row query vector and the ≤5-row selected set are
-      // the only crossed sides — candidate-list-bounded by design
-      "s_mmr",
-      // p_triangles: the p_pagerank scalar-broadcast edge-generation
-      // shape (1-row node count crossed into the id stream)
-      "p_triangles",
-      // q_tpch_q11 / q_tpch_q22: TPC-H scalar subqueries expressed as
-      // broadcast 1-row aggregates (global revenue fraction / segment
-      // average balance) crossed into bounded per-part / per-customer
-      // streams — the same collect-free scalar-broadcast pattern
-      "q_tpch_q11", "q_tpch_q22",
-      // t_bpe_apply: the rank-sorted merge table collapses to ONE
-      // broadcast row crossed into the distinct-word vocabulary
-      "t_bpe_apply",
-      // q_skew_salted / q_skew_preagg: the 1-row hot-supplier aggregate
-      // crossed into lineitem — the scalar-broadcast pattern (the salted
-      // join itself is an equi-join on (key, salt); the pre-agg variant
-      // shares the same skewedLines generator)
-      "q_skew_salted", "q_skew_preagg")
+  // s_mmr: the 1-row query vector and the ≤5-row selected set are
+  // the only crossed sides — candidate-list-bounded by design.
+  // p_triangles: the p_pagerank scalar-broadcast edge-generation
+  // shape (1-row node count crossed into the id stream).
+  // q_tpch_q11 / q_tpch_q22: TPC-H scalar subqueries expressed as
+  // broadcast 1-row aggregates (global revenue fraction / segment
+  // average balance) crossed into bounded per-part / per-customer
+  // streams — the same collect-free scalar-broadcast pattern.
+  // t_bpe_apply: the rank-sorted merge table collapses to ONE
+  // broadcast row crossed into the distinct-word vocabulary.
+  // q_skew_salted / q_skew_preagg: the 1-row hot-supplier aggregate
+  // crossed into lineitem — the scalar-broadcast pattern (the salted
+  // join itself is an equi-join on (key, salt); the pre-agg variant
+  // shares the same skewedLines generator).
+  // The set itself lives in graft.plans.PlanGuard so graft.Bench
+  // annotates its JSON record from the SAME allowlist this suite
+  // enforces — the two cannot drift.
+  private val denseByDesign = graft.plans.PlanGuard.denseByDesign
 
   test("no accidental Cartesian product in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -332,6 +326,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ObjectHashAggregate"), p)
     assert(p.contains("Window"), p)
     assert(p.contains("partial_"), "moments must combine map-side")
+  }
+
+  test("unpartitioned windows only ever sit above bounded relations") {
+    // A WindowExec with an empty partitionSpec forces ALL rows through
+    // ONE task ("WindowExec: No Partition Defined" at runtime) — fatal
+    // on a corpus-sized stream at 100 TB. It is legitimate only above a
+    // provably bounded relation: a LIMIT, or an aggregate that reduced
+    // the stream to a keys-sized table (vocab top-k's ≤100 rows, the
+    // fused-ranking top-100, pack-manifest's N/1000 bucket offsets).
+    // This test makes the invariant structural via PlanGuard (the same
+    // detector graft.Bench annotates its JSON record with): every
+    // unpartitioned window anywhere in the inventory must have a limit
+    // or aggregate BELOW it, and the owning queries must stay inside
+    // PlanGuard.boundedWindowAllow — a future corpus-sized one fails CI
+    // instead of WARNing.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      graft.plans.PlanGuard.scaleWarnings(name,
+          SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+        .filter(_.endsWith("window")).map(tag => s"$name:$tag")
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows outside the audited allowlist: " +
+        offenders.mkString(", "))
   }
 
   test("correlated scalar subquery decorrelates to aggregate + join") {
