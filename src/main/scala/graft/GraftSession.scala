@@ -148,7 +148,15 @@ final class GraftSession(
           val t0 = System.nanoTime()
           val sampled =
             if (target == "dev" && node.config.materialized != "snapshot")
-              node.copy(build = s => node.build(s).limit(node.config.devSampleSize))
+              node.config.devSampleMethod match {
+                case "tablesample" =>
+                  // deterministic seed: a dev re-run sees the same rows
+                  node.copy(build = s => node.build(s)
+                    .sample(node.config.devSampleFraction, 42L))
+                case _ =>
+                  node.copy(build =
+                    s => node.build(s).limit(node.config.devSampleSize))
+              }
             else node
           val out = materializer.materialize(sampled, Option(now))
           val rows = out.count()

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{CoreQueries, DataOpsQueries, EventQueries,
   ExtraQueries, FunctionQueries, MaterializeQueries, PipelineQueries,
-  SkewQueries, SqlCorpus, TestQueries, TpchQueries}
+  SkewQueries, SqlCorpus, SqlTpchQueries, TestQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,6 +26,7 @@ object SparkEntry {
     (TestQueries.defs, TestQueries.oracle),
     (SqlCorpus.defs, SqlCorpus.oracle),
     (TpchQueries.defs, TpchQueries.oracle),
+    (SqlTpchQueries.defs, SqlTpchQueries.oracle),
     (SkewQueries.defs, SkewQueries.oracle)
   )
 

@@ -14,6 +14,16 @@ final case class ModelConfig(
     estimatedSizeGb: Option[Double] = None,
     toxicTypes: Seq[String] = Nil,
     devSampleSize: Int = 10000,
+    // dev sampling method (reference impl.py:403-415 injects LIMIT and
+    // notes "More sophisticated approach would use USING SAMPLE"):
+    // "limit" matches the reference; "tablesample" is that upgrade —
+    // a Bernoulli df.sample(devSampleFraction) pushed into the scan,
+    // statistically unbiased where LIMIT returns whatever rows the
+    // first partitions happen to hold (and on a 1000-executor cluster
+    // LIMIT serializes into one partial scan, while sample stays an
+    // embarrassingly parallel per-row filter)
+    devSampleMethod: String = "limit",
+    devSampleFraction: Double = 0.01,
     customSchema: Option[String] = None,
     // incremental: dbt on_schema_change ("ignore" | "append_new_columns")
     onSchemaChange: String = "ignore",

@@ -2,7 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** WARN-class scale-signal detector shared by the CI plan audit
@@ -39,11 +41,24 @@ object PlanGuard {
     */
   val boundedWindowAllow: Set[String] =
     Set("t_vocab_topk", "s_hybrid_rrf", "t_pack_manifest",
-      "p_rag", "q_sql_qualify_order")
+      "p_rag", "q_sql_qualify_order",
+      // tok-id assignment ranks the top-100 vocab slice (above LIMIT)
+      "t_tokenize_ids")
+
+  /** Every node of the plan, descending THROUGH adaptive wrappers: a
+    * vanilla `plan.collect` treats AdaptiveSparkPlanExec/QueryStageExec
+    * as leaves (their working plan is a field, not a child), so any
+    * detector built on it is silently vacuous whenever AQE is on —
+    * which in Spark 4 is the default. */
+  def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+    case a: AdaptiveSparkPlanExec => allNodes(a.inputPlan)
+    case s: QueryStageExec => allNodes(s.plan)
+    case other => other.children.flatMap(allNodes)
+  })
 
   /** True iff the subtree contains a node that bounds its output size
     * (a limit, or an aggregate reducing to group-key cardinality). */
-  def bounded(p: SparkPlan): Boolean = p.exists {
+  def bounded(p: SparkPlan): Boolean = allNodes(p).exists {
     case _: GlobalLimitExec | _: LocalLimitExec => true
     case _: BaseAggregateExec => true
     case _ => false
@@ -53,14 +68,14 @@ object PlanGuard {
     * Empty = the plan is clean for `name` under the audited allowlists.
     */
   def scaleWarnings(name: String, plan: SparkPlan): Seq[String] = {
+    val nodes = allNodes(plan)
     val tags = scala.collection.mutable.ArrayBuffer[String]()
-    if (!denseByDesign(name)) {
-      val txt = plan.toString
-      if (txt.contains("CartesianProduct") ||
-          txt.contains("BroadcastNestedLoopJoin"))
-        tags += "dense_join"
-    }
-    val unpartitioned = plan.collect {
+    if (!denseByDesign(name) && nodes.exists {
+        case _: CartesianProductExec | _: BroadcastNestedLoopJoinExec => true
+        case _ => false
+      })
+      tags += "dense_join"
+    val unpartitioned = nodes.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
     }
     if (unpartitioned.exists(w => !bounded(w.child)))

@@ -37,7 +37,13 @@ object SnowflakeSql {
   /** Run Snowflake-dialect SQL on Spark. */
   def run(spark: SparkSession, sql: String): DataFrame = {
     Registry.register(spark)
-    val t = transpile(sql)
+    val t0 = transpile(sql)
+    // global-top-k QUALIFY (no PARTITION BY) would plan an
+    // unpartitioned WindowExec — ALL rows through one task. ORDER BY +
+    // LIMIT is the same multiset and plans as TakeOrderedAndProject
+    // (per-partition partial top-k, then one k-sized merge) — the
+    // distributed shape PlanGuard's bounded-window invariant demands.
+    val t = rewriteGlobalTopK(t0).getOrElse(t0)
     splitQualify(t) match {
       case None => spark.sql(t)
       case Some((inner, pred, hoisted, tail)) =>
@@ -126,7 +132,36 @@ object SnowflakeSql {
     s = rewriteColonPaths(s)
     s = rewriteFlatten(s)
     s = rewriteDateFns(s)
+    s = rewriteBareVarchar(s)
     s
+  }
+
+  /** Bare `VARCHAR` (no length) → `STRING`: Snowflake treats VARCHAR as
+    * unbounded, Spark's parser demands a length parameter
+    * ([DATATYPE_MISSING_SIZE]). `VARCHAR(n)` is valid Spark and passes
+    * through. Literal-aware word scan, same discipline as the other
+    * rewrites. */
+  private[graft] def rewriteBareVarchar(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val skipped = skipLiteral(s, i)
+      if (skipped != i) { out.append(s.substring(i, skipped)); i = skipped }
+      else if ((s.charAt(i).isLetter || s.charAt(i) == '_') &&
+          (i == 0 || !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_'))) {
+        var j = i
+        while (j < s.length && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+        val word = s.substring(i, j)
+        var k = j
+        while (k < s.length && s.charAt(k).isWhitespace) k += 1
+        if (word.equalsIgnoreCase("VARCHAR") &&
+            (k >= s.length || s.charAt(k) != '('))
+          out.append("STRING")
+        else out.append(word)
+        i = j
+      } else { out.append(s.charAt(i)); i += 1 }
+    }
+    out.toString
   }
 
   // ------------------------------------------------------------ scanner
@@ -329,6 +364,53 @@ object SnowflakeSql {
   /** If the query has a top-level QUALIFY, return (inner SQL with hoisted
     * window columns, outer predicate, hoisted alias names, trailing
     * ORDER BY / LIMIT text to apply after the filter). */
+  /** `QUALIFY ROW_NUMBER() OVER (ORDER BY <ord>) = 1 | <= k` with no
+    * PARTITION BY, nothing else in the predicate, and no trailing
+    * clauses → `<inner> ORDER BY <ord> LIMIT k`. Same multiset (the
+    * window's order is total up to its tie-break; QUALIFY output is a
+    * set), but the plan is a distributed top-k instead of a global
+    * single-partition window. Any other shape returns None and takes
+    * the general QUALIFY path. */
+  private[graft] def rewriteGlobalTopK(sql: String): Option[String] = {
+    val qIdx = findTopLevel(sql, "qualify")
+    if (qIdx < 0) return None
+    val afterQ = sql.substring(qIdx + "qualify".length)
+    val stops = Seq("order", "limit").flatMap { w =>
+      val i = findTopLevel(afterQ, w); if (i >= 0) Some(i) else None
+    }
+    // a trailing ORDER BY / LIMIT would need composing with the
+    // rewritten one — punt to the general path
+    if (stops.nonEmpty) return None
+    val pred = afterQ.trim
+    val overIdx = findWord(pred, "over", 0)
+    if (overIdx < 0) return None
+    // the function before OVER must be exactly ROW_NUMBER() and must
+    // start the predicate (nothing conjoined on the left)
+    val fn = pred.substring(0, overIdx).trim.toLowerCase
+      .replaceAll("\\s+", "")
+    if (fn != "row_number()") return None
+    val specOpen = pred.indexOf('(', overIdx)
+    if (specOpen < 0) return None
+    val specClose = matchParen(pred, specOpen)
+    if (specClose < 0) return None
+    val spec = pred.substring(specOpen + 1, specClose).trim
+    if (findWord(spec, "partition", 0) >= 0) return None
+    if (!spec.toLowerCase.startsWith("order")) return None
+    // an explicit frame clause can't follow the hoisted ORDER BY
+    if (findWord(spec, "rows", 0) >= 0 || findWord(spec, "range", 0) >= 0)
+      return None
+    val ord = spec // "ORDER BY ..." verbatim
+    // comparison after the window: `= 1` or `<= <int>`
+    val cmp = pred.substring(specClose + 1).trim
+    val k: Option[Long] =
+      if (cmp.startsWith("<=")) cmp.drop(2).trim.toLongOption
+      else if (cmp.startsWith("=")) cmp.drop(1).trim.toLongOption.filter(_ == 1L)
+      else None
+    k.filter(_ >= 1).map { kk =>
+      s"${sql.substring(0, qIdx).trim} $ord LIMIT $kk"
+    }
+  }
+
   private[graft] def splitQualify(sql: String)
       : Option[(String, String, Seq[String], String)] = {
     val qIdx = findTopLevel(sql, "qualify")

@@ -286,6 +286,31 @@ class PlanAuditSpec extends AnyFunSuite {
     Seq(q3, q5, q10).foreach(p => assert(p.contains("partial_"), p))
   }
 
+  test("SQL-text TPC-H shapes plan like their DataFrame twins") {
+    // the Snowflake-text front end must produce the same Catalyst plan
+    // classes as the DataFrame API: broadcast dims, map-side partial
+    // aggs, pushed filters — and the QUALIFY rewrite must surface as a
+    // PARTITIONED window, never a global single-partition one
+    import org.apache.spark.sql.execution.window.WindowExec
+    val q3 = physicalPlan("q_sql_tpch_q3_qualify")
+    assert(q3.contains("BroadcastHashJoin"), q3)
+    assert(q3.contains("partial_"), q3)
+    assert(q3.contains("PushedFilters: [IsNotNull"), q3)
+    val q18 = physicalPlan("q_sql_tpch_q18_qualify")
+    assert(q18.contains("partial_"), q18)
+    Seq("q_sql_tpch_q3_qualify", "q_sql_tpch_q18_qualify").foreach { n =>
+      val windows = graft.plans.PlanGuard.allNodes(
+          SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+      assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+        s"$n: QUALIFY must plan a partitioned window")
+    }
+    // q22: the NOT EXISTS anti-join plans as a join strategy and the
+    // scalar avg subquery decorrelates (no per-row execution)
+    val q22 = physicalPlan("q_sql_tpch_q22_try")
+    assert(q22.contains("LeftAnti"), q22)
+  }
+
   test("bloom decontamination probes via the codegen kernel before the join") {
     val p = physicalPlan("d_decontaminate_bloom")
     assert(occurrences(p, "bloom_may_contain(") == 1, p)

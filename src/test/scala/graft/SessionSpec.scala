@@ -108,6 +108,24 @@ class SessionSpec extends AnyFunSuite {
     assert(r.head.rows == 7)
   }
 
+  test("dev target tablesample method samples a fraction (impl.py:411)") {
+    val gs = new GraftSession(spark,
+      Files.createTempDirectory("graft_dev_ts").toString, target = "dev")
+    val total = Tables.load(spark, sf, "lineitem").count()
+    val node = ModelNode("ts_sampled",
+      ModelConfig("table", devSampleMethod = "tablesample",
+        devSampleFraction = 0.1), Nil)(
+      s => Tables.load(s, sf, "lineitem"))
+    val r = gs.run(Seq(node))
+    // Bernoulli sampling: expected total/10, loose 3-sigma-ish bounds
+    assert(r.head.rows > total / 20 && r.head.rows < total / 5,
+      s"sampled ${r.head.rows} of $total")
+    // deterministic seed: a re-run materializes the identical sample
+    val r2 = gs.run(Seq(node.copy(name = "ts_sampled2",
+      uniqueId = "model.graft.ts_sampled2")))
+    assert(r2.head.rows == r.head.rows)
+  }
+
   test("facade SQL entry point accepts Snowflake dialect") {
     val gs = new GraftSession(spark,
       Files.createTempDirectory("graft_sql").toString)

@@ -56,6 +56,38 @@ class SnowflakeSqlSpec extends AnyFunSuite {
       .contains("graft_dateadd('d',"))
   }
 
+  test("global top-k QUALIFY rewrites to ORDER BY + LIMIT") {
+    import graft.transpile.SnowflakeSql.rewriteGlobalTopK
+    assert(rewriteGlobalTopK(
+      "SELECT a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY b DESC, a) = 1")
+      .contains("SELECT a FROM t ORDER BY b DESC, a LIMIT 1"))
+    assert(rewriteGlobalTopK(
+      "SELECT a FROM t QUALIFY row_number() over (order by b) <= 5")
+      .contains("SELECT a FROM t order by b LIMIT 5"))
+    // partitioned, non-row_number, non-top-1 equality, trailing
+    // clauses, and framed specs all punt to the general QUALIFY path
+    Seq(
+      "SELECT a FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY p ORDER BY b) = 1",
+      "SELECT a FROM t QUALIFY RANK() OVER (ORDER BY b) = 1",
+      "SELECT a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY b) = 2",
+      "SELECT a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY b) = 1 ORDER BY a",
+      "SELECT a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY b) = 1 LIMIT 3"
+    ).foreach(s => assert(rewriteGlobalTopK(s).isEmpty, s))
+  }
+
+  test("bare VARCHAR becomes STRING; VARCHAR(n) and literals survive") {
+    assert(transpile("SELECT CAST(x AS VARCHAR) FROM t")
+      == "SELECT CAST(x AS STRING) FROM t")
+    assert(transpile("SELECT CAST(x AS varchar ) FROM t")
+      == "SELECT CAST(x AS STRING ) FROM t")
+    // sized form is valid Spark — untouched
+    val sized = "SELECT CAST(x AS VARCHAR(20)) FROM t"
+    assert(transpile(sized) == sized)
+    // inside a string literal or as part of a longer identifier: text
+    val lit = "SELECT 'CAST AS VARCHAR' AS s, varchar_col FROM t"
+    assert(transpile(lit) == lit)
+  }
+
   test("empty and non-Snowflake SQL pass through unchanged") {
     assert(transpile("") == "")
     val plain = "SELECT a, b FROM t WHERE a > 1 GROUP BY a, b"
