@@ -110,23 +110,40 @@ object EventQueries {
 
     // rolling active users: per day, DAU + trailing-7-day WAU +
     // stickiness (dau/wau, one exact IEEE division). Windowed DISTINCT
-    // without a window function: dedup to (day, user) once (the only
-    // corpus-sized shuffle), then each user-day contributes itself to
-    // the 7 windows it belongs to via a bounded ×7 explode of the
-    // ALREADY-DEDUPED relation — never a per-row range self-join over
-    // raw events.
+    // without a giant re-dedup: dedup to (day, user) once (the only
+    // corpus-sized shuffle; DAU is then a plain count), and for WAU
+    // merge each user's 7-day coverage intervals over their SORTED
+    // distinct-day array — a user's day list is CALENDAR-bounded
+    // (≤ the corpus date span, ~tens of entries), so the per-group
+    // buffer is tiny and every covered (user, window-day) is emitted
+    // EXACTLY ONCE: the per-day aggregate is a plain partial count.
+    // The previous shape exploded du ×7 and re-deduped 315 M
+    // (day, user) rows at sf100 through countDistinct — 21 GB of
+    // sort-agg spill for rows this shape never materializes.
     "e_active_users" -> ((s, dir) => {
       val du = Tables.load(s, dir, "events")
         .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
         .distinct()
-      val dau = du.groupBy(col("day"))
-        .agg(countDistinct(col("user_id")).as("dau"))
-      val wau = du
-        .select(explode(sequence(col("day"),
-          col("day") + expr("INTERVAL 6 DAY"),
-          expr("INTERVAL 1 DAY"))).as("day"), col("user_id"))
-        .groupBy(col("day"))
-        .agg(countDistinct(col("user_id")).as("wau"))
+      val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      // epoch-day ints: exact integer interval arithmetic
+      val epoch = to_date(lit("1970-01-01"))
+      val perUser = du
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(datediff(col("day"), epoch))).as("ds"))
+      // user active on day d covers window-days [d, d+6]; for sorted
+      // distinct days the FRESH coverage of ds[i] is
+      // [max(ds[i], ds[i-1]+7), ds[i]+6] — non-empty (ds strictly
+      // increasing ⇒ ds[i-1]+7 ≤ ds[i]+6), disjoint, union-complete
+      val covered = perUser.select(explode(flatten(
+        zip_with(col("ds"), sequence(lit(1), size(col("ds"))),
+          (d, i) => sequence(
+            when(i === 1, d).otherwise(
+              greatest(d, element_at(col("ds"), i - 1) + 7)),
+            d + 6)))).as("dayint"))
+      val wau = covered
+        .select(date_add(epoch, col("dayint"))
+          .cast("timestamp").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
       dau.join(wau, Seq("day"))
         .select(col("day"), col("dau"), col("wau"),
           (col("dau").cast(DoubleType) / col("wau")).as("stickiness"))
