@@ -1,0 +1,143 @@
+package graft.materialize
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types._
+
+/** Pure-Scala reader for Apache Iceberg v1/v2 table METADATA — the
+  * offline half of the reference's Iceberg catalog attach (reference
+  * `connections.py:990-1055` ATTACHes a REST catalog; the catalog's
+  * network protocol is environment-blocked here, but everything a
+  * catalog ultimately points at — `metadata.json`, the snapshot log,
+  * schemas, partition specs — is plain JSON on storage, parsed with the
+  * Jackson already on Spark's classpath, per the public Iceberg table
+  * spec <https://iceberg.apache.org/spec/>).
+  *
+  * Gives [[graft.warehouse.Warehouse]]-style resolution over a real
+  * Iceberg table directory: snapshot list, current snapshot, snapshot
+  * as-of a timestamp (the DuckDB `snapshot_from_timestamp` semantics),
+  * and the Iceberg schema mapped to a Spark [[StructType]].
+  * [[IcebergTable]] continues from here through the avro manifest
+  * chain down to the parquet data files.
+  */
+final case class IcebergSnapshot(
+    snapshotId: Long,
+    parentId: Option[Long],
+    timestampMs: Long,
+    manifestList: String,
+    operation: String)
+
+final case class IcebergMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    location: String,
+    lastUpdatedMs: Long,
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[IcebergSnapshot],
+    currentSchemaId: Int,
+    schemas: Map[Int, StructType],
+    defaultSpecId: Int,
+    partitionFields: Seq[(String, String)]) { // (name, transform)
+
+  def schema: StructType = schemas(currentSchemaId)
+
+  def currentSnapshot: Option[IcebergSnapshot] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+
+  def snapshotById(id: Long): Option[IcebergSnapshot] =
+    snapshots.find(_.snapshotId == id)
+
+  /** Latest snapshot whose commit time is <= `tsMs` — the covering-
+    * version rule Warehouse.readAsOf uses, and what AS OF time travel
+    * means in every engine reading Iceberg. */
+  def snapshotAsOf(tsMs: Long): Option[IcebergSnapshot] =
+    snapshots.filter(_.timestampMs <= tsMs)
+      .sortBy(s => (s.timestampMs, s.snapshotId)).lastOption
+}
+
+object IcebergMetadata {
+
+  /** Parse an Iceberg `*.metadata.json` document (spec "Table
+    * Metadata"; v1 single-`schema` and v2 `schemas`+`current-schema-id`
+    * layouts both accepted). */
+  def parse(json: String): IcebergMetadata = {
+    val root = new ObjectMapper().readTree(json)
+    val formatVersion = root.path("format-version").asInt(1)
+    val snaps = root.path("snapshots").elements().asScala.map { s =>
+      IcebergSnapshot(
+        snapshotId = s.path("snapshot-id").asLong(),
+        parentId = Option(s.get("parent-snapshot-id")).map(_.asLong()),
+        timestampMs = s.path("timestamp-ms").asLong(),
+        manifestList = s.path("manifest-list").asText(""),
+        operation = s.path("summary").path("operation").asText(""))
+    }.toSeq
+    val schemas: Map[Int, StructType] =
+      if (root.has("schemas"))
+        root.path("schemas").elements().asScala.map { sch =>
+          sch.path("schema-id").asInt(0) -> structOf(sch)
+        }.toMap
+      else // v1: single top-level "schema"
+        Map(0 -> structOf(root.path("schema")))
+    val specFields = root.path("partition-specs").elements().asScala
+      .find(_.path("spec-id").asInt(-1) == root.path("default-spec-id").asInt(0))
+      .map(_.path("fields").elements().asScala.map(f =>
+        (f.path("name").asText(), f.path("transform").asText())).toSeq)
+      .getOrElse(Seq.empty)
+    IcebergMetadata(
+      formatVersion = formatVersion,
+      tableUuid = root.path("table-uuid").asText(""),
+      location = root.path("location").asText(""),
+      lastUpdatedMs = root.path("last-updated-ms").asLong(),
+      currentSnapshotId =
+        Option(root.get("current-snapshot-id")).map(_.asLong())
+          .filter(_ != -1L),
+      snapshots = snaps,
+      currentSchemaId = root.path("current-schema-id").asInt(0),
+      schemas = schemas,
+      defaultSpecId = root.path("default-spec-id").asInt(0),
+      partitionFields = specFields)
+  }
+
+  private def structOf(node: JsonNode): StructType =
+    StructType(node.path("fields").elements().asScala.map { f =>
+      StructField(f.path("name").asText(),
+        typeOf(f.path("type")),
+        nullable = !f.path("required").asBoolean(false))
+    }.toSeq)
+
+  /** Iceberg type (spec "Schemas and Data Types") → Spark type.
+    * `time` has no Spark analog and maps to LongType (micros since
+    * midnight — the Iceberg physical representation). */
+  private[graft] def typeOf(t: JsonNode): DataType =
+    if (t.isTextual) t.asText() match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "time" => LongType
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case "string" => StringType
+      case "uuid" => StringType
+      case "binary" => BinaryType
+      case s if s.startsWith("fixed") => BinaryType
+      case s if s.startsWith("decimal") =>
+        val ps = s.stripPrefix("decimal(").stripSuffix(")").split(",")
+        DecimalType(ps(0).trim.toInt, ps(1).trim.toInt)
+      case other =>
+        throw new IllegalArgumentException(s"iceberg type: $other")
+    } else t.path("type").asText() match {
+      case "struct" => structOf(t)
+      case "list" =>
+        ArrayType(typeOf(t.path("element")),
+          containsNull = !t.path("element-required").asBoolean(false))
+      case "map" =>
+        MapType(typeOf(t.path("key")), typeOf(t.path("value")),
+          valueContainsNull = !t.path("value-required").asBoolean(false))
+      case other =>
+        throw new IllegalArgumentException(s"iceberg nested type: $other")
+    }
+}
