@@ -86,6 +86,22 @@ object FunctionQueries {
             col("n_regionkey").as("r"))).as("v_obj"))
     }),
 
+    // VariantType-native TO_VARIANT twin: the same four forms built as
+    // Spark 4 binary variants (parse_json) and rendered back to JSON
+    // text at the boundary — variant objects canonicalize (sorted keys,
+    // here already name < r), so the rendered text matches the
+    // string-repr twin byte for byte and the same oracle applies.
+    "q_fn_variant_native" -> ((s, dir) => {
+      Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"),
+          to_json(parse_json(toVariant(col("n_nationkey")))).as("v_int"),
+          to_json(parse_json(toVariant(col("n_name")))).as("v_str"),
+          to_json(parse_json(toVariant(
+            array(col("n_nationkey"), col("n_regionkey"))))).as("v_arr"),
+          to_json(parse_json(toVariant(struct(col("n_name").as("name"),
+            col("n_regionkey").as("r"))))).as("v_obj"))
+    }),
+
     // ARRAY_CONSTRUCT + FLATTEN→explode (transpiler.py:294-302, 326-364)
     "q_fn_flatten" -> ((s, dir) => {
       Tables.load(s, dir, "nation")
@@ -229,6 +245,21 @@ object FunctionQueries {
           |FROM events WHERE props:k::int BETWEEN 20 AND 40""".stripMargin)
     }),
 
+    // VariantType-native twin (SURVEY §1.2's "upgradeable" note): the
+    // SAME Snowflake text under graft.variant.native=true — colon paths
+    // compile to variant_get over Spark 4's binary VariantType (one
+    // parse into a navigable value instead of re-scanning JSON text per
+    // path); the string-repr path stays the default because its results
+    // are directly oracle-comparable. Values must match exactly.
+    "q_sql_colon_path_native" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.conf.set("graft.variant.native", "true")
+      try SnowflakeSql.run(s,
+        """SELECT event_id, props:k::int AS k_val
+          |FROM events WHERE props:k::int BETWEEN 20 AND 40""".stripMargin)
+      finally s.conf.set("graft.variant.native", "false")
+    }),
+
     // VARIANT cast forms (CAST(x AS VARIANT), x::VARIANT, TO_VARIANT(x))
     "q_sql_variant_cast" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -310,6 +341,14 @@ object FunctionQueries {
         |  to_json(struct_pack(name := n_name, r := n_regionkey)) AS v_obj
         |FROM nation""".stripMargin,
 
+    "q_fn_variant_native" ->
+      """SELECT n_nationkey,
+        |  to_json(n_nationkey) AS v_int,
+        |  to_json(n_name) AS v_str,
+        |  to_json([n_nationkey, n_regionkey]) AS v_arr,
+        |  to_json(struct_pack(name := n_name, r := n_regionkey)) AS v_obj
+        |FROM nation""".stripMargin,
+
     "q_fn_flatten" ->
       """SELECT n_nationkey, unnest([n_nationkey, n_regionkey,
         |  n_nationkey + n_regionkey]) AS v
@@ -381,6 +420,11 @@ object FunctionQueries {
         |      FROM nation) t, generate_series(1, 2) g(gs)""".stripMargin,
 
     "q_sql_colon_path" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 20 AND 40""".stripMargin,
+
+    "q_sql_colon_path_native" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 20 AND 40""".stripMargin,

@@ -34,10 +34,18 @@ import graft.functions.Registry
   */
 object SnowflakeSql {
 
-  /** Run Snowflake-dialect SQL on Spark. */
+  /** Run Snowflake-dialect SQL on Spark. Colon-path access compiles to
+    * `get_json_object` (string-repr VARIANT, the oracle-comparable
+    * default) or — when the session sets `graft.variant.native=true` —
+    * to `variant_get(try_parse_json(col), path, 'string')` over Spark
+    * 4's binary VariantType (same string-out semantics, so downstream
+    * `::type` casts behave identically; the binary form parses the JSON
+    * once into a navigable value instead of re-scanning text per
+    * path). */
   def run(spark: SparkSession, sql: String): DataFrame = {
     Registry.register(spark)
-    val t0 = transpile(sql)
+    val t0 = transpile(sql,
+      spark.conf.get("graft.variant.native", "false").toBoolean)
     // global-top-k QUALIFY (no PARTITION BY) would plan an
     // unpartitioned WindowExec — ALL rows through one task. ORDER BY +
     // LIMIT is the same multiset and plans as TakeOrderedAndProject
@@ -125,11 +133,11 @@ object SnowflakeSql {
 
   /** Text-level rewrites only (QUALIFY needs the DataFrame step in
     * [[run]]; `transpile` leaves it in place). */
-  def transpile(sql: String): String = {
+  def transpile(sql: String, nativeVariant: Boolean = false): String = {
     var s = sql
     s = rewriteCastVariant(s)
     s = rewriteDoubleColonVariant(s)
-    s = rewriteColonPaths(s)
+    s = rewriteColonPaths(s, nativeVariant)
     s = rewriteFlatten(s)
     s = rewriteDateFns(s)
     s = rewriteBareVarchar(s)
@@ -279,12 +287,17 @@ object SnowflakeSql {
     s
   }
 
-  /** `col:a.b` (not `::`) → get_json_object(col, '$.a.b'). */
-  private def rewriteColonPaths(sql: String): String = {
+  /** `col:a.b` (not `::`) → get_json_object(col, '$.a.b'), or the
+    * VariantType form under the `graft.variant.native` flag (string
+    * target type keeps `::type` cast semantics identical). */
+  private def rewriteColonPaths(sql: String,
+      nativeVariant: Boolean = false): String = {
     val re = ("(?<![:\\w'])([A-Za-z_]\\w*)\\s*:(?!:)\\s*" +
       "([A-Za-z_]\\w*(?:\\.[A-Za-z_]\\w*)*)").r
     re.replaceAllIn(sql, m => scala.util.matching.Regex.quoteReplacement(
-      s"get_json_object(${m.group(1)}, '$$.${m.group(2)}')"))
+      if (nativeVariant)
+        s"variant_get(try_parse_json(${m.group(1)}), '$$.${m.group(2)}', 'string')"
+      else s"get_json_object(${m.group(1)}, '$$.${m.group(2)}')"))
   }
 
   // --------------------------------------------------- FLATTEN rewrite

@@ -311,6 +311,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q22.contains("LeftAnti"), q22)
   }
 
+  test("native-variant flag compiles colon paths to variant_get") {
+    val native = physicalPlan("q_sql_colon_path_native")
+    assert(native.contains("variant_get"), native)
+    assert(!native.contains("get_json_object"), native)
+    // the default string-repr path is unchanged
+    assert(physicalPlan("q_sql_colon_path").contains("get_json_object"))
+  }
+
   test("bloom decontamination probes via the codegen kernel before the join") {
     val p = physicalPlan("d_decontaminate_bloom")
     assert(occurrences(p, "bloom_may_contain(") == 1, p)
