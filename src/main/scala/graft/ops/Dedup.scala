@@ -356,19 +356,29 @@ object Dedup {
           .otherwise(transform(col("v"),
             x => floor(x / col("scale") + 0.5).cast(IntegerType)))
           .as("q"))
-    val b = prep.select(col(idCol), col("scale"), col("nrm"), col("l1"),
-      col("nd"), col("q"),
+    // THIN rows through the cap window (the round-11 minhash recipe,
+    // re-applied here after the fifth-decade probe): the bucket
+    // exchange + cap sort handle only (t, b, id) — at 8 tables × the
+    // corpus that stream is ~20 bytes/row, where carrying the int8
+    // payload made the SAME window an out-of-core sort at sf1000
+    // (160 M × ~350 B = 74 GB measured spill). The capped relation is
+    // cap-bounded (≤ tables·2^planes·cap rows) regardless of corpus
+    // size, so attaching the int8 payload AFTER the cap is one bounded
+    // id-keyed join instead of a corpus-wide fat sort.
+    val bthin = v.select(col(idCol),
       explode(Similarity.tableBuckets(col("v"), numPlanes, numTables))
         .as("tb"))
-      .select(col(idCol), col("scale"), col("nrm"), col("l1"), col("nd"),
-        col("q"), col("tb.t").as("t"), col("tb.b").as("b"))
+      .select(col(idCol), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cappedThin = capBuckets(bthin, Seq("t", "b"), idCol, maxBucket)
     // the capped bucket relation is tiny (≤ tables·buckets·cap rows of
     // int8 payload) but its lineage — scan, quantize, 8-table bucket
-    // explode, cap window + exchange — is the query's whole prefix;
-    // both sides of the pair self-join reference it, so checkpoint
-    // once (the [[dupClusters]] recipe) instead of running the prefix
-    // twice. On a real cluster swap for reliable `checkpoint`.
-    val capped = capBuckets(b, Seq("t", "b"), idCol, maxBucket)
+    // explode, cap window + exchange, payload attach — is the query's
+    // whole prefix; both sides of the pair self-join reference it, so
+    // checkpoint once (the [[dupClusters]] recipe) instead of running
+    // the prefix twice. On a real cluster swap for reliable
+    // `checkpoint`.
+    val capped = cappedThin
+      .join(prep.drop("v"), Seq(idCol))
       .localCheckpoint(false)
     val left = capped.select(col("t"), col("b"), col(idCol).as("id_a"),
       col("scale").as("sa"), col("nrm").as("na"), col("l1").as("la"),
