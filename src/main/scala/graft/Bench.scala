@@ -45,6 +45,19 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // long multi-query legs accumulate dead shuffle files/buffers
+      // until a full GC lets ContextCleaner reclaim them (default
+      // periodic GC is 30 min — longer than most legs). The fifth-
+      // decade probe measured the effect: d_dedup_exact took 233 s
+      // in-leg right after a 75 GB-spill query vs 40.8 s solo.
+      // SPARK_GRAFT_GC opts a big-SF leg into a short interval (e.g.
+      // "1min") to bound that contamination; the default stays Spark's
+      // 30min so the driver's sf0.1 record keeps its historical JVM
+      // behavior (an sf0.1 A/B measured 1min-GC 166.8s vs default
+      // 186.0s — within this host's ±11% run-to-run noise, i.e. no
+      // measurable cost either way at bench SF).
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_GC", "30min"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
