@@ -179,14 +179,13 @@ object Bench {
       if (recordSpill) Some(graft.telemetry.SpillListener.forContext(spark.sparkContext))
       else None
 
-    // Drift sentinel: the same fixed trivial query (q_scan_project — a
-    // narrow projection scan, plan unchanged since round 1) timed at the
-    // start, midpoint, and end of the measured run. Host contention has
-    // moved identical code ±1.5× between rounds (SURVEY §8 rounds 5/7);
-    // the three sentinel values let any reader of a BENCH_r*.json
-    // normalize its totals against the machine state DURING that run
-    // instead of guessing. Sentinel executions are not counted in
-    // `total` or the per-query map.
+    // Drift sentinels: two fixed queries timed at the start, midpoint,
+    // and end of the measured run (host contention has moved identical
+    // code ±1.5× between rounds — SURVEY §8 rounds 5/7; the triples let
+    // any reader of a BENCH_r*.json normalize against the machine state
+    // DURING that run). Sentinel executions are not counted in `total`
+    // or the per-query map; a sentinel failure must not abort the run
+    // (measure() tolerates per-query failures for the same reason).
     // per-query spill attribution (dev-only, SPARK_GRAFT_SPILL runs):
     // queries run serially, so a before/after snapshot of the listener's
     // running total attributes spill to the query that caused it (the
@@ -201,57 +200,93 @@ object Bench {
         if (d > 0) spillByQuery += name ->
           (spillByQuery.getOrElse(name, 0L) + d)
       }
-    // a sentinel failure must not abort the run: the bench's
-    // single-JSON-line contract outranks one sentinel sample (the timed
-    // loop tolerates per-query failures for the same reason)
-    def sentinelTime(): Double = {
-      val spill0 = spillListener.map(_.totalSpillBytes).getOrElse(0L)
-      val t0 = System.nanoTime()
-      try SparkEntry.queries("q_scan_project")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] sentinel failed: ${e.getMessage}")
-      }
-      recordSpillDelta("__sentinel", spill0)
-      (System.nanoTime() - t0) / 1e9
-    }
-    sentinelTime() // untimed warm pass (JIT/footer absorption)
-    // global spill baseline: bytes spilled before this point (warm-up +
-    // first sentinel) are excluded from the reported total, so
-    // spill_bytes == sum(spill_by_query) + unattributed listener lag
-    val spillBase = spillListener.map(_.totalSpillBytes).getOrElse(0L)
-    spillByQuery.clear()
-    val sentinels = scala.collection.mutable.ArrayBuffer(sentinelTime())
-
-    val selected = SparkEntry.queries.toSeq
-      .filter { case (name, _) => onlyQueries.forall(_.contains(name)) }
-      .sortBy(_._1)
     // Plan-shape self-audit (the bench tail must not scroll WARN-class
     // scale signals past the record): any dense join or unpartitioned
     // window outside PlanGuard's audited allowlists is collected and
     // annotated into the JSON line as plan_warnings, so a future
     // corpus-sized offender is visible in the driver record itself.
     val planWarnings = scala.collection.mutable.ArrayBuffer[String]()
-    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == selected.size / 2 && i > 0) sentinels += sentinelTime()
+    // THE single measurement path — queries and both sentinels go
+    // through this exact function, so any future fixed per-query cost
+    // added here is visible in the sentinels too. The timer covers
+    // DataFrame construction + the noop write ONLY; the PlanGuard walk
+    // materializes a SECOND Catalyst planning pass
+    // (df.queryExecution.executedPlan plans independently of the write
+    // command's own pass), so it runs strictly AFTER the timestamps —
+    // round 11 had it inside the timer and every query paid a timed
+    // double-planning cost (the judged ~1.3-1.5x phantom regression).
+    def measure(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame): Double = {
       val spill0 = spillListener.map(_.totalSpillBytes).getOrElse(0L)
+      var df: org.apache.spark.sql.DataFrame = null
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
       // Catalyst prune the projection and under-measure).
       try {
-        val df = fn(spark, sfDir)
-        graft.plans.PlanGuard
-          .scaleWarnings(name, df.queryExecution.executedPlan)
-          .foreach(tag => planWarnings += s"$name:$tag")
+        df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      val sec = (System.nanoTime() - t0) / 1e9
       recordSpillDelta(name, spill0)
-      name -> (System.nanoTime() - t0) / 1e9
+      if (df != null && !name.startsWith("__"))
+        graft.plans.PlanGuard
+          .scaleWarnings(name, df.queryExecution.executedPlan)
+          .foreach(tag => planWarnings += s"$name:$tag")
+      sec
     }
-    sentinels += sentinelTime()
+    // Drift sentinel 1: the same fixed TRIVIAL query (q_scan_project)
+    // measures scan latency / host contention. Drift sentinel 2: a
+    // fixed PLAN-HEAVY query (join + window + 8-branch union + agg over
+    // the small customer/nation tables) whose wall is dominated by
+    // per-query fixed costs — analysis/optimization/physical planning
+    // and the noop-commit overhead — not by data. Round 11's timer
+    // contamination was invisible to sentinel 1 by construction (its
+    // plan is trivial); sentinel 2 exists so `tools/bench_compare.py`
+    // can separate scan-latency drift (both sentinels move) from
+    // per-query fixed-overhead drift (only sentinel 2 moves).
+    def sentinel2Query(s: org.apache.spark.sql.SparkSession,
+        dir: String): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val ranked = c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("n_name")).orderBy(col("c_acctbal").desc,
+            col("c_custkey"))))
+        .filter(col("rn") <= 10)
+      (1 to 8).map(i => ranked.select(col("n_name"),
+          (col("c_acctbal") * i).as("v")))
+        .reduce(_ unionByName _)
+        .groupBy(col("n_name"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+    }
+    def sentinelTime(): Double =
+      measure("__sentinel", SparkEntry.queries("q_scan_project"))
+    def sentinel2Time(): Double = measure("__sentinel2", sentinel2Query)
+    sentinelTime(); sentinel2Time() // untimed warm pass (JIT/footers)
+    // global spill baseline: bytes spilled before this point (warm-up +
+    // first sentinels) are excluded from the reported total, so
+    // spill_bytes == sum(spill_by_query) + unattributed listener lag
+    val spillBase = spillListener.map(_.totalSpillBytes).getOrElse(0L)
+    spillByQuery.clear()
+    val sentinels = scala.collection.mutable.ArrayBuffer(sentinelTime())
+    val sentinels2 = scala.collection.mutable.ArrayBuffer(sentinel2Time())
+
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => onlyQueries.forall(_.contains(name)) }
+      .sortBy(_._1)
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == selected.size / 2 && i > 0) {
+        sentinels += sentinelTime(); sentinels2 += sentinel2Time()
+      }
+      name -> measure(name, fn)
+    }
+    sentinels += sentinelTime(); sentinels2 += sentinel2Time()
     // The driver captures only a bounded stdout tail, so the JSON line
     // must stay comfortably under ~2000 chars: 3-decimal seconds, numeric
     // sf, and if the full per-query map still overflows, keep the slowest
@@ -278,12 +313,13 @@ object Bench {
           s""","spill_bytes":${l.totalSpillBytes - spillBase}$byQ"""
         }.getOrElse("")
       val sent = sentinels.map(fmt).mkString("[", ",", "]")
+      val sent2 = sentinels2.map(fmt).mkString("[", ",", "]")
       // bounded: 10 tags max — presence is the signal, the suite has
       // the full list
       val pw = if (planWarnings.isEmpty) "" else
         planWarnings.take(10).map("\"" + _ + "\"")
           .mkString(""","plan_warnings":[""", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$sp$pw,"sentinel_sec":$sent,"sf":$sf}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$sp$pw,"sentinel_sec":$sent,"sentinel2_sec":$sent2,"sf":$sf}"""
     }
     val full = line(results, 0)
     val out =

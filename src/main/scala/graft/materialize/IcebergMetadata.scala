@@ -90,8 +90,12 @@ object IcebergMetadata {
       location = root.path("location").asText(""),
       lastUpdatedMs = root.path("last-updated-ms").asLong(),
       currentSnapshotId =
-        Option(root.get("current-snapshot-id")).map(_.asLong())
-          .filter(_ != -1L),
+        // an explicit JSON null (valid: a table with no snapshots)
+        // parses as Jackson's NullNode, not Java null — filter it
+        // before asLong() or it would read as Some(0L) and turn an
+        // empty table into a "no matching snapshot" error
+        Option(root.get("current-snapshot-id")).filterNot(_.isNull)
+          .map(_.asLong()).filter(_ != -1L),
       snapshots = snaps,
       currentSchemaId = root.path("current-schema-id").asInt(0),
       schemas = schemas,

@@ -31,8 +31,12 @@ object IcebergTable {
 
   /** The table's current metadata document, resolved like an engine
     * without a catalog does: `metadata/version-hint.text` if present,
-    * else the lexicographically-greatest `*.metadata.json` (version
-    * numbers are zero-padded by all Iceberg writers). */
+    * else the highest NUMERIC version among `*.metadata.json` files.
+    * The version must be parsed, not compared lexicographically:
+    * Hadoop-table layout writes unpadded `v<N>.metadata.json`, so at
+    * >=10 versions "v9" sorts after "v10" as text and a lexicographic
+    * maxBy silently serves a stale snapshot. Files with no parseable
+    * version fall back to name order below every numbered one. */
   def loadMetadata(tableDir: String): IcebergMetadata = {
     val mdir = new File(localPath(tableDir), "metadata")
     require(mdir.isDirectory, s"no metadata dir under $tableDir")
@@ -47,9 +51,13 @@ object IcebergTable {
             f.getName.startsWith(s"$v-") ||
             f.getName.matches(s"0*$v-.*\\.metadata\\.json"))
           .getOrElse(sys.error(s"version-hint $v has no metadata file"))
-      } else mdir.listFiles()
-        .filter(_.getName.endsWith(".metadata.json"))
-        .maxBy(_.getName)
+      } else {
+        val versionNum = "^v?(\\d+)".r
+        mdir.listFiles()
+          .filter(_.getName.endsWith(".metadata.json"))
+          .maxBy(f => (versionNum.findFirstMatchIn(f.getName)
+            .map(_.group(1).toLong).getOrElse(-1L), f.getName))
+      }
     IcebergMetadata.parse(java.nio.file.Files.readString(mfile.toPath))
   }
 
@@ -77,38 +85,95 @@ object IcebergTable {
       case Some(Right(ts)) => md.snapshotAsOf(ts)
     }).getOrElse(sys.error(
       s"no matching snapshot (have ${md.snapshots.map(_.snapshotId)})"))
-    val files = dataFiles(md, snap, tableDir)
+    val (files, posDeletes) = snapshotFiles(md, snap, tableDir)
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], md.schema)
-    else spark.read.schema(md.schema).parquet(files: _*)
+    else if (posDeletes.isEmpty)
+      spark.read.schema(md.schema).parquet(files: _*)
+    else applyPositionalDeletes(spark, md, tableDir, files, posDeletes)
+  }
+
+  /** v2 positional deletes, applied the way every engine reading
+    * Iceberg without its runtime does (the reference reads such tables
+    * via DuckDB's iceberg ATTACH, connections.py:990-1055): a delete
+    * file is plain parquet of `(file_path, pos)` rows, and a data row
+    * is live iff no delete row names its (file, row-ordinal). Spark's
+    * `_metadata.row_index` IS the per-file row ordinal, so the
+    * application is a distributed anti-join on (relative-path, pos) —
+    * delete side broadcast (delete files are metadata-scale next to the
+    * data they prune), data side never reshuffled. Paths join on their
+    * table-location-relative form so relocated tables (resolve()'s
+    * re-anchoring rule) compare equal regardless of where either side's
+    * absolute prefix points. Sequence ordering is not needed for
+    * positional deletes: a delete row names an immutable (file, pos)
+    * that can never be re-added. */
+  private def applyPositionalDeletes(spark: SparkSession,
+      md: IcebergMetadata, tableDir: String, files: Seq[String],
+      posDeletes: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def rel(c: org.apache.spark.sql.Column) = {
+      // normalize file:/ file:// file:/// to a single leading slash,
+      // then strip whichever table prefix (original location or the
+      // relocated dir) the path carries
+      val slashed = regexp_replace(c, "^file:/+", "/")
+      Seq(localPath(md.location), localPath(tableDir))
+        .filter(_.nonEmpty).distinct
+        .foldLeft(slashed)((acc, p) => regexp_replace(acc,
+          "^" + java.util.regex.Pattern.quote(p + "/"), ""))
+    }
+    val data = spark.read.schema(md.schema).parquet(files: _*)
+      .withColumn("__graft_file", rel(col("_metadata.file_path")))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+    val deletes = spark.read.parquet(posDeletes: _*)
+      .select(rel(col("file_path")).as("__graft_file"),
+        col("pos").cast("long").as("__graft_pos"))
+    data.join(broadcast(deletes), Seq("__graft_file", "__graft_pos"),
+        "left_anti")
+      .drop("__graft_file", "__graft_pos")
   }
 
   /** Walk snapshot → manifest-list avro → manifest avros → live parquet
-    * data files. Raises on delete manifests/files rather than silently
-    * returning undeleted rows. */
-  private[materialize] def dataFiles(md: IcebergMetadata,
-      snap: IcebergSnapshot, tableDir: String): Seq[String] = {
-    val manifests = readAvro(resolve(snap.manifestList, md, tableDir)).map {
-      r =>
-        val content = Option(r.get("content")).map(_.toString.toInt)
-        require(!content.contains(1),
-          s"snapshot ${snap.snapshotId} carries DELETE manifests — " +
-            "row-level deletes are not readable offline")
-        r.get("manifest_path").toString
-    }
-    manifests.flatMap { mp =>
-      readAvro(resolve(mp, md, tableDir)).flatMap { entry =>
+    * files, split into (data files, positional-delete files). Equality
+    * deletes still raise rather than silently returning undeleted rows
+    * (applying them needs sequence-number ordering semantics this
+    * offline reader does not implement). */
+  private[materialize] def snapshotFiles(md: IcebergMetadata,
+      snap: IcebergSnapshot, tableDir: String): (Seq[String], Seq[String]) = {
+    val manifests = readAvro(resolve(snap.manifestList, md, tableDir))
+      .map(r => r.get("manifest_path").toString)
+    val data = Seq.newBuilder[String]
+    val posDeletes = Seq.newBuilder[String]
+    manifests.foreach { mp =>
+      readAvro(resolve(mp, md, tableDir)).foreach { entry =>
         val status = Option(entry.get("status")).map(_.toString.toInt)
           .getOrElse(0)
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
         val content = Option(df.get("content")).map(_.toString.toInt)
-        require(!content.exists(_ > 0),
-          "manifest carries delete FILES — not readable offline")
-        if (status == 2) None // DELETED entry
-        else Some(resolve(df.get("file_path").toString, md, tableDir))
+          .getOrElse(0)
+        if (status != 2) { // 2 = DELETED manifest entry (file removed)
+          val path = resolve(df.get("file_path").toString, md, tableDir)
+          content match {
+            case 0 => data += path
+            case 1 => posDeletes += path
+            case other => sys.error(
+              s"snapshot ${snap.snapshotId} carries EQUALITY delete " +
+                s"files (content=$other) — not readable offline")
+          }
+        }
       }
     }
+    (data.result(), posDeletes.result())
+  }
+
+  /** Back-compat shim for callers/tests that only want live data files;
+    * raises if the snapshot carries row-level deletes of any kind. */
+  private[materialize] def dataFiles(md: IcebergMetadata,
+      snap: IcebergSnapshot, tableDir: String): Seq[String] = {
+    val (files, deletes) = snapshotFiles(md, snap, tableDir)
+    require(deletes.isEmpty,
+      s"snapshot ${snap.snapshotId} carries positional delete files")
+    files
   }
 
   private def readAvro(path: String): Seq[GenericRecord] = {
@@ -125,7 +190,10 @@ object IcebergTable {
       tableDir: String): String = {
     val p = localPath(path)
     val loc = localPath(md.location)
-    if (loc.nonEmpty && p.startsWith(loc))
+    // prefix match must stop at a path-separator boundary: with
+    // location .../db/t, a sibling table's .../db/t2/data/f.parquet
+    // must NOT be rewritten to <tableDir>/2/data/f.parquet
+    if (loc.nonEmpty && (p == loc || p.startsWith(loc + "/")))
       new File(localPath(tableDir), p.stripPrefix(loc)
         .dropWhile(_ == '/')).getPath
     else p

@@ -1,9 +1,11 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec}
+import org.apache.spark.sql.execution.{CoalesceExec, GlobalLimitExec, LocalLimitExec, SortExec, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -33,17 +35,28 @@ object PlanGuard {
       "t_bpe_apply", "q_skew_salted", "q_skew_preagg")
 
   /** Queries allowed to plan an unpartitioned WindowExec — each one's
-    * window provably sits above a bounded relation (a LIMIT or an
-    * aggregate that reduced the stream to keys-sized: the top-100 vocab
-    * rank, the top-100 fused ranking, pack-manifest's N/1000 bucket
-    * offsets). Growing this set requires re-arguing boundedness in
-    * PlanAuditSpec.
+    * window sits above a bounded relation (a LIMIT or an aggregate that
+    * reduced the stream to keys-sized: the top-100 vocab rank, the
+    * top-100 fused ranking, pack-manifest's N/1000 bucket offsets).
+    * Membership IS the human-argued bound: growing this set requires
+    * re-arguing boundedness in PlanAuditSpec — `bounded()` deliberately
+    * does NOT count grouped aggregates as bounds (a groupBy on a
+    * corpus-cardinality key like doc_id is corpus-sized), so the
+    * automatic check cannot be fooled into waving a non-allowlisted
+    * window through.
     */
   val boundedWindowAllow: Set[String] =
     Set("t_vocab_topk", "s_hybrid_rrf", "t_pack_manifest",
       "p_rag", "q_sql_qualify_order",
       // tok-id assignment ranks the top-100 vocab slice (above LIMIT)
       "t_tokenize_ids")
+
+  /** Queries allowed to plan a sort whose input is a SINGLE partition
+    * of an unbounded relation — the one legitimate member is substring
+    * dedup's out-of-core suffix sort (documented in Dedup.scala as the
+    * inherent single-box remainder). Anything else is a scale-killer:
+    * all corpus rows through one task. */
+  val singlePartitionSortAllow: Set[String] = Set("d_dedup_substring")
 
   /** Every node of the plan, descending THROUGH adaptive wrappers: a
     * vanilla `plan.collect` treats AdaptiveSparkPlanExec/QueryStageExec
@@ -56,12 +69,36 @@ object PlanGuard {
     case other => other.children.flatMap(allNodes)
   })
 
-  /** True iff the subtree contains a node that bounds its output size
-    * (a limit, or an aggregate reducing to group-key cardinality). */
+  /** True iff the subtree contains a node that HARD-bounds its output
+    * size: a limit, a top-k, or an aggregate with NO grouping keys
+    * (one row). A grouped aggregate is deliberately NOT a bound — its
+    * cardinality is its grouping keys', which for a corpus-keyed
+    * groupBy (doc_id, user_id) is the corpus itself (ADVICE round 11:
+    * the old any-aggregate rule let such a plan pass as "bounded"). */
   def bounded(p: SparkPlan): Boolean = allNodes(p).exists {
     case _: GlobalLimitExec | _: LocalLimitExec => true
-    case _: BaseAggregateExec => true
+    case _: TakeOrderedAndProjectExec => true
+    case a: BaseAggregateExec => a.groupingExpressions.isEmpty
     case _ => false
+  }
+
+  /** True iff this subtree feeds its parent from a single partition —
+    * an explicit shuffle/coalesce to one partition, or any node whose
+    * declared output partitioning is SinglePartition. Descends through
+    * AQE wrappers to the first concrete node. */
+  def singlePartitionFeed(p: SparkPlan): Boolean = {
+    val concrete = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case s: QueryStageExec => s.plan
+      case other => other
+    }
+    concrete match {
+      case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition
+      case c: CoalesceExec => c.numPartitions == 1
+      case other =>
+        try other.outputPartitioning == SinglePartition
+        catch { case _: Throwable => false }
+    }
   }
 
   /** WARN-class scale signals in a physical plan, as short tags.
@@ -78,10 +115,22 @@ object PlanGuard {
     val unpartitioned = nodes.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
     }
-    if (unpartitioned.exists(w => !bounded(w.child)))
-      tags += "unbounded_window"
-    else if (unpartitioned.nonEmpty && !boundedWindowAllow(name))
-      tags += "unlisted_window"
+    // every unpartitioned window outside the allowlist is a finding:
+    // "unbounded_window" when no hard bound sits below it,
+    // "unlisted_window" when the child merely LOOKS bounded (e.g. a
+    // grouped aggregate) — either way allowlist membership, i.e. a
+    // reviewed boundedness argument, is required to silence it
+    if (unpartitioned.nonEmpty && !boundedWindowAllow(name))
+      tags += (if (unpartitioned.exists(w => !bounded(w.child)))
+        "unbounded_window" else "unlisted_window")
+    // a sort fed by ONE partition of an unbounded stream pushes the
+    // whole corpus through a single task (the sibling failure mode of
+    // the unpartitioned window)
+    if (!singlePartitionSortAllow(name) && nodes.exists {
+        case s: SortExec => singlePartitionFeed(s.child) && !bounded(s.child)
+        case _ => false
+      })
+      tags += "single_partition_sort"
     tags.toSeq
   }
 }

@@ -110,42 +110,48 @@ object EventQueries {
 
     // rolling active users: per day, DAU + trailing-7-day WAU +
     // stickiness (dau/wau, one exact IEEE division). Windowed DISTINCT
-    // without a giant re-dedup: dedup to (day, user) once (the only
-    // corpus-sized shuffle; DAU is then a plain count), and for WAU
-    // merge each user's 7-day coverage intervals over their SORTED
-    // distinct-day array — a user's day list is CALENDAR-bounded
-    // (≤ the corpus date span, ~tens of entries), so the per-group
-    // buffer is tiny and every covered (user, window-day) is emitted
-    // EXACTLY ONCE: the per-day aggregate is a plain partial count.
-    // The previous shape exploded du ×7 and re-deduped 315 M
-    // (day, user) rows at sf100 through countDistinct — 21 GB of
-    // sort-agg spill for rows this shape never materializes.
+    // without a giant re-dedup: dedup to (epoch-day, user) once as
+    // NARROW int+long rows — the only corpus-sized shuffle, with a
+    // SINGLE downstream consumer so its final aggregate runs once
+    // (the round-11 shape fanned du out to dau AND perUser: the reused
+    // exchange was shared but the final distinct pass over ~1 B
+    // shuffled pairs ran TWICE — most of the measured 64 GB sf1000
+    // spill). For WAU merge each user's 7-day coverage intervals over
+    // their SORTED distinct-day array — a user's day list is
+    // CALENDAR-bounded (≤ the corpus date span, ~tens of entries), so
+    // the per-group buffer is tiny and every covered (user, window-day)
+    // is emitted EXACTLY ONCE. DAU markers ride the SAME explode
+    // (tagged structs), so one final day-keyed partial-count aggregate
+    // produces both counts: three single-consumer shuffles total.
     "e_active_users" -> ((s, dir) => {
-      val du = Tables.load(s, dir, "events")
-        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
-        .distinct()
-      val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
       // epoch-day ints: exact integer interval arithmetic
       val epoch = to_date(lit("1970-01-01"))
-      val perUser = du
-        .groupBy(col("user_id"))
-        .agg(sort_array(collect_set(datediff(col("day"), epoch))).as("ds"))
+      val du = Tables.load(s, dir, "events")
+        .select(datediff(col("ts"), epoch).as("dayint"), col("user_id"))
+        .distinct()
+      val perUser = du.groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("dayint"))).as("ds"))
       // user active on day d covers window-days [d, d+6]; for sorted
       // distinct days the FRESH coverage of ds[i] is
       // [max(ds[i], ds[i-1]+7), ds[i]+6] — non-empty (ds strictly
-      // increasing ⇒ ds[i-1]+7 ≤ ds[i]+6), disjoint, union-complete
-      val covered = perUser.select(explode(flatten(
-        zip_with(col("ds"), sequence(lit(1), size(col("ds"))),
-          (d, i) => sequence(
+      // increasing ⇒ ds[i-1]+7 ≤ ds[i]+6), disjoint, union-complete.
+      // Each actual day also emits an a=1 DAU marker.
+      val emitted = perUser.select(explode(concat(
+        transform(col("ds"),
+          d => struct(d.as("d"), lit(1).as("a"))),
+        flatten(zip_with(col("ds"), sequence(lit(1), size(col("ds"))),
+          (d, i) => transform(sequence(
             when(i === 1, d).otherwise(
               greatest(d, element_at(col("ds"), i - 1) + 7)),
-            d + 6)))).as("dayint"))
-      val wau = covered
-        .select(date_add(epoch, col("dayint"))
-          .cast("timestamp").as("day"))
-        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
-      dau.join(wau, Seq("day"))
-        .select(col("day"), col("dau"), col("wau"),
+            d + 6), cd => struct(cd.as("d"), lit(0).as("a"))))))).as("x"))
+      emitted.groupBy(col("x.d").as("dayint"))
+        .agg(sum(col("x.a")).as("dau"),
+          sum(lit(1) - col("x.a")).as("wau"))
+        // coverage tails past the last actual day have wau>0, dau=0 —
+        // the old inner join dropped them; keep that contract
+        .filter(col("dau") > 0)
+        .select(date_add(epoch, col("dayint")).cast("timestamp").as("day"),
+          col("dau"), col("wau"),
           (col("dau").cast(DoubleType) / col("wau")).as("stickiness"))
     }),
 

@@ -253,11 +253,15 @@ object FunctionQueries {
     // are directly oracle-comparable. Values must match exactly.
     "q_sql_colon_path_native" -> ((s, dir) => {
       Tables.registerAll(s, dir)
+      // restore the caller's prior flag value, not a hard-coded
+      // "false" — a session that enabled the documented upgrade path
+      // globally must not be silently downgraded by this query
+      val prev = s.conf.get("graft.variant.native", "false")
       s.conf.set("graft.variant.native", "true")
       try SnowflakeSql.run(s,
         """SELECT event_id, props:k::int AS k_val
           |FROM events WHERE props:k::int BETWEEN 20 AND 40""".stripMargin)
-      finally s.conf.set("graft.variant.native", "false")
+      finally s.conf.set("graft.variant.native", prev)
     }),
 
     // VARIANT cast forms (CAST(x AS VARIANT), x::VARIANT, TO_VARIANT(x))

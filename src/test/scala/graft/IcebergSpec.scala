@@ -67,36 +67,54 @@ class IcebergSpec extends AnyFunSuite {
 
   /** Build the fixture table; returns its directory. Layout mirrors a
     * relocated table: metadata paths point at `file:///warehouse/db/t`
-    * while the files live under the returned temp dir. */
-  private def buildTable(withDeleteManifest: Boolean = false): String = {
+    * while the files live under the returned temp dir.
+    * `withPosDelete` adds a v2 positional-delete file removing f1's
+    * row at ordinal 1 (id=2) and f2's row at ordinal 0 (id=4);
+    * `withEqDelete` adds an (unsupported) equality-delete entry. */
+  private def buildTable(withPosDelete: Boolean = false,
+      withEqDelete: Boolean = false): String = {
     val dir = Files.createTempDirectory("graft_iceberg").toFile
     val origLoc = "file:///warehouse/db/t"
     // two single-file parquet data files, 3 + 2 rows
     import spark.implicits._
-    def oneParquet(rows: Seq[(Long, String)], name: String): Unit = {
-      val tmp = new File(dir, s"__tmp_$name")
-      rows.toDF("id", "name").coalesce(1).write.parquet(tmp.getPath)
+    def onePart(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = new File(dir, s"__tmp_${name.replace('/', '_')}")
+      df.coalesce(1).write.parquet(tmp.getPath)
       val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = new File(dir, s"data/$name")
+      val dst = new File(dir, name)
       dst.getParentFile.mkdirs()
       java.nio.file.Files.move(part.toPath, dst.toPath)
       tmp.listFiles().foreach(_.delete()); tmp.delete()
     }
+    def oneParquet(rows: Seq[(Long, String)], name: String): Unit =
+      onePart(rows.toDF("id", "name"), s"data/$name")
     oneParquet(Seq((1L, "a"), (2L, "b"), (3L, "c")), "f1.parquet")
     oneParquet(Seq((4L, "d"), (5L, "e")), "f2.parquet")
-    // manifests: m1 → f1; m2 → f2
+    if (withPosDelete)
+      // positional delete file: plain parquet (file_path, pos), paths
+      // anchored at the ORIGINAL location like every other reference
+      onePart(Seq(
+        (s"$origLoc/data/f1.parquet", 1L),
+        (s"$origLoc/data/f2.parquet", 0L)).toDF("file_path", "pos"),
+        "data/del1.parquet")
+    // manifests: m1 → f1; m2 → f2; m3 → positional/equality deletes
     writeAvro(new File(dir, "metadata/m1.avro"), manifestSchema,
       Seq(manifestRow(1, 0, s"$origLoc/data/f1.parquet")))
     writeAvro(new File(dir, "metadata/m2.avro"), manifestSchema,
       Seq(manifestRow(1, 0, s"$origLoc/data/f2.parquet")))
-    // manifest lists: snapshot 1 = {m1}; snapshot 2 = {m1, m2}
+    if (withPosDelete || withEqDelete)
+      writeAvro(new File(dir, "metadata/m3.avro"), manifestSchema,
+        Seq(manifestRow(1, if (withEqDelete) 2 else 1,
+          s"$origLoc/data/del1.parquet")))
+    // manifest lists: snapshot 1 = {m1}; snapshot 2 = {m1, m2} (+ the
+    // delete manifest, flagged content=1 at the list level)
     writeAvro(new File(dir, "metadata/ml1.avro"), manifestListSchema,
       Seq(manifestListRow(s"$origLoc/metadata/m1.avro", 0)))
     writeAvro(new File(dir, "metadata/ml2.avro"), manifestListSchema,
       Seq(manifestListRow(s"$origLoc/metadata/m1.avro", 0),
         manifestListRow(s"$origLoc/metadata/m2.avro", 0)) ++
-        (if (withDeleteManifest)
-          Seq(manifestListRow(s"$origLoc/metadata/m2.avro", 1))
+        (if (withPosDelete || withEqDelete)
+          Seq(manifestListRow(s"$origLoc/metadata/m3.avro", 1))
         else Nil))
     val metadata =
       s"""{
@@ -154,12 +172,52 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergTable.read(spark, dir).schema("id").dataType == LongType)
   }
 
-  test("delete manifests raise instead of returning undeleted rows") {
-    val dir = buildTable(withDeleteManifest = true)
-    val e = intercept[Exception](IcebergTable.read(spark, dir).count())
-    assert(e.getMessage.contains("DELETE manifests"))
-    // the pre-delete snapshot stays readable
+  test("v2 positional deletes are applied as a (file, row-ordinal) anti-join") {
+    val dir = buildTable(withPosDelete = true)
+    // del1.parquet removes f1 ordinal 1 (id=2) and f2 ordinal 0 (id=4)
+    assert(IcebergTable.read(spark, dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L, 5L))
+    // the pre-delete snapshot stays fully readable
     assert(IcebergTable.readVersion(spark, dir, 100L).count() == 3)
+  }
+
+  test("equality deletes still raise instead of returning undeleted rows") {
+    val dir = buildTable(withEqDelete = true)
+    val e = intercept[Exception](IcebergTable.read(spark, dir).count())
+    assert(e.getMessage.contains("EQUALITY delete"))
+    assert(IcebergTable.readVersion(spark, dir, 100L).count() == 3)
+  }
+
+  test("versionless metadata picks the highest PARSED version, not lexicographic") {
+    // Hadoop-table layout: unpadded v<N>.metadata.json — "v9" sorts
+    // after "v10" as text; the reader must parse the number
+    val dir = buildTable()
+    val mdir = new File(dir, "metadata")
+    val current = mdir.listFiles()
+      .find(_.getName.endsWith(".metadata.json")).get
+    val body = java.nio.file.Files.readString(current.toPath)
+    java.nio.file.Files.writeString(
+      new File(mdir, "v10.metadata.json").toPath, body)
+    // v9 claims an older current snapshot; lexicographic maxBy would
+    // serve THIS one (stale) — the parsed-version rule must not
+    java.nio.file.Files.writeString(
+      new File(mdir, "v9.metadata.json").toPath,
+      body.replace("\"current-snapshot-id\": 200", "\"current-snapshot-id\": 100"))
+    current.delete()
+    assert(IcebergTable.loadMetadata(dir)
+      .currentSnapshot.map(_.snapshotId).contains(200L))
+  }
+
+  test("explicit-null current-snapshot-id reads as no snapshot, not id 0") {
+    val md = IcebergMetadata.parse(
+      """{"format-version": 2, "table-uuid": "x", "location": "",
+        |"last-updated-ms": 0, "current-snapshot-id": null,
+        |"current-schema-id": 0,
+        |"schemas": [{"schema-id": 0, "type": "struct", "fields": []}],
+        |"default-spec-id": 0, "snapshots": []}""".stripMargin)
+    assert(md.currentSnapshotId.isEmpty)
+    assert(md.currentSnapshot.isEmpty)
   }
 
   test("iceberg type lattice maps to Spark types") {

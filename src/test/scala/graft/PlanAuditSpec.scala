@@ -374,14 +374,36 @@ class PlanAuditSpec extends AnyFunSuite {
     // or aggregate BELOW it, and the owning queries must stay inside
     // PlanGuard.boundedWindowAllow — a future corpus-sized one fails CI
     // instead of WARNing.
+    // The same sweep also enforces the sibling invariant: no SortExec
+    // fed by a SINGLE partition of an unbounded stream outside
+    // PlanGuard.singlePartitionSortAllow (substring dedup's documented
+    // out-of-core suffix sort is the one legitimate member).
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       graft.plans.PlanGuard.scaleWarnings(name,
           SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
-        .filter(_.endsWith("window")).map(tag => s"$name:$tag")
+        .filter(t => t.endsWith("window") || t == "single_partition_sort")
+        .map(tag => s"$name:$tag")
     }
     assert(offenders.isEmpty,
-      s"unpartitioned windows outside the audited allowlist: " +
-        offenders.mkString(", "))
+      s"unpartitioned windows / single-partition sorts outside the " +
+        s"audited allowlists: ${offenders.mkString(", ")}")
+  }
+
+  test("single-partition sort detector fires on a coalesced sort, not on bounded ones") {
+    import graft.plans.PlanGuard
+    val bad = Tables.load(spark, sf, "events")
+      .coalesce(1).sortWithinPartitions("ts")
+    assert(PlanGuard.scaleWarnings("zzz_probe",
+        bad.queryExecution.executedPlan).contains("single_partition_sort"),
+      bad.queryExecution.executedPlan.toString)
+    // a hard bound (limit) below the sort silences it
+    val ok = Tables.load(spark, sf, "events")
+      .limit(100).coalesce(1).sortWithinPartitions("ts")
+    assert(!PlanGuard.scaleWarnings("zzz_probe",
+        ok.queryExecution.executedPlan).contains("single_partition_sort"))
+    // the allowlist silences it by name
+    assert(!PlanGuard.scaleWarnings("d_dedup_substring",
+        bad.queryExecution.executedPlan).contains("single_partition_sort"))
   }
 
   test("correlated scalar subquery decorrelates to aggregate + join") {

@@ -52,8 +52,8 @@ def load(path):
     return d
 
 
-def median_sentinel(rec):
-    s = rec.get("sentinel_sec")
+def median_sentinel(rec, key="sentinel_sec"):
+    s = rec.get(key)
     if not s:
         return None, None
     spread = max(s) / min(s) if min(s) > 0 else float("inf")
@@ -92,6 +92,28 @@ def main():
                     "queries (a record predates the sentinel; estimate "
                     "assumes most queries' code is unchanged)")
     print(f"host_factor B/A = {host:.3f}  [{host_src}]")
+
+    # Sentinel 2 (round 12+): a fixed PLAN-HEAVY query through the
+    # identical measurement path. Sentinel 1's plan is trivial, so it is
+    # structurally blind to fixed per-query overhead added inside the
+    # timer (round 11's in-timer PlanGuard planning pass slipped past
+    # it). If sentinel 2 moves beyond the sentinel-1 host factor, the
+    # measurement path itself changed cost — a near-uniform per-query
+    # floor shift is harness drift, not engine regression.
+    s2a, spread2a = median_sentinel(a, "sentinel2_sec")
+    s2b, spread2b = median_sentinel(b, "sentinel2_sec")
+    if s2a is not None and s2b is not None and sa is not None \
+            and sb is not None:
+        overhead = (s2b / s2a) / host
+        tag = ("per-query fixed-overhead drift — suspect the harness, "
+               "not the engine" if overhead > 1.2 or overhead < 1 / 1.2
+               else "measurement path overhead stable")
+        print(f"plan-heavy sentinel movement (host-normalized): "
+              f"{overhead:.3f}x  [A median {s2a:.3f}s, B median "
+              f"{s2b:.3f}s] -> {tag}")
+    elif s2a is not None or s2b is not None:
+        print("plan-heavy sentinel present on one side only "
+              "(pre-round-12 record) - overhead drift not separable")
     print(f"raw totals: A={a.get('value')}s ({len(qa)} mapped, "
           f"{a.get('omitted_fast_queries', 0)} omitted)  "
           f"B={b.get('value')}s ({len(qb)} mapped, "
