@@ -178,6 +178,15 @@ object Bench {
     val spillListener =
       if (recordSpill) Some(graft.telemetry.SpillListener.forContext(spark.sparkContext))
       else None
+    // dev-only scaling diagnosis (SPARK_GRAFT_STAGES=1): after each
+    // timed query, dump that query's per-stage task metrics to stderr —
+    // the instrument for attributing a >1.0 decade exponent to a
+    // specific stage/term. Never set by the driver; stderr only, so the
+    // JSON-line contract is untouched.
+    val stageListener =
+      if (sys.env.get("SPARK_GRAFT_STAGES").contains("1"))
+        Some(graft.telemetry.StageMetricsListener.forContext(spark.sparkContext))
+      else None
 
     // Drift sentinels: two fixed queries timed at the start, midpoint,
     // and end of the measured run (host contention has moved identical
@@ -219,6 +228,7 @@ object Bench {
         fn: (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame): Double = {
       val spill0 = spillListener.map(_.totalSpillBytes).getOrElse(0L)
+      val stage0 = stageListener.map(_.size).getOrElse(0)
       var df: org.apache.spark.sql.DataFrame = null
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
@@ -232,6 +242,16 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       recordSpillDelta(name, spill0)
+      stageListener.foreach { l =>
+        l.drainFrom(stage0).foreach { r =>
+          System.err.println(s"[stages] $name id=${r.stageId} " +
+            s"tasks=${r.numTasks} run=${r.runTimeMs}ms cpu=${r.cpuTimeMs}ms " +
+            s"gc=${r.gcTimeMs}ms in=${r.inputBytes}/${r.inputRecords}r " +
+            s"sread=${r.shuffleReadBytes} " +
+            s"swrite=${r.shuffleWriteBytes}/${r.shuffleWriteRecords}r " +
+            s"spill=${r.spillBytes} name=${r.name}")
+        }
+      }
       if (df != null && !name.startsWith("__"))
         graft.plans.PlanGuard
           .scaleWarnings(name, df.queryExecution.executedPlan)

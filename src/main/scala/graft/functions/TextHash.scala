@@ -181,8 +181,7 @@ object TextHash {
         var c = h(i)
         var j = 1
         while (j < g) { c = (c * B + h(i + j)) % M; j += 1 }
-        val prev = m.get(c)
-        m.put(c, if (prev == null) 1 else prev + 1)
+        m.put(c, m.getOrDefault(c, 0) + 1)
         i += 1
       }
       m

@@ -60,7 +60,7 @@ final class Materializer(wh: Warehouse, targetSchema: String = "main") {
       val counts = df.agg(
         sum(when(col(nn.head).isNull, 1L).otherwise(0L)),
         nn.tail.map(c =>
-          sum(when(col(c).isNull, 1L).otherwise(0L))): _*).head
+          sum(when(col(c).isNull, 1L).otherwise(0L))): _*).head()
       val bad = nn.zipWithIndex
         .collect { case (c, i) if counts.getLong(i) > 0 =>
           s"$c: ${counts.getLong(i)} NULLs" }

@@ -519,7 +519,7 @@ object Dedup {
     // checkpoint.
     def signature(e: DataFrame): (Long, BigDecimal) = {
       val row = e.agg(count(lit(1)),
-        sum((col("src") + col("dst")).cast(DecimalType(38, 0)))).head
+        sum((col("src") + col("dst")).cast(DecimalType(38, 0)))).head()
       (row.getLong(0),
         if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)))
     }

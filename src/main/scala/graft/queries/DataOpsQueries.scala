@@ -1323,6 +1323,15 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
 
     "s_ann_lsh" -> lshOracleSql,
 
+    // The oracle mirrors the engine's own round-11 discipline (thin
+    // rows through the cap window, payload after the cap): the 8x-
+    // corpus cap window sorts (t, bucket, vec_id) ONLY — carrying the
+    // 64-double vector through it filled the sandbox temp disk at
+    // sf1000 (20 M vectors -> 161 M fat window rows, ~85 GB) — and the
+    // vectors + hoisted per-row norms attach AFTER the cap to the
+    // bounded (<= tables * 2^planes * cap) relation. IEEE-identical
+    // cosines: sqrt(dot(a,a)) * sqrt(dot(b,b)) just computed per row
+    // instead of per pair.
     "d_dedup_embed_lsh" -> {
       val bucketCase = lshBucketCase(numTables = 8, numPlanes = 6, dims = 64)
       s"""WITH base AS (
@@ -1332,18 +1341,20 @@ FROM (SELECT w, list_filter(string_split_regex(enc, '\\|+'),
          |  FROM embeddings WHERE vec_id % 100 = 0),
          |d AS (SELECT vec_id,
          |    list_transform(embedding, x -> x::DOUBLE) AS v FROM base),
-         |b AS (
-         |  SELECT vec_id, v, u.t, $bucketCase AS bucket
-         |  FROM d, unnest(generate_series(0, 7)) u(t)
-         |  QUALIFY row_number() OVER (PARTITION BY u.t, bucket
+         |b AS MATERIALIZED (
+         |  SELECT vec_id, t, bucket FROM (
+         |    SELECT vec_id, u.t, $bucketCase AS bucket
+         |    FROM d, unnest(generate_series(0, 7)) u(t))
+         |  QUALIFY row_number() OVER (PARTITION BY t, bucket
          |    ORDER BY vec_id) <= 1000),
+         |bv AS MATERIALIZED (
+         |  SELECT b.vec_id, b.t, b.bucket, d.v,
+         |    sqrt(list_dot_product(d.v, d.v)) AS nn
+         |  FROM b JOIN d ON b.vec_id = d.vec_id),
          |pairs AS (
          |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-         |    list_dot_product(a.v, b2.v) /
-         |    (sqrt(list_dot_product(a.v, a.v)) *
-         |     sqrt(list_dot_product(b2.v, b2.v)))
-         |    AS cosine
-         |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket
+         |    list_dot_product(a.v, b2.v) / (a.nn * b2.nn) AS cosine
+         |  FROM bv a JOIN bv b2 ON a.t = b2.t AND a.bucket = b2.bucket
          |    AND a.vec_id < b2.vec_id)
          |SELECT DISTINCT id_a, id_b, cosine FROM pairs
          |WHERE cosine >= 0.99""".stripMargin

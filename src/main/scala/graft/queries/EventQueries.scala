@@ -124,35 +124,48 @@ object EventQueries {
     // (tagged structs), so one final day-keyed partial-count aggregate
     // produces both counts: three single-consumer shuffles total.
     "e_active_users" -> ((s, dir) => {
-      // epoch-day ints: exact integer interval arithmetic
+      // epoch-day ints: exact integer interval arithmetic. The
+      // collect_set is duplicate-insensitive, so Catalyst removes any
+      // explicit pre-distinct — the 1 B-row corpus reduces MAP-SIDE to
+      // one (user, day-set) row per user and the only corpus-wide
+      // exchange carries ~users rows (measured sf1000: 497 MB shuffle
+      // for 1 B events; the partial set agg absorbs the volume at
+      // ~42 GB object spill on one JVM — distributes on a cluster).
       val epoch = to_date(lit("1970-01-01"))
-      val du = Tables.load(s, dir, "events")
+      val perUser = Tables.load(s, dir, "events")
         .select(datediff(col("ts"), epoch).as("dayint"), col("user_id"))
-        .distinct()
-      val perUser = du.groupBy(col("user_id"))
+        .groupBy(col("user_id"))
         .agg(sort_array(collect_set(col("dayint"))).as("ds"))
       // user active on day d covers window-days [d, d+6]; for sorted
       // distinct days the FRESH coverage of ds[i] is
       // [max(ds[i], ds[i-1]+7), ds[i]+6] — non-empty (ds strictly
       // increasing ⇒ ds[i-1]+7 ≤ ds[i]+6), disjoint, union-complete.
-      // Each actual day also emits an a=1 DAU marker.
+      // DAU markers ride the SAME explode, tag-encoded in the low bit
+      // (actual day d → odd 2d+1; covered day cd → even 2cd, via a
+      // STEP-2 sequence — plain codegen arithmetic, no per-covered-day
+      // lambda: a struct-emitting variant of this stage measured
+      // 3 127 CPU-s at sf1000 and a boundary-delta HOF variant 5 400
+      // CPU-s ×2 consumers; the flat-int encoding is the measured
+      // winner). One final day-keyed partial-count aggregate then
+      // produces both counts: a single single-consumer chain.
       val emitted = perUser.select(explode(concat(
-        transform(col("ds"),
-          d => struct(d.as("d"), lit(1).as("a"))),
+        transform(col("ds"), d => d * 2 + 1),
         flatten(zip_with(col("ds"), sequence(lit(1), size(col("ds"))),
-          (d, i) => transform(sequence(
-            when(i === 1, d).otherwise(
-              greatest(d, element_at(col("ds"), i - 1) + 7)),
-            d + 6), cd => struct(cd.as("d"), lit(0).as("a"))))))).as("x"))
-      emitted.groupBy(col("x.d").as("dayint"))
-        .agg(sum(col("x.a")).as("dau"),
-          sum(lit(1) - col("x.a")).as("wau"))
+          (d, i) => sequence(
+            when(i === 1, d * 2).otherwise(
+              greatest(d * 2, (element_at(col("ds"), i - 1) + 7) * 2)),
+            d * 2 + 12, lit(2)))))).as("x"))
+      emitted.groupBy(shiftright(col("x"), 1).as("dayint"))
+        .agg(sum(col("x").bitwiseAND(1)).as("dau"),
+          count(lit(1)).as("n"))
         // coverage tails past the last actual day have wau>0, dau=0 —
-        // the old inner join dropped them; keep that contract
+        // the original shape's inner join dropped them; keep that
+        // contract
         .filter(col("dau") > 0)
         .select(date_add(epoch, col("dayint")).cast("timestamp").as("day"),
-          col("dau"), col("wau"),
-          (col("dau").cast(DoubleType) / col("wau")).as("stickiness"))
+          col("dau"), (col("n") - col("dau")).as("wau"),
+          (col("dau").cast(DoubleType) /
+            (col("n") - col("dau"))).as("stickiness"))
     }),
 
     // weekly retention cohorts: users grouped by first-activity week,
