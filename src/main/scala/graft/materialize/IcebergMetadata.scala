@@ -37,10 +37,20 @@ final case class IcebergMetadata(
     snapshots: Seq[IcebergSnapshot],
     currentSchemaId: Int,
     schemas: Map[Int, StructType],
+    fieldIds: Map[Int, Map[Int, String]], // schema-id -> field-id -> name
     defaultSpecId: Int,
     partitionFields: Seq[(String, String)]) { // (name, transform)
 
   def schema: StructType = schemas(currentSchemaId)
+
+  /** Top-level column name for an Iceberg field id in the current
+    * schema — how v2 equality-delete files (`equality_ids`) name the
+    * columns they match on. Nested field ids raise: equality deletes
+    * on nested fields have no offline application here. */
+  def fieldName(id: Int): String =
+    fieldIds.getOrElse(currentSchemaId, Map.empty).getOrElse(id,
+      sys.error(s"equality field id $id is not a top-level column of " +
+        s"schema $currentSchemaId"))
 
   def currentSnapshot: Option[IcebergSnapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
@@ -72,13 +82,18 @@ object IcebergMetadata {
         manifestList = s.path("manifest-list").asText(""),
         operation = s.path("summary").path("operation").asText(""))
     }.toSeq
-    val schemas: Map[Int, StructType] =
+    val schemaNodes: Map[Int, JsonNode] =
       if (root.has("schemas"))
         root.path("schemas").elements().asScala.map { sch =>
-          sch.path("schema-id").asInt(0) -> structOf(sch)
+          sch.path("schema-id").asInt(0) -> sch
         }.toMap
       else // v1: single top-level "schema"
-        Map(0 -> structOf(root.path("schema")))
+        Map(0 -> root.path("schema"))
+    val schemas = schemaNodes.map { case (id, n) => id -> structOf(n) }
+    val fieldIds = schemaNodes.map { case (id, n) =>
+      id -> n.path("fields").elements().asScala.map(f =>
+        f.path("id").asInt(-1) -> f.path("name").asText()).toMap
+    }
     val specFields = root.path("partition-specs").elements().asScala
       .find(_.path("spec-id").asInt(-1) == root.path("default-spec-id").asInt(0))
       .map(_.path("fields").elements().asScala.map(f =>
@@ -99,6 +114,7 @@ object IcebergMetadata {
       snapshots = snaps,
       currentSchemaId = root.path("current-schema-id").asInt(0),
       schemas = schemas,
+      fieldIds = fieldIds,
       defaultSpecId = root.path("default-spec-id").asInt(0),
       partitionFields = specFields)
   }

@@ -29,13 +29,20 @@ class IcebergSpec extends AnyFunSuite {
   private val manifestListSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"},
-      |{"name":"content","type":"int"}]}""".stripMargin)
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"}]}""".stripMargin)
+  // manifest entries leave sequence_number null — the reader must
+  // inherit the manifest's own sequence number from the list row,
+  // which is the layout real writers produce for ADDED entries
   private val manifestSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"data_file","type":{"type":"record","name":"df","fields":[
       |{"name":"content","type":"int"},
-      |{"name":"file_path","type":"string"}]}}]}""".stripMargin)
+      |{"name":"file_path","type":"string"},
+      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+      |"default":null}]}}]}""".stripMargin)
 
   private def writeAvro(path: File, schema: Schema,
       rows: Seq[GenericRecord]): Unit = {
@@ -46,19 +53,24 @@ class IcebergSpec extends AnyFunSuite {
     w.close()
   }
 
-  private def manifestListRow(path: String, content: Int): GenericRecord = {
+  private def manifestListRow(path: String, content: Int,
+      seq: Long): GenericRecord = {
     val r = new GenericData.Record(manifestListSchema)
     r.put("manifest_path", path)
     r.put("content", content)
+    r.put("sequence_number", seq)
     r
   }
 
   private def manifestRow(status: Int, fileContent: Int,
-      filePath: String): GenericRecord = {
+      filePath: String, equalityIds: Seq[Int] = Nil): GenericRecord = {
     val df = new GenericData.Record(
       manifestSchema.getField("data_file").schema())
     df.put("content", fileContent)
     df.put("file_path", filePath)
+    if (equalityIds.nonEmpty)
+      df.put("equality_ids",
+        java.util.Arrays.asList(equalityIds.map(Int.box): _*))
     val r = new GenericData.Record(manifestSchema)
     r.put("status", status)
     r.put("data_file", df)
@@ -70,7 +82,11 @@ class IcebergSpec extends AnyFunSuite {
     * while the files live under the returned temp dir.
     * `withPosDelete` adds a v2 positional-delete file removing f1's
     * row at ordinal 1 (id=2) and f2's row at ordinal 0 (id=4);
-    * `withEqDelete` adds an (unsupported) equality-delete entry. */
+    * `withEqDelete` adds two equality-delete files on `name` (field
+    * id 2): seq 2 naming "d" (must NOT hide f2's "d" — f2 is also
+    * seq 2 and the rule is strictly-greater) and seq 3 naming "b" and
+    * NULL (hides f1's id=2 and f2's id=5, exercising null-safe match
+    * and sequence inheritance from the manifest list). */
   private def buildTable(withPosDelete: Boolean = false,
       withEqDelete: Boolean = false): String = {
     val dir = Files.createTempDirectory("graft_iceberg").toFile
@@ -89,7 +105,7 @@ class IcebergSpec extends AnyFunSuite {
     def oneParquet(rows: Seq[(Long, String)], name: String): Unit =
       onePart(rows.toDF("id", "name"), s"data/$name")
     oneParquet(Seq((1L, "a"), (2L, "b"), (3L, "c")), "f1.parquet")
-    oneParquet(Seq((4L, "d"), (5L, "e")), "f2.parquet")
+    oneParquet(Seq((4L, "d"), (5L, null)), "f2.parquet")
     if (withPosDelete)
       // positional delete file: plain parquet (file_path, pos), paths
       // anchored at the ORIGINAL location like every other reference
@@ -97,24 +113,38 @@ class IcebergSpec extends AnyFunSuite {
         (s"$origLoc/data/f1.parquet", 1L),
         (s"$origLoc/data/f2.parquet", 0L)).toDF("file_path", "pos"),
         "data/del1.parquet")
-    // manifests: m1 → f1; m2 → f2; m3 → positional/equality deletes
+    if (withEqDelete) {
+      onePart(Seq("d").toDF("name"), "data/eqdel1.parquet")
+      onePart(Seq("b", null).map(Tuple1(_)).toDF("name"),
+        "data/eqdel2.parquet")
+    }
+    // manifests: m1 → f1 (seq 1); m2 → f2 (seq 2); m3/m4 → deletes
     writeAvro(new File(dir, "metadata/m1.avro"), manifestSchema,
       Seq(manifestRow(1, 0, s"$origLoc/data/f1.parquet")))
     writeAvro(new File(dir, "metadata/m2.avro"), manifestSchema,
       Seq(manifestRow(1, 0, s"$origLoc/data/f2.parquet")))
-    if (withPosDelete || withEqDelete)
+    if (withPosDelete)
       writeAvro(new File(dir, "metadata/m3.avro"), manifestSchema,
-        Seq(manifestRow(1, if (withEqDelete) 2 else 1,
-          s"$origLoc/data/del1.parquet")))
+        Seq(manifestRow(1, 1, s"$origLoc/data/del1.parquet")))
+    if (withEqDelete) {
+      writeAvro(new File(dir, "metadata/m4.avro"), manifestSchema,
+        Seq(manifestRow(1, 2, s"$origLoc/data/eqdel1.parquet", Seq(2))))
+      writeAvro(new File(dir, "metadata/m5.avro"), manifestSchema,
+        Seq(manifestRow(1, 2, s"$origLoc/data/eqdel2.parquet", Seq(2))))
+    }
     // manifest lists: snapshot 1 = {m1}; snapshot 2 = {m1, m2} (+ the
-    // delete manifest, flagged content=1 at the list level)
+    // delete manifests, flagged content=1 at the list level)
     writeAvro(new File(dir, "metadata/ml1.avro"), manifestListSchema,
-      Seq(manifestListRow(s"$origLoc/metadata/m1.avro", 0)))
+      Seq(manifestListRow(s"$origLoc/metadata/m1.avro", 0, 1L)))
     writeAvro(new File(dir, "metadata/ml2.avro"), manifestListSchema,
-      Seq(manifestListRow(s"$origLoc/metadata/m1.avro", 0),
-        manifestListRow(s"$origLoc/metadata/m2.avro", 0)) ++
-        (if (withPosDelete || withEqDelete)
-          Seq(manifestListRow(s"$origLoc/metadata/m3.avro", 1))
+      Seq(manifestListRow(s"$origLoc/metadata/m1.avro", 0, 1L),
+        manifestListRow(s"$origLoc/metadata/m2.avro", 0, 2L)) ++
+        (if (withPosDelete)
+          Seq(manifestListRow(s"$origLoc/metadata/m3.avro", 1, 2L))
+        else Nil) ++
+        (if (withEqDelete)
+          Seq(manifestListRow(s"$origLoc/metadata/m4.avro", 1, 2L),
+            manifestListRow(s"$origLoc/metadata/m5.avro", 1, 3L))
         else Nil))
     val metadata =
       s"""{
@@ -182,11 +212,26 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergTable.readVersion(spark, dir, 100L).count() == 3)
   }
 
-  test("equality deletes still raise instead of returning undeleted rows") {
+  test("v2 equality deletes: null-safe match, strictly-greater sequence rule") {
     val dir = buildTable(withEqDelete = true)
-    val e = intercept[Exception](IcebergTable.read(spark, dir).count())
-    assert(e.getMessage.contains("EQUALITY delete"))
+    // seq-3 delete {"b", NULL} hides f1's id=2 (seq 1) and f2's id=5
+    // (seq 2, null name); seq-2 delete {"d"} does NOT hide f2's "d"
+    // (also seq 2 — the rule is strictly greater, so same-commit rows
+    // survive their own upsert's delete file)
+    assert(IcebergTable.read(spark, dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L, 4L))
+    // the pre-delete snapshot stays fully readable
     assert(IcebergTable.readVersion(spark, dir, 100L).count() == 3)
+  }
+
+  test("equality and positional deletes compose in one snapshot") {
+    val dir = buildTable(withPosDelete = true, withEqDelete = true)
+    // positional: f1 ordinal 1 (id=2), f2 ordinal 0 (id=4);
+    // equality seq-3 {"b", NULL}: id=2 (already gone), id=5
+    assert(IcebergTable.read(spark, dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
   }
 
   test("versionless metadata picks the highest PARSED version, not lexicographic") {
