@@ -34,6 +34,7 @@ final case class IcebergMetadata(
     location: String,
     lastUpdatedMs: Long,
     currentSnapshotId: Option[Long],
+    lastSequenceNumber: Long,
     snapshots: Seq[IcebergSnapshot],
     currentSchemaId: Int,
     schemas: Map[Int, StructType],
@@ -111,6 +112,7 @@ object IcebergMetadata {
         // empty table into a "no matching snapshot" error
         Option(root.get("current-snapshot-id")).filterNot(_.isNull)
           .map(_.asLong()).filter(_ != -1L),
+      lastSequenceNumber = root.path("last-sequence-number").asLong(0L),
       snapshots = snaps,
       currentSchemaId = root.path("current-schema-id").asInt(0),
       schemas = schemas,

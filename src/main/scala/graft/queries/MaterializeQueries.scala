@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.materialize.{Incremental, Snapshot}
+import graft.materialize.{Incremental, IcebergTable, IcebergWriter, Snapshot}
 
 /** The materialization semantics of SURVEY.md §2.11 — incremental
   * append / delete+insert / merge and SCD2 snapshots — run as the same
@@ -189,6 +189,33 @@ object MaterializeQueries {
         Snapshot.TimestampStrategy("updated_at"),
         lit(NOW2).cast(TimestampType), hardDelete = true)
         .withColumn("bal", col("bal").cast(DoubleType))
+    }),
+
+    // Full Iceberg v2 lifecycle through the offline writer+reader
+    // (the reference's core purpose — models materialized INTO Iceberg,
+    // impl.py:222-303 / bridge.py:69-232): create (snapshot 1), append
+    // (2), positional-tombstone delete (3), and the incremental
+    // delete+insert strategy as ONE snapshot (4), then the final state
+    // read back through the manifest chain and aggregated. The file
+    // layout is nondeterministic; the LIVE ROW SET is exact.
+    "m_iceberg_roundtrip" -> ((s, dir) => {
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_iceq").toFile.getPath
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val b = col("o_orderkey") % 10
+      IcebergWriter.create(s, tdir, o.filter(b <= 4))
+      IcebergWriter.append(s, tdir, o.filter(b === 5 || b === 6))
+      IcebergWriter.deleteWhere(s, tdir, col("price") < 50000)
+      IcebergWriter.deleteInsert(s, tdir,
+        o.filter(b === 6 || b === 7)
+          .withColumn("price", (col("price") * 2).cast(DecimalType(18, 2))),
+        Seq("o_orderkey"))
+      IcebergTable.read(s, tdir)
+        .groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast(DoubleType).as("total"))
     })
   )
 
@@ -293,6 +320,23 @@ object MaterializeQueries {
          |    WHERE t.dbt_scd_id IS NULL OR t.dbt_scd_id <> s.dbt_scd_id)
          |SELECT c_custkey, segment, CAST(bal AS DOUBLE) AS bal, updated_at,
          |  dbt_scd_id, dbt_updated_at, dbt_valid_from, dbt_valid_to
-         |FROM (SELECT * FROM closed UNION ALL SELECT * FROM ins)""".stripMargin
+         |FROM (SELECT * FROM closed UNION ALL SELECT * FROM ins)""".stripMargin,
+
+    // executable spec of the 4-snapshot lifecycle's final live row set:
+    // buckets 0-5 keep the deleteWhere survivors at original price;
+    // bucket-6 originals are all tombstoned by the delete+insert key
+    // match; buckets 6-7 carry the re-priced batch
+    "m_iceberg_roundtrip" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |f AS (
+        |  SELECT o_orderkey, price FROM o
+        |  WHERE o_orderkey % 10 <= 5 AND NOT (price < 50000)
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(price * 2 AS DECIMAL(18,2)) AS price
+        |  FROM o WHERE o_orderkey % 10 IN (6, 7))
+        |SELECT o_orderkey % 10 AS bucket, count(*) AS n_orders,
+        |  CAST(SUM(price) AS DOUBLE) AS total
+        |FROM f GROUP BY 1""".stripMargin
   )
 }
