@@ -103,6 +103,25 @@ object IcebergWriter {
       tombstones = Some(tomb), operation = "overwrite")
   }
 
+  /** Compaction (snapshot operation `replace`): materialize the live
+    * row set — tombstones applied — into fresh data files and start the
+    * new snapshot's manifest list from ONLY the new manifest. Old
+    * snapshots keep their manifest lists, so time travel across the
+    * compaction boundary still works; the current read path stops
+    * paying the per-row anti-join for accumulated tombstones and the
+    * small-file count resets (at 100 TB the small-file problem, not
+    * data volume, is what kills scan scheduling). `targetFiles > 0`
+    * additionally coalesces the layout. */
+  def compact(spark: SparkSession, tableDir: String,
+      targetFiles: Int = 0): Unit = {
+    val (md, _) = state(tableDir)
+    val live = IcebergTable.read(spark, tableDir)
+    val df = if (targetFiles > 0) live.repartition(targetFiles) else live
+    commit(spark, new File(tableDir), md.schema, prior = Nil,
+      parent = md.currentSnapshot, newData = Some(df),
+      tombstones = None, operation = "replace")
+  }
+
   // ---------------------------------------------------------------- //
 
   /** Current metadata + the live manifests of the current snapshot,
@@ -258,7 +277,7 @@ object IcebergWriter {
       d.put("content", content)
       d.put("file_path", f)
       d.put("file_format", "PARQUET")
-      d.put("record_count", 0L) // stats optional for this offline writer
+      d.put("record_count", parquetRowCount(f))
       d.put("file_size_in_bytes", new File(f).length())
       val r = new GenericData.Record(manifestSchema)
       r.put("status", 1) // ADDED; sequence_number null => inherited
@@ -282,6 +301,16 @@ object IcebergWriter {
       r
     }
     writeAvro(path, manifestListSchema, rows)
+  }
+
+  /** Footer-only row count (the spec's required data-file stat) — a
+    * few KB of metadata read per file, never the data pages. */
+  private def parquetRowCount(path: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   private def writeAvro(path: File, schema: Schema,

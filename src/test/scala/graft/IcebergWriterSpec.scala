@@ -69,6 +69,18 @@ class IcebergWriterSpec extends AnyFunSuite {
     // a second delete over the already-tombstoned table composes
     assert(IcebergWriter.deleteWhere(spark, dir, col("id") <= 3L) == 2L)
     assert(ids(dir) == Seq(4L, 5L, 6L))
+
+    // compaction materializes the tombstones into fresh data files:
+    // same live rows, zero delete files in the new snapshot, and time
+    // travel across the compaction boundary still resolves
+    IcebergWriter.compact(spark, dir, targetFiles = 1)
+    assert(ids(dir) == Seq(4L, 5L, 6L))
+    val md2 = IcebergTable.loadMetadata(dir)
+    assert(md2.lastSequenceNumber == 6L)
+    assert(IcebergTable.readVersion(spark, dir, 1L).count() == 3)
+    assert(IcebergTable.readVersion(spark, dir, 5L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(4L, 5L, 6L))
   }
 
   test("schema round-trips through iceberg JSON including nested types") {
