@@ -40,7 +40,8 @@ final case class IcebergMetadata(
     schemas: Map[Int, StructType],
     fieldIds: Map[Int, Map[Int, String]], // schema-id -> field-id -> name
     defaultSpecId: Int,
-    partitionFields: Seq[(String, String)]) { // (name, transform)
+    partitionFields: Seq[(String, String)], // (name, transform)
+    properties: Map[String, String] = Map.empty) {
 
   def schema: StructType = schemas(currentSchemaId)
 
@@ -118,7 +119,10 @@ object IcebergMetadata {
       schemas = schemas,
       fieldIds = fieldIds,
       defaultSpecId = root.path("default-spec-id").asInt(0),
-      partitionFields = specFields)
+      partitionFields = specFields,
+      properties = Option(root.get("properties")).map(p =>
+        p.fields().asScala.map(e =>
+          e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
   }
 
   private def structOf(node: JsonNode): StructType =

@@ -103,6 +103,100 @@ object IcebergWriter {
       tombstones = Some(tomb), operation = "overwrite")
   }
 
+  /** Exactly-once streaming ingestion (the `foreachBatch` lakehouse
+    * pattern): append a micro-batch IF its `batchId` has not already
+    * been committed, recording the id as a table property in the same
+    * atomic metadata swap. Structured Streaming replays the in-flight
+    * batch after a crash-restart with the SAME id, so the
+    * skip-if-committed check is what turns at-least-once replay into
+    * exactly-once table contents. Returns true when the batch was
+    * committed, false when it was a replay no-op. */
+  def appendStreamBatch(spark: SparkSession, tableDir: String,
+      df: DataFrame, batchId: Long): Boolean = {
+    val exists = new File(tableDir, "metadata").exists()
+    val last =
+      if (!exists) None
+      else IcebergTable.loadMetadata(tableDir)
+        .properties.get(StreamBatchProp).map(_.toLong)
+    if (last.exists(_ >= batchId)) false
+    else {
+      val prop = Map(StreamBatchProp -> batchId.toString)
+      if (!exists)
+        commit(spark, new File(tableDir), df.schema, prior = Nil,
+          parent = None, newData = Some(df), tombstones = None,
+          operation = "append", newProps = prop)
+      else {
+        val (md, priorRefs) = state(tableDir)
+        commit(spark, new File(tableDir), md.schema, priorRefs,
+          parent = md.currentSnapshot, newData = Some(df),
+          tombstones = None, operation = "append", newProps = prop)
+      }
+      true
+    }
+  }
+
+  private val StreamBatchProp = "graft.stream.last-batch-id"
+
+  /** Snapshot expiry: keep the most recent `keepLast` snapshots (the
+    * current one always survives), rewrite the metadata document, and
+    * delete every data file, manifest, and manifest list no kept
+    * snapshot reaches — the table-maintenance half of merge-on-read
+    * (tombstone-heavy histories otherwise grow without bound; at
+    * 100 TB expiry is what bounds metadata work and storage). All
+    * reachability walking is driver-side metadata reads. */
+  def expireSnapshots(tableDir: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val md = IcebergTable.loadMetadata(tableDir)
+    val ordered = md.snapshots.sortBy(s => (s.timestampMs, s.snapshotId))
+    val kept = (ordered.takeRight(keepLast) ++
+      md.currentSnapshot.toSeq).distinct.sortBy(s =>
+      (s.timestampMs, s.snapshotId))
+    if (kept.size == md.snapshots.size) return
+    val reachable = scala.collection.mutable.Set[String]()
+    kept.foreach { s =>
+      val lfile = localFile(s.manifestList, md, tableDir)
+      reachable += lfile.getCanonicalPath
+      val reader = DataFileReader.openReader(lfile,
+        new GenericDatumReader[GenericRecord]())
+      val mans = try reader.iterator().asScala
+        .map(_.get("manifest_path").toString).toList finally reader.close()
+      mans.foreach { mp =>
+        val mf = localFile(mp, md, tableDir)
+        reachable += mf.getCanonicalPath
+        val r2 = DataFileReader.openReader(mf,
+          new GenericDatumReader[GenericRecord]())
+        try r2.iterator().asScala.foreach { e =>
+          val p = e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString
+          reachable += localFile(p, md, tableDir).getCanonicalPath
+        } finally r2.close()
+      }
+    }
+    // rewrite metadata with only the kept snapshots, then drop orphans
+    val m = new ObjectMapper()
+    val dir = new File(tableDir)
+    val mdir = new File(dir, "metadata")
+    val doc = metadataJson(dir.getAbsolutePath, md.schema,
+      md.lastSequenceNumber, md.currentSnapshotId.getOrElse(
+        kept.last.snapshotId), md.lastUpdatedMs,
+      keptSnapshots = kept.map(snapshotJson(m, _)), md.properties)
+    val version = currentVersion(mdir) + 1
+    java.nio.file.Files.writeString(
+      new File(mdir, s"v$version.metadata.json").toPath, doc)
+    java.nio.file.Files.writeString(
+      new File(mdir, "version-hint.text").toPath, version.toString)
+    def sweep(d: File, keep: File => Boolean): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory) sweep(f, keep)
+        else if (!keep(f)) f.delete()
+      }
+    sweep(new File(dir, "data"),
+      f => reachable.contains(f.getCanonicalPath))
+    sweep(mdir, f => f.getName.endsWith(".metadata.json") ||
+      f.getName == "version-hint.text" ||
+      reachable.contains(f.getCanonicalPath))
+  }
+
   /** Compaction (snapshot operation `replace`): materialize the live
     * row set — tombstones applied — into fresh data files and start the
     * new snapshot's manifest list from ONLY the new manifest. Old
@@ -191,7 +285,8 @@ object IcebergWriter {
   private def commit(spark: SparkSession, dir: File, schema: StructType,
       prior: Seq[ManifestRef], parent: Option[IcebergSnapshot],
       newData: Option[DataFrame], tombstones: Option[DataFrame],
-      operation: String): Unit = {
+      operation: String,
+      newProps: Map[String, String] = Map.empty): Unit = {
     val md = if (parent.isDefined) Some(IcebergTable.loadMetadata(dir.getPath)) else None
     val seq = md.map(_.lastSequenceNumber).getOrElse(0L) + 1
     val snapId = seq // deterministic history: snapshot id = seq number
@@ -229,9 +324,19 @@ object IcebergWriter {
     val tsMs = math.max(System.currentTimeMillis(),
       parent.map(_.timestampMs + 1).getOrElse(0L))
     val version = md.map(_ => currentVersion(mdir) + 1).getOrElse(1)
+    val jm = new ObjectMapper()
+    val sn = jm.createObjectNode()
+    sn.put("snapshot-id", snapId)
+    parent.foreach(p => sn.put("parent-snapshot-id", p.snapshotId))
+    sn.put("sequence-number", seq)
+    sn.put("timestamp-ms", tsMs)
+    sn.put("manifest-list", mlist.getAbsolutePath)
+    sn.putObject("summary").put("operation", operation)
+    val allSnaps = md.map(_.snapshots).getOrElse(Nil)
+      .map(snapshotJson(jm, _)) :+ sn
+    val props = md.map(_.properties).getOrElse(Map.empty) ++ newProps
     val doc = metadataJson(base, schema, seq, snapId, tsMs,
-      parent, md.map(_.snapshots).getOrElse(Nil),
-      mlist.getAbsolutePath, operation)
+      allSnaps, props)
     java.nio.file.Files.writeString(
       new File(mdir, s"v$version.metadata.json").toPath, doc)
     java.nio.file.Files.writeString(
@@ -324,9 +429,9 @@ object IcebergWriter {
   // -- metadata.json ------------------------------------------------- //
 
   private def metadataJson(location: String, schema: StructType,
-      seq: Long, snapId: Long, tsMs: Long,
-      parent: Option[IcebergSnapshot], priorSnaps: Seq[IcebergSnapshot],
-      manifestList: String, operation: String): String = {
+      seq: Long, currentSnapId: Long, tsMs: Long,
+      keptSnapshots: Seq[ObjectNode],
+      properties: Map[String, String]): String = {
     val m = new ObjectMapper()
     val root = m.createObjectNode()
     root.put("format-version", 2)
@@ -343,17 +448,13 @@ object IcebergWriter {
     spec0.put("spec-id", 0); spec0.putArray("fields")
     specs.add(spec0)
     root.put("default-spec-id", 0)
-    root.put("current-snapshot-id", snapId)
+    root.put("current-snapshot-id", currentSnapId)
+    if (properties.nonEmpty) {
+      val p = root.putObject("properties")
+      properties.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+    }
     val snaps = root.putArray("snapshots")
-    priorSnaps.foreach(s => snaps.add(snapshotJson(m, s)))
-    val sn = m.createObjectNode()
-    sn.put("snapshot-id", snapId)
-    parent.foreach(p => sn.put("parent-snapshot-id", p.snapshotId))
-    sn.put("sequence-number", seq)
-    sn.put("timestamp-ms", tsMs)
-    sn.put("manifest-list", manifestList)
-    sn.putObject("summary").put("operation", operation)
-    snaps.add(sn)
+    keptSnapshots.foreach(snaps.add)
     m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 

@@ -83,6 +83,50 @@ class IcebergWriterSpec extends AnyFunSuite {
       == Seq(4L, 5L, 6L))
   }
 
+  test("appendStreamBatch is exactly-once under batch replay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_icestream").toFile.getPath
+    def batch(id: Long, v: String) = Seq((id, v)).toDF("id", "name")
+    assert(IcebergWriter.appendStreamBatch(spark, dir, batch(1L, "a"), 0L))
+    assert(IcebergWriter.appendStreamBatch(spark, dir, batch(2L, "b"), 1L))
+    // a crash-restart replays the in-flight batch with the SAME id —
+    // the committed-id property makes it a no-op, not a duplicate
+    assert(!IcebergWriter.appendStreamBatch(spark, dir, batch(2L, "b"), 1L))
+    assert(ids(dir) == Seq(1L, 2L))
+    assert(IcebergWriter.appendStreamBatch(spark, dir, batch(3L, "c"), 2L))
+    assert(ids(dir) == Seq(1L, 2L, 3L))
+    assert(IcebergTable.loadMetadata(dir)
+      .properties("graft.stream.last-batch-id") == "2")
+  }
+
+  test("expireSnapshots prunes history and deletes orphan files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dirF = Files.createTempDirectory("graft_iceexp").toFile
+    val dir = dirF.getPath
+    IcebergWriter.create(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    IcebergWriter.append(spark, dir, Seq((3L, "c")).toDF("id", "name"))
+    IcebergWriter.deleteWhere(spark, dir, col("id") === 2L)
+    // compaction rewrites the live set; the pre-compaction data files
+    // become unreachable once their snapshots expire
+    IcebergWriter.compact(spark, dir, targetFiles = 1)
+    def dataFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dirF, "data"))
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    val before = dataFiles.size
+    IcebergWriter.expireSnapshots(dir, keepLast = 1)
+    assert(ids(dir) == Seq(1L, 3L))
+    assert(dataFiles.size < before)
+    assert(dataFiles.size == 1) // the compacted layout only
+    val md = IcebergTable.loadMetadata(dir)
+    assert(md.snapshots.map(_.snapshotId) == Seq(4L))
+    intercept[Exception](IcebergTable.readVersion(spark, dir, 1L).count())
+  }
+
   test("schema round-trips through iceberg JSON including nested types") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_icewrite2").toFile.getPath
