@@ -79,6 +79,12 @@ def main():
     con.execute("SET memory_limit='80GB'")
     for t in TABLES:
         p = Path(sf_dir, f"{t}.parquet")
+        if not p.exists():
+            # subset sf dirs (the fifth-decade probe generates only
+            # documents/embeddings/events) — a query whose oracle needs
+            # a missing table SETUP-FAILs individually instead of the
+            # whole run aborting here
+            continue
         pat = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
