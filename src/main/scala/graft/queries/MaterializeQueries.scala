@@ -212,6 +212,9 @@ object MaterializeQueries {
         o.filter(b === 6 || b === 7)
           .withColumn("price", (col("price") * 2).cast(DecimalType(18, 2))),
         Seq("o_orderkey"))
+      // compaction (snapshot 5, replace) materializes the tombstones;
+      // the aggregate below must be invariant across the boundary
+      IcebergWriter.compact(s, tdir)
       IcebergTable.read(s, tdir)
         .groupBy((col("o_orderkey") % 10).as("bucket"))
         .agg(count(lit(1)).as("n_orders"),
