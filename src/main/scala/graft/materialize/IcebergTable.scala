@@ -67,6 +67,16 @@ object IcebergTable {
   def read(spark: SparkSession, tableDir: String): DataFrame =
     readSnapshot(spark, tableDir, None)
 
+  /** Read the current snapshot with FILE-LEVEL partition pruning: only
+    * data files whose manifest-recorded partition tuple passes `keep`
+    * are opened (positional deletes for pruned files simply never
+    * match). This is the Iceberg scan path's core scale property —
+    * a one-partition query over a 100 TB table touches kilobytes of
+    * manifest metadata plus exactly that partition's data files. */
+  def readWhere(spark: SparkSession, tableDir: String,
+      keep: Map[String, String] => Boolean): DataFrame =
+    readSnapshot(spark, tableDir, None, Some(keep))
+
   /** Read the table at an explicit snapshot id. */
   def readVersion(spark: SparkSession, tableDir: String,
       snapshotId: Long): DataFrame =
@@ -79,7 +89,8 @@ object IcebergTable {
     readSnapshot(spark, tableDir, Some(Right(tsMs)))
 
   private def readSnapshot(spark: SparkSession, tableDir: String,
-      pick: Option[Either[Long, Long]]): DataFrame = {
+      pick: Option[Either[Long, Long]],
+      prune: Option[Map[String, String] => Boolean] = None): DataFrame = {
     val md = loadMetadata(tableDir)
     val snap = (pick match {
       case None => md.currentSnapshot
@@ -89,14 +100,45 @@ object IcebergTable {
       s"no matching snapshot (have ${md.snapshots.map(_.snapshotId)})"))
     val entries = snapshotFiles(md, snap, tableDir)
     val files = entries.filter(_.content == 0)
+      .filter(f => prune.forall(_(f.partitionValues)))
     val posDeletes = entries.filter(_.content == 1)
     val eqDeletes = entries.filter(_.content == 2)
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], md.schema)
     else if (posDeletes.isEmpty && eqDeletes.isEmpty)
-      spark.read.schema(md.schema).parquet(files.map(_.path): _*)
+      readData(spark, md, files, withCoords = false)
+        .select(md.schema.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
     else applyDeletes(spark, md, tableDir, files, posDeletes, eqDeletes)
+  }
+
+  /** Distributed read of a set of data files with manifest-recorded
+    * partition values injected as typed literal columns (partitioned
+    * files physically lack their partition columns — the hive layout).
+    * `withCoords = true` additionally attaches the raw `_metadata`
+    * struct for (file, row-ordinal) coordinate derivation; callers
+    * compute their own relative-path column from it. */
+  private[materialize] def readData(spark: SparkSession,
+      md: IcebergMetadata, files: Seq[FileEntry],
+      withCoords: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    files.groupBy(_.partitionValues).map { case (pv, fs) =>
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        md.schema.filterNot(f => pv.contains(f.name)))
+      var d = spark.read.schema(dataSchema).parquet(fs.map(_.path): _*)
+      if (withCoords)
+        d = d.withColumn("__graft_meta", col("_metadata"))
+      pv.foreach { case (k, v) =>
+        val typed =
+          if (v == "__HIVE_DEFAULT_PARTITION__")
+            lit(null).cast(md.schema(k).dataType)
+          else lit(v).cast(md.schema(k).dataType)
+        d = d.withColumn(k, typed)
+      }
+      val cols = md.schema.fieldNames.map(col(_)) ++
+        (if (withCoords) Seq(col("__graft_meta")) else Nil)
+      d.select(cols: _*)
+    }.reduce(_ unionByName _)
   }
 
   /** v2 row-level deletes, applied the way every engine reading
@@ -141,13 +183,15 @@ object IcebergTable {
     def relStr(p: String): String =
       prefixes.foldLeft(p.replaceFirst("^file:/+", "/"))(
         (acc, pre) => acc.stripPrefix(pre + "/"))
-    var data = spark.read.schema(md.schema).parquet(files.map(_.path): _*)
-      .withColumn("__graft_file", rel(col("_metadata.file_path")))
+    var data = readData(spark, md, files, withCoords = true)
+      .withColumn("__graft_file", rel(col("__graft_meta.file_path")))
+      .withColumn("__graft_row", col("__graft_meta.row_index"))
+      .drop("__graft_meta")
     if (posDeletes.nonEmpty) {
       val dels = spark.read.parquet(posDeletes.map(_.path): _*)
         .select(rel(col("file_path")).as("__graft_file"),
           col("pos").cast("long").as("__graft_pos"))
-      data = data.withColumn("__graft_pos", col("_metadata.row_index"))
+      data = data.withColumn("__graft_pos", col("__graft_row"))
         .join(broadcast(dels), Seq("__graft_file", "__graft_pos"),
           "left_anti")
         .drop("__graft_pos")
@@ -172,15 +216,17 @@ object IcebergTable {
       }
       data = data.drop("__graft_seq")
     }
-    data.drop("__graft_file")
+    data.drop("__graft_file", "__graft_row")
   }
 
   /** One live file from a snapshot's manifest chain: resolved path,
     * content kind (0=data, 1=positional deletes, 2=equality deletes),
-    * data sequence number, and — for equality deletes — the field ids
-    * the delete rows match on. */
+    * data sequence number, the manifest-recorded partition tuple
+    * (string forms; empty for unpartitioned files), and — for equality
+    * deletes — the field ids the delete rows match on. */
   private[materialize] final case class FileEntry(path: String,
-      content: Int, seq: Long, equalityIds: Seq[Int])
+      content: Int, seq: Long, equalityIds: Seq[Int],
+      partitionValues: Map[String, String] = Map.empty)
 
   /** Walk snapshot → manifest-list avro → manifest avros → live parquet
     * files. Sequence numbers follow the v2 inheritance rule: a manifest
@@ -219,7 +265,15 @@ object IcebergTable {
                 l.asScala.map(_.toString.toInt).toSeq
               case _ => Seq.empty[Int]
             }
-          out += FileEntry(path, content, seq, eqIds)
+          val pv =
+            if (df.getSchema.getField("partition_values") == null) Map.empty[String, String]
+            else Option(df.get("partition_values")) match {
+              case Some(m: java.util.Map[_, _]) =>
+                m.asScala.map { case (k, v) =>
+                  k.toString -> v.toString }.toMap
+              case _ => Map.empty[String, String]
+            }
+          out += FileEntry(path, content, seq, eqIds, pv)
         }
       }
     }

@@ -48,13 +48,23 @@ import org.apache.spark.sql.types._
   * commit timestamps advance monotonically from the parent. */
 object IcebergWriter {
 
-  /** Create the table at `tableDir` from `df` (snapshot 1). */
-  def create(spark: SparkSession, tableDir: String, df: DataFrame): Unit = {
+  /** Create the table at `tableDir` from `df` (snapshot 1).
+    * `partitionBy` columns become identity partition fields: data files
+    * land under hive-style `col=value/` dirs, each manifest entry
+    * records its file's partition tuple, and [[IcebergTable.readWhere]]
+    * prunes at FILE level from the manifests alone — the mechanism that
+    * lets a 100 TB table serve a one-partition query with kilobytes of
+    * metadata and exactly that partition's bytes of data. */
+  def create(spark: SparkSession, tableDir: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit = {
     val dir = new File(tableDir)
     require(!new File(dir, "metadata").exists(),
       s"$tableDir already has an Iceberg metadata dir")
+    partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
     commit(spark, dir, df.schema, prior = Nil, parent = None,
-      newData = Some(df), tombstones = None, operation = "append")
+      newData = Some(df), tombstones = None, operation = "append",
+      partitionBy = partitionBy)
   }
 
   /** Append `df` as a new snapshot. */
@@ -70,6 +80,9 @@ object IcebergWriter {
       parent = md.currentSnapshot, newData = Some(df),
       tombstones = None, operation = "append")
   }
+
+  private def identityCols(md: IcebergMetadata): Seq[String] =
+    md.partitionFields.filter(_._2 == "identity").map(_._1)
 
   /** Delete every live row matching `cond` via positional tombstones;
     * returns the number of rows deleted (0 = no new snapshot). */
@@ -179,7 +192,8 @@ object IcebergWriter {
     val doc = metadataJson(dir.getAbsolutePath, md.schema,
       md.lastSequenceNumber, md.currentSnapshotId.getOrElse(
         kept.last.snapshotId), md.lastUpdatedMs,
-      keptSnapshots = kept.map(snapshotJson(m, _)), md.properties)
+      keptSnapshots = kept.map(snapshotJson(m, _)), md.properties,
+      partitionBy = identityCols(md))
     val version = currentVersion(mdir) + 1
     java.nio.file.Files.writeString(
       new File(mdir, s"v$version.metadata.json").toPath, doc)
@@ -252,13 +266,14 @@ object IcebergWriter {
     require(!entries.exists(_.content == 2),
       "tombstone generation over a table with equality deletes is not " +
         "supported (liveness would need the equality columns re-applied)")
-    val data = spark.read.schema(md.schema)
-      .parquet(entries.filter(_.content == 0).map(_.path): _*)
+    val data = IcebergTable.readData(spark, md,
+      entries.filter(_.content == 0), withCoords = true)
       .withColumn("__graft_w_file",
-        regexp_replace(regexp_replace(col("_metadata.file_path"),
+        regexp_replace(regexp_replace(col("__graft_meta.file_path"),
           "^file:/+", "/"),
           "^" + java.util.regex.Pattern.quote(base + "/"), ""))
-      .withColumn("__graft_w_pos", col("_metadata.row_index"))
+      .withColumn("__graft_w_pos", col("__graft_meta.row_index"))
+      .drop("__graft_meta")
     val posFiles = entries.filter(_.content == 1).map(_.path)
     if (posFiles.isEmpty) data
     else {
@@ -286,23 +301,43 @@ object IcebergWriter {
       prior: Seq[ManifestRef], parent: Option[IcebergSnapshot],
       newData: Option[DataFrame], tombstones: Option[DataFrame],
       operation: String,
-      newProps: Map[String, String] = Map.empty): Unit = {
+      newProps: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Nil): Unit = {
     val md = if (parent.isDefined) Some(IcebergTable.loadMetadata(dir.getPath)) else None
+    // the partition spec is a TABLE property: every commit — including
+    // tombstone-only deletes that write no data files — must carry it
+    // forward into the new metadata version, or the next writer sees an
+    // unpartitioned table (caught by the partitioned-lifecycle spec)
+    val spec = md.map(identityCols).getOrElse(partitionBy)
     val seq = md.map(_.lastSequenceNumber).getOrElse(0L) + 1
     val snapId = seq // deterministic history: snapshot id = seq number
     val commitId = UUID.randomUUID().toString.take(8)
     val base = dir.getAbsolutePath
     val mdir = new File(dir, "metadata"); mdir.mkdirs()
 
-    def writeFiles(df: DataFrame, sub: String): Seq[String] = {
+    def leaves(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(leaves)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    // hive-style `col=value` segments between the commit dir and the
+    // leaf are the file's partition tuple (Spark's partitionBy layout)
+    def tupleOf(out: File, leaf: File): Map[String, String] =
+      leaf.getAbsolutePath.stripPrefix(out.getAbsolutePath)
+        .split('/').filter(_.contains('='))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+    def writeFiles(df: DataFrame, sub: String,
+        parts: Seq[String]): Seq[(String, Map[String, String])] = {
       val out = new File(dir, s"data/$sub-$commitId")
-      df.write.parquet(out.getPath)
-      out.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath).toSeq.sorted
+      if (parts.isEmpty) df.write.parquet(out.getPath)
+      else df.write.partitionBy(parts: _*).parquet(out.getPath)
+      leaves(out).map(f => (f.getAbsolutePath, tupleOf(out, f)))
+        .sortBy(_._1)
     }
     var refs = prior
     newData.foreach { df =>
-      val files = writeFiles(df, s"snap-$snapId")
+      val files = writeFiles(df, s"snap-$snapId", spec)
       val m = new File(mdir, s"manifest-$snapId-$commitId-d.avro")
       writeManifest(m, files, content = 0)
       refs :+= ManifestRef(m.getAbsolutePath, 0, seq)
@@ -314,7 +349,7 @@ object IcebergWriter {
       val abs = t.select(
         concat(lit(base + "/"), col("file_path")).as("file_path"),
         col("pos"))
-      val files = writeFiles(abs, s"del-$snapId")
+      val files = writeFiles(abs, s"del-$snapId", Nil)
       val m = new File(mdir, s"manifest-$snapId-$commitId-t.avro")
       writeManifest(m, files, content = 1)
       refs :+= ManifestRef(m.getAbsolutePath, 1, seq)
@@ -336,7 +371,7 @@ object IcebergWriter {
       .map(snapshotJson(jm, _)) :+ sn
     val props = md.map(_.properties).getOrElse(Map.empty) ++ newProps
     val doc = metadataJson(base, schema, seq, snapId, tsMs,
-      allSnaps, props)
+      allSnaps, props, spec)
     java.nio.file.Files.writeString(
       new File(mdir, s"v$version.metadata.json").toPath, doc)
     java.nio.file.Files.writeString(
@@ -361,6 +396,10 @@ object IcebergWriter {
       |{"name":"min_sequence_number","type":"long"},
       |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
 
+  // partition_values deviates from the spec's typed r102 struct: the
+  // tuple is stored as the string forms Spark wrote into the hive-style
+  // path (this offline writer/reader pair is the consumer; the reader
+  // re-types values against the table schema on injection)
   private val manifestSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
@@ -372,18 +411,25 @@ object IcebergWriter {
       |{"name":"file_path","type":"string"},
       |{"name":"file_format","type":"string"},
       |{"name":"record_count","type":"long"},
-      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"partition_values","type":["null",{"type":"map","values":"string"}],
+      |"default":null}]}}]}""".stripMargin)
 
-  private def writeManifest(path: File, files: Seq[String],
-      content: Int): Unit = {
+  private def writeManifest(path: File,
+      files: Seq[(String, Map[String, String])], content: Int): Unit = {
     val dfSchema = manifestSchema.getField("data_file").schema()
-    val rows = files.map { f =>
+    val rows = files.map { case (f, pv) =>
       val d = new GenericData.Record(dfSchema)
       d.put("content", content)
       d.put("file_path", f)
       d.put("file_format", "PARQUET")
       d.put("record_count", parquetRowCount(f))
       d.put("file_size_in_bytes", new File(f).length())
+      if (pv.nonEmpty) {
+        val m = new java.util.HashMap[String, String]()
+        pv.foreach { case (k, v) => m.put(k, v) }
+        d.put("partition_values", m)
+      }
       val r = new GenericData.Record(manifestSchema)
       r.put("status", 1) // ADDED; sequence_number null => inherited
       r.put("data_file", d)
@@ -431,7 +477,8 @@ object IcebergWriter {
   private def metadataJson(location: String, schema: StructType,
       seq: Long, currentSnapId: Long, tsMs: Long,
       keptSnapshots: Seq[ObjectNode],
-      properties: Map[String, String]): String = {
+      properties: Map[String, String],
+      partitionBy: Seq[String] = Nil): String = {
     val m = new ObjectMapper()
     val root = m.createObjectNode()
     root.put("format-version", 2)
@@ -445,7 +492,16 @@ object IcebergWriter {
     root.put("current-schema-id", 0)
     val specs = root.putArray("partition-specs")
     val spec0 = m.createObjectNode()
-    spec0.put("spec-id", 0); spec0.putArray("fields")
+    spec0.put("spec-id", 0)
+    val specFields = spec0.putArray("fields")
+    partitionBy.zipWithIndex.foreach { case (c, i) =>
+      val f = m.createObjectNode()
+      f.put("name", c)
+      f.put("transform", "identity")
+      f.put("source-id", schema.fieldIndex(c) + 1)
+      f.put("field-id", 1000 + i)
+      specFields.add(f)
+    }
     specs.add(spec0)
     root.put("default-spec-id", 0)
     root.put("current-snapshot-id", currentSnapId)

@@ -127,6 +127,47 @@ class IcebergWriterSpec extends AnyFunSuite {
     intercept[Exception](IcebergTable.readVersion(spark, dir, 1L).count())
   }
 
+  test("partitioned table: values injected at read, readWhere prunes files, " +
+    "deletes and compaction respect the layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_icepart").toFile.getPath
+    val df = Seq(
+      (1L, "us", 10.0), (2L, "us", 20.0),
+      (3L, "eu", 30.0), (4L, "eu", 40.0), (5L, "ap", 50.0))
+      .toDF("id", "region", "amount")
+    IcebergWriter.create(spark, dir, df, partitionBy = Seq("region"))
+    // the physical files lack `region`; the read injects it typed
+    val back = IcebergTable.read(spark, dir)
+    assert(back.schema("region").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(back.select("id", "region").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq((1L, "us"), (2L, "us"), (3L, "eu"), (4L, "eu"), (5L, "ap")))
+
+    // manifest-level pruning: only the eu file is opened
+    val eu = IcebergTable.readWhere(spark, dir,
+      pv => pv.get("region").contains("eu"))
+    assert(eu.inputFiles.length < back.inputFiles.length)
+    assert(eu.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(3L, 4L))
+
+    // tombstones on a partition-column predicate, then appends keep
+    // the spec's layout, then compaction rewrites partitioned
+    assert(IcebergWriter.deleteWhere(spark, dir, col("region") === "ap") == 1L)
+    IcebergWriter.append(spark, dir,
+      Seq((6L, "ap", 60.0)).toDF("id", "region", "amount"))
+    IcebergWriter.compact(spark, dir)
+    val fin = IcebergTable.read(spark, dir)
+    assert(fin.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L, 6L))
+    // post-compaction pruning still works (partition tuple re-recorded)
+    assert(IcebergTable.readWhere(spark, dir,
+      pv => pv.get("region").contains("us"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+  }
+
   test("schema round-trips through iceberg JSON including nested types") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_icewrite2").toFile.getPath
