@@ -219,6 +219,23 @@ object MaterializeQueries {
         .groupBy((col("o_orderkey") % 10).as("bucket"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("price")).cast(DoubleType).as("total"))
+    }),
+
+    // Partitioned create + manifest-level file pruning: only the F
+    // partition's files are opened (readWhere consults manifests, not
+    // data); the injected partition column aggregates oracle-exact
+    "m_iceberg_partitioned" -> ((s, dir) => {
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_icep").toFile.getPath
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      IcebergWriter.create(s, tdir, o, partitionBy = Seq("o_orderstatus"))
+      IcebergTable.readWhere(s, tdir,
+          pv => pv.get("o_orderstatus").contains("F"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast(DoubleType).as("total"))
     })
   )
 
@@ -340,6 +357,12 @@ object MaterializeQueries {
         |  FROM o WHERE o_orderkey % 10 IN (6, 7))
         |SELECT o_orderkey % 10 AS bucket, count(*) AS n_orders,
         |  CAST(SUM(price) AS DOUBLE) AS total
-        |FROM f GROUP BY 1""".stripMargin
+        |FROM f GROUP BY 1""".stripMargin,
+
+    "m_iceberg_partitioned" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1""".stripMargin
   )
 }
