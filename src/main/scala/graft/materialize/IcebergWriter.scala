@@ -81,6 +81,34 @@ object IcebergWriter {
       tombstones = None, operation = "append")
   }
 
+  /** Schema evolution by column addition: append a batch whose schema
+    * extends the table's with NEW trailing nullable columns. The
+    * metadata document gains the evolved schema under the next
+    * schema-id; existing column ids stay stable (columns are only ever
+    * appended, so positional id assignment never re-numbers an old
+    * field — the spec's id-stability rule). Pre-evolution data files
+    * simply lack the new columns and read as NULL, including through
+    * time travel — which is Iceberg's semantics: history is re-read
+    * under the current schema. */
+  def appendEvolved(spark: SparkSession, tableDir: String,
+      df: DataFrame): Unit = {
+    val (md, prior) = state(tableDir)
+    val old = md.schema.map(f => (f.name, f.dataType))
+    val neu = df.schema.map(f => (f.name, f.dataType))
+    require(neu.take(old.size) == old,
+      s"evolved schema must extend the table's by trailing columns: " +
+        s"table ${md.schema.simpleString}, batch ${df.schema.simpleString}")
+    // added columns are recorded nullable regardless of the batch's
+    // encoder-derived nullability: every pre-evolution file reads them
+    // as NULL, so required would be a lie the first old-file scan breaks
+    val recorded = StructType(md.schema.fields ++
+      df.schema.fields.drop(old.size).map(_.copy(nullable = true)))
+    commit(spark, new File(tableDir), recorded, prior,
+      parent = md.currentSnapshot, newData = Some(df),
+      tombstones = None, operation = "append",
+      schemaId = md.currentSchemaId + 1)
+  }
+
   private def identityCols(md: IcebergMetadata): Seq[String] =
     md.partitionFields.filter(_._2 == "identity").map(_._1)
 
@@ -302,7 +330,8 @@ object IcebergWriter {
       newData: Option[DataFrame], tombstones: Option[DataFrame],
       operation: String,
       newProps: Map[String, String] = Map.empty,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      schemaId: Int = -1): Unit = {
     val md = if (parent.isDefined) Some(IcebergTable.loadMetadata(dir.getPath)) else None
     // the partition spec is a TABLE property: every commit — including
     // tombstone-only deletes that write no data files — must carry it
@@ -370,8 +399,11 @@ object IcebergWriter {
     val allSnaps = md.map(_.snapshots).getOrElse(Nil)
       .map(snapshotJson(jm, _)) :+ sn
     val props = md.map(_.properties).getOrElse(Map.empty) ++ newProps
+    val sid =
+      if (schemaId >= 0) schemaId
+      else md.map(_.currentSchemaId).getOrElse(0)
     val doc = metadataJson(base, schema, seq, snapId, tsMs,
-      allSnaps, props, spec)
+      allSnaps, props, spec, sid)
     java.nio.file.Files.writeString(
       new File(mdir, s"v$version.metadata.json").toPath, doc)
     java.nio.file.Files.writeString(
@@ -478,7 +510,8 @@ object IcebergWriter {
       seq: Long, currentSnapId: Long, tsMs: Long,
       keptSnapshots: Seq[ObjectNode],
       properties: Map[String, String],
-      partitionBy: Seq[String] = Nil): String = {
+      partitionBy: Seq[String] = Nil,
+      schemaId: Int = 0): String = {
     val m = new ObjectMapper()
     val root = m.createObjectNode()
     root.put("format-version", 2)
@@ -488,8 +521,8 @@ object IcebergWriter {
     root.put("last-updated-ms", tsMs)
     root.put("last-column-id", schema.size)
     val schemas = root.putArray("schemas")
-    schemas.add(schemaJson(m, schema))
-    root.put("current-schema-id", 0)
+    schemas.add(schemaJson(m, schema, schemaId))
+    root.put("current-schema-id", schemaId)
     val specs = root.putArray("partition-specs")
     val spec0 = m.createObjectNode()
     spec0.put("spec-id", 0)
@@ -524,10 +557,11 @@ object IcebergWriter {
     n
   }
 
-  private def schemaJson(m: ObjectMapper, schema: StructType): ObjectNode = {
+  private def schemaJson(m: ObjectMapper, schema: StructType,
+      schemaId: Int = 0): ObjectNode = {
     val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
     val node = m.createObjectNode()
-    node.put("schema-id", 0)
+    node.put("schema-id", schemaId)
     node.put("type", "struct")
     val fields = node.putArray("fields")
     // ids are assigned top-level-first so equality_ids stay stable and

@@ -168,6 +168,28 @@ class IcebergWriterSpec extends AnyFunSuite {
       == Seq(1L, 2L))
   }
 
+  test("appendEvolved adds trailing nullable columns; old files read NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_iceevo").toFile.getPath
+    IcebergWriter.create(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    IcebergWriter.appendEvolved(spark, dir,
+      Seq((3L, "c", 0.9)).toDF("id", "name", "score"))
+    val t = IcebergTable.read(spark, dir)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(t.filter(col("score").isNull).count() == 2)
+    assert(t.filter(col("id") === 3L).select("score")
+      .collect().head.getDouble(0) == 0.9)
+    // history re-reads under the CURRENT schema (iceberg semantics)
+    assert(IcebergTable.readVersion(spark, dir, 1L)
+      .schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(IcebergTable.loadMetadata(dir).currentSchemaId == 1)
+    // non-extending batches are rejected
+    intercept[IllegalArgumentException](IcebergWriter.appendEvolved(
+      spark, dir, Seq((4L, 1.0)).toDF("id", "score")))
+  }
+
   test("schema round-trips through iceberg JSON including nested types") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_icewrite2").toFile.getPath
