@@ -81,6 +81,19 @@ object IcebergWriter {
       tombstones = None, operation = "append")
   }
 
+  /** CREATE OR REPLACE semantics as one snapshot: the new data set
+    * becomes the entire live row set (operation `replace`), history
+    * stays time-travelable. The dbt `table` materialization re-run. */
+  def replace(spark: SparkSession, tableDir: String, df: DataFrame): Unit = {
+    val (md, _) = state(tableDir)
+    require(md.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)),
+      s"replace schema ${df.schema.simpleString} != table ${md.schema.simpleString}")
+    commit(spark, new File(tableDir), md.schema, prior = Nil,
+      parent = md.currentSnapshot, newData = Some(df),
+      tombstones = None, operation = "replace")
+  }
+
   /** Schema evolution by column addition: append a batch whose schema
     * extends the table's with NEW trailing nullable columns. The
     * metadata document gains the evolved schema under the next

@@ -74,6 +74,8 @@ final class Materializer(wh: Warehouse, targetSchema: String = "main") {
     val df = n.build(spark)
     enforceContract(n, df)
     val schema = schemaOf(n)
+    if (n.config.tableFormat == "iceberg")
+      return materializeIceberg(n, df, schema)
     n.config.materialized match {
       case "view" =>
         wh.createView(df, schema, n.name)
@@ -132,6 +134,49 @@ final class Materializer(wh: Warehouse, targetSchema: String = "main") {
           s"${n.name}: unknown materialization '$other'")
     }
     wh.read(schema, n.name)
+  }
+
+  /** The iceberg-format materializations (`tableFormat: "iceberg"`):
+    * the model's output commits to an Iceberg v2 table at the model's
+    * warehouse path — `table` re-runs are replace snapshots,
+    * incremental `append` appends (evolving the schema when
+    * `on_schema_change: append_new_columns` and the batch is wider),
+    * and `delete+insert`/`merge` become ONE positional-tombstone +
+    * data-files snapshot via [[IcebergWriter.deleteInsert]] — the
+    * merge-on-read shape: a 0.1% incremental against a 100 TB target
+    * writes tombstones and the batch, never rewrites the table (the
+    * parquet path's rewrite() materializes the whole merged relation).
+    * Reads come back through the manifest chain, time travel included. */
+  private def materializeIceberg(n: ModelNode, df: DataFrame,
+      schema: String): DataFrame = {
+    val spark = wh.spark
+    wh.createSchema(schema)
+    val path = wh.tablePath(schema, n.name)
+    val exists = new java.io.File(path, "metadata").exists()
+    val parts = n.config.partitionBy.toSeq
+    n.config.materialized match {
+      case "table" =>
+        if (!exists) IcebergWriter.create(spark, path, df, parts)
+        else IcebergWriter.replace(spark, path, df)
+      case "incremental" =>
+        if (!exists) IcebergWriter.create(spark, path, df, parts)
+        else n.config.incrementalStrategy match {
+          case "append" =>
+            if (n.config.onSchemaChange == "append_new_columns" &&
+              df.schema.size > IcebergTable.loadMetadata(path).schema.size)
+              IcebergWriter.appendEvolved(spark, path, df)
+            else IcebergWriter.append(spark, path, df)
+          case "delete+insert" | "merge" =>
+            require(n.config.uniqueKey.nonEmpty,
+              s"${n.name}: delete+insert/merge needs unique_key")
+            IcebergWriter.deleteInsert(spark, path, df, n.config.uniqueKey)
+          case other => throw new IllegalArgumentException(
+            s"${n.name}: unknown incremental strategy '$other'")
+        }
+      case other => throw new IllegalArgumentException(
+        s"${n.name}: iceberg format supports table|incremental, not '$other'")
+    }
+    IcebergTable.read(spark, path)
   }
 
   private def snapshotStrategy(n: ModelNode): Snapshot.Strategy =

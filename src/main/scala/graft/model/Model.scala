@@ -10,6 +10,12 @@ final case class ModelConfig(
     uniqueKey: Seq[String] = Nil,
     incrementalStrategy: String = "merge", // append|delete+insert|merge
     partitionBy: Option[String] = None,
+    // storage format of the materialized table: "parquet" (warehouse
+    // dir, the default) or "iceberg" (v2 table via IcebergWriter —
+    // the reference's actual target format, bridge.py:69-232; table
+    // re-runs become replace snapshots, incremental delete+insert/
+    // merge become positional-tombstone commits)
+    tableFormat: String = "parquet",
     routeOverride: Option[String] = None, // icebreaker_route: local|cloud
     estimatedSizeGb: Option[Double] = None,
     toxicTypes: Seq[String] = Nil,

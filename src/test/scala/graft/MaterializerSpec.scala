@@ -68,6 +68,41 @@ class MaterializerSpec extends AnyFunSuite {
     assert(out.filter(col("r_name") === "XX").count() == 5)
   }
 
+  test("iceberg-format models: table replaces, incremental merges by key, " +
+    "history time-travels") {
+    import graft.materialize.IcebergTable
+    val wh = freshWh()
+    val m = new Materializer(wh)
+    val path = wh.tablePath("main", "ice_t")
+    // table: first run creates snapshot 1, re-run is a replace snapshot
+    val t = ModelNode("ice_t",
+      ModelConfig("table", tableFormat = "iceberg"), Nil)(
+      s => Tables.load(s, sf, "region"))
+    m.materialize(t)
+    assert(m.materialize(t).count() == 5) // replace, not duplicate
+    val md = IcebergTable.loadMetadata(path)
+    assert(md.snapshots.size == 2)
+    assert(IcebergTable.readVersion(spark, path, 1L).count() == 5)
+
+    // incremental merge: re-keyed batch tombstones + appends in ONE
+    // snapshot; read comes back through the manifest chain
+    val i = ModelNode("ice_i",
+      ModelConfig("incremental", uniqueKey = Seq("r_regionkey"),
+        incrementalStrategy = "merge", tableFormat = "iceberg"), Nil)(
+      s => Tables.load(s, sf, "region"))
+    m.materialize(i)
+    val relabeled = i.copy(build = s =>
+      Tables.load(s, sf, "region").filter(col("r_regionkey") < 2)
+        .withColumn("r_name", lit("XX")))
+    val out = m.materialize(relabeled)
+    assert(out.count() == 5)
+    assert(out.filter(col("r_name") === "XX").count() == 2)
+    // the merge wrote tombstones + batch, no table rewrite: the two
+    // original data-file sets are both still referenced
+    val mdI = IcebergTable.loadMetadata(wh.tablePath("main", "ice_i"))
+    assert(mdI.snapshots.size == 2)
+  }
+
   test("snapshot runs twice and versions changed rows") {
     val wh = freshWh()
     val m = new Materializer(wh)

@@ -76,7 +76,14 @@ def main():
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 and sys.argv[3] else None
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
-    con.execute("SET memory_limit='80GB'")
+    import os
+    con.execute(f"SET memory_limit='{os.environ.get('BIGCHECK_MEM', '60GB')}'")
+    # an in-memory duckdb has NO temp dir and therefore cannot spill —
+    # a 1 B-row window digest then dies with 'Failed to allocate'
+    # instead of going out-of-core (e_top_event, round 12)
+    tmp = os.environ.get("BIGCHECK_TMP", "/root/repo/.tmp/duckdb")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = Path(sf_dir, f"{t}.parquet")
         if not p.exists():
