@@ -533,11 +533,22 @@ object EventQueries {
         |  count(*) AS n_events
         |FROM b GROUP BY event_type, bin""".stripMargin,
 
+    // thin-row formulation of per-user argmax (the engine's discipline,
+    // round-11 embed-LSH precedent): the naive ROW_NUMBER() OVER user
+    // spec sorts all events WITH the wide props payload — at 1 B events
+    // DuckDB's window spill exceeded the sandbox disk. Equivalent by
+    // construction (value is non-null throughout the generated data):
+    // rn=1 under ORDER BY value DESC, event_id = max value per user,
+    // then min event_id among ties; the payload joins back by the
+    // winning (user_id, event_id)
     "e_top_event" ->
-      """SELECT user_id, event_id, event_type, value,
-        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-        |    ORDER BY value DESC, event_id) AS rn FROM events) t
-        |WHERE rn = 1""".stripMargin
+      """WITH t AS (SELECT user_id, event_id, value FROM events),
+        |mx AS (SELECT user_id, max(value) AS mv FROM t GROUP BY user_id),
+        |win AS (SELECT t.user_id, min(t.event_id) AS event_id
+        |  FROM t JOIN mx ON t.user_id = mx.user_id AND t.value = mx.mv
+        |  GROUP BY t.user_id)
+        |SELECT e.user_id, e.event_id, e.event_type, e.value,
+        |  CAST(json_extract_string(e.props, '$.k') AS INT) AS k
+        |FROM events e JOIN win USING (user_id, event_id)""".stripMargin
   )
 }
