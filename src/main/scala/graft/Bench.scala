@@ -117,7 +117,7 @@ object Bench {
     // cap window + int8 quantize/dot_long scoring + dot_d rescore):
     // d_dedup_embed_lsh runs alphabetically before the s_ann_* family,
     // so it would otherwise absorb the integer-dot kernel's first JIT
-    locally {
+    try {
       import org.apache.spark.sql.functions._
       // mirror d_dedup_embed_lsh's actual shape (planted-dup union →
       // quantize → bucket explode → cap → pair join → rescore) so the
@@ -132,6 +132,8 @@ object Bench {
       graft.ops.Dedup.embeddingLshDups(
         tiny.unionByName(dup.select(tiny.columns.map(col): _*)))
         .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] embed warm: ${e.getMessage}")
     }
     // ... and the 27-case transpiler-corpus union (q_sql_corpus): the
     // one-query-in-27 gate compiles 27 distinct whole-stage-codegen
@@ -140,8 +142,20 @@ object Bench {
     // scan+agg work, not first-execution JIT of 27 small stages. The
     // corpus query re-registers the full views itself at execution.
     locally {
-      Tables.names.foreach(nm => Tables.load(spark, sfDir, nm)
-        .limit(64).createOrReplaceTempView(nm))
+      // subset scale dirs (the fifth-decade probe generates only
+      // documents/embeddings/events) lack the TPC-H tables: register
+      // what exists, skip the rest — a missing view only matters to a
+      // corpus case that names it, which then warm-fails like any other
+      def registerTolerant(limit: Option[Int]): Unit =
+        Tables.names.foreach { nm =>
+          try {
+            val t = Tables.load(spark, sfDir, nm)
+            limit.fold(t)(t.limit(_)).createOrReplaceTempView(nm)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] view warm $nm: ${e.getMessage}")
+          }
+        }
+      registerTolerant(Some(64))
       graft.queries.SqlCorpus.cases.foreach { c =>
         try graft.transpile.SnowflakeSql.run(spark, c.sf)
           .write.format("noop").mode("overwrite").save()
@@ -151,7 +165,7 @@ object Bench {
       }
       // restore full views: a later spark.sql/temp-view consumer must
       // never silently run against the limit-64 warm-up views
-      Tables.registerAll(spark, sfDir)
+      registerTolerant(None)
     }
     // SPARK_GRAFT_WARM_DIR (dev-only, subset runs): execute every
     // selected query once, untimed, against a tiny scale dir first. In
