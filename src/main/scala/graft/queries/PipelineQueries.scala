@@ -391,19 +391,23 @@ object PipelineQueries {
 
     "s_mmr" -> mmrOracleSql,
 
+    // the posting sample is the 128 SMALLEST doc_ids per term,
+    // computed as a per-term list slice instead of the row_number
+    // window's global (term, doc_id) sort — which at sf1000 (~2 B
+    // distinct pairs) exceeded sandbox temp disk as a DuckDB window
+    // spill (round-12 fifth-decade program). Per-term list state is
+    // small by construction: replica token spaces are disjoint, so a
+    // term's postings never span replicas.
     "s_postings" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term
          |  FROM documents),
          |td AS (SELECT term, doc_id, count(*) AS tf
-         |  FROM toks GROUP BY term, doc_id),
-         |capped AS (SELECT term, doc_id, tf,
-         |  row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
-         |  FROM td)
+         |  FROM toks GROUP BY term, doc_id)
          |SELECT term, count(*) AS dfreq, CAST(sum(tf) AS BIGINT) AS total_tf,
          |  array_to_string(list_transform(
-         |    list_sort(list(doc_id) FILTER (WHERE rn <= 128)),
+         |    list_sort(list(doc_id))[1:128],
          |    x -> x::VARCHAR), ',') AS posting_sample
-         |FROM capped GROUP BY term""".stripMargin,
+         |FROM td GROUP BY term""".stripMargin,
 
     "t_pmi" ->
       s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
