@@ -52,11 +52,20 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // leave an explicit marker so the gate counts this as a FAIL
         // instead of silently shrinking its denominator (an analysis
-        // throw would otherwise write no result dir at all)
-        val d = new java.io.File(s"$outDir/$name")
-        d.mkdirs()
-        Files.writeString(Paths.get(s"$outDir/$name/_VERIFY_FAILED"),
-          String.valueOf(e.getMessage))
+        // throw would otherwise write no result dir at all). The marker
+        // write itself must not kill the run: when the FAILURE is
+        // disk-full, writing the marker throws too, and an uncaught
+        // throw here silently skips every remaining query (round-12
+        // fifth-decade program lost t_lang_id to exactly this).
+        try {
+          val d = new java.io.File(s"$outDir/$name")
+          d.mkdirs()
+          Files.writeString(Paths.get(s"$outDir/$name/_VERIFY_FAILED"),
+            String.valueOf(e.getMessage))
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: " +
+            s"${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
