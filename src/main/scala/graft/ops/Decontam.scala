@@ -31,10 +31,21 @@ object Decontam {
     * eval n-gram, with their distinct n-gram count, how many of those
     * n-grams are contaminated (`eval_hits`), and the contaminated
     * fraction. Dropping flagged documents is then a broadcast-able
-    * anti-join on `doc_id`. */
+    * anti-join on `doc_id`.
+    *
+    * `broadcastEval = true` FORCES the eval-gram broadcast — only
+    * correct when the eval set is known-bounded. The default leaves
+    * the join unhinted so AQE auto-broadcasts a small eval side at
+    * runtime and falls back to a distributed join for a corpus-scale
+    * one: the round-12 fifth-decade probe measured the forced hint
+    * collecting a ~1 GB gram set to the driver (eval splits that are a
+    * FRACTION of the corpus grow with it — past driver limits the
+    * forced broadcast is wrong by construction). When the train side
+    * must never shuffle regardless of eval size, use [[bloomOverlap]]
+    * — its broadcast digest is fixed-size by construction. */
   def overlap(train: DataFrame, evalDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 8,
-      broadcastEval: Boolean = true): DataFrame = {
+      broadcastEval: Boolean = false): DataFrame = {
     import graft.functions.TextHash
     val grams =
       TextHash.hashedNgrams(TextHash.tokenHashes(col(textCol)), n)
@@ -65,10 +76,12 @@ object Decontam {
     * EVERY target document (novelty 1.0 = entirely new), unlike
     * overlap's contaminated-only ledger. Identical scale shape:
     * broadcast distinct reference gram hashes, one narrow target pass,
-    * map-side-combined per-doc aggregation. */
+    * map-side-combined per-doc aggregation. Like [[overlap]], the
+    * reference-gram broadcast is AQE-adaptive by default — a forced
+    * hint is only correct for known-bounded references. */
   def novelty(target: DataFrame, reference: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 8,
-      broadcastRef: Boolean = true): DataFrame = {
+      broadcastRef: Boolean = false): DataFrame = {
     import graft.functions.TextHash
     val grams =
       TextHash.hashedNgrams(TextHash.tokenHashes(col(textCol)), n)
