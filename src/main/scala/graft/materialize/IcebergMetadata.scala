@@ -28,6 +28,13 @@ final case class IcebergSnapshot(
     manifestList: String,
     operation: String)
 
+/** One field of the default partition spec (spec "Partition Specs"):
+  * the derived field's name, its transform (`identity`, `bucket[N]`,
+  * `truncate[W]`, `year`/`month`/`day`/`hour`), and the source column's
+  * Iceberg field id. */
+final case class IcebergPartField(name: String, transform: String,
+    sourceId: Int)
+
 final case class IcebergMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -40,8 +47,19 @@ final case class IcebergMetadata(
     schemas: Map[Int, StructType],
     fieldIds: Map[Int, Map[Int, String]], // schema-id -> field-id -> name
     defaultSpecId: Int,
-    partitionFields: Seq[(String, String)], // (name, transform)
+    specFields: Seq[IcebergPartField],
     properties: Map[String, String] = Map.empty) {
+
+  /** (name, transform) view of the default spec — the shape most
+    * callers key pruning decisions on. */
+  def partitionFields: Seq[(String, String)] =
+    specFields.map(f => (f.name, f.transform))
+
+  /** Source COLUMN NAME of a partition field, resolved through the
+    * current schema's field-id table (how the spec names sources).
+    * None for foreign specs whose source id is absent/unknown. */
+  def partitionSource(f: IcebergPartField): Option[String] =
+    fieldIds.getOrElse(currentSchemaId, Map.empty).get(f.sourceId)
 
   def schema: StructType = schemas(currentSchemaId)
 
@@ -99,7 +117,9 @@ object IcebergMetadata {
     val specFields = root.path("partition-specs").elements().asScala
       .find(_.path("spec-id").asInt(-1) == root.path("default-spec-id").asInt(0))
       .map(_.path("fields").elements().asScala.map(f =>
-        (f.path("name").asText(), f.path("transform").asText())).toSeq)
+        IcebergPartField(f.path("name").asText(),
+          f.path("transform").asText(),
+          f.path("source-id").asInt(-1))).toSeq)
       .getOrElse(Seq.empty)
     IcebergMetadata(
       formatVersion = formatVersion,
@@ -119,7 +139,7 @@ object IcebergMetadata {
       schemas = schemas,
       fieldIds = fieldIds,
       defaultSpecId = root.path("default-spec-id").asInt(0),
-      partitionFields = specFields,
+      specFields = specFields,
       properties = Option(root.get("properties")).map(p =>
         p.fields().asScala.map(e =>
           e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
