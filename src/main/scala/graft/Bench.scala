@@ -348,13 +348,20 @@ object Bench {
         }.getOrElse("")
       val sent = sentinels.map(fmt).mkString("[", ",", "]")
       val sent2 = sentinels2.map(fmt).mkString("[", ",", "]")
-      // bounded: 10 tags max — presence is the signal, the suite has
-      // the full list
-      val pw = if (planWarnings.isEmpty) "" else
-        planWarnings.take(10).map("\"" + _ + "\"")
-          .mkString(""","plan_warnings":[""", ",", "]")
+      // ALWAYS present (bounded: 10 tags max — presence is the signal,
+      // the suite has the full list): an explicit [] distinguishes "the
+      // detectors ran and found nothing" from a silently-absent field
+      val pw = planWarnings.take(10).map("\"" + _ + "\"")
+        .mkString(""","plan_warnings":[""", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$sp$pw,"sentinel_sec":$sent,"sentinel2_sec":$sent2,"sf":$sf}"""
     }
+    // tail-reader note: Spark's WindowExec logs "No Partition Defined"
+    // WARNs for these audited queries — expected, not plan warnings
+    // (each one's window input is provably bounded; see PlanGuard)
+    System.err.println("[bench] allowlisted bounded-window queries " +
+      "(WindowExec WARNs in the log tail are expected for these): " +
+      graft.plans.PlanGuard.boundedWindowAllow.toSeq.sorted
+        .mkString(", "))
     val full = line(results, 0)
     val out =
       if (full.length <= 1600) full

@@ -56,8 +56,12 @@ final case class IcebergMetadata(
     specFields.map(f => (f.name, f.transform))
 
   /** Source COLUMN NAME of a partition field, resolved through the
-    * current schema's field-id table (how the spec names sources).
-    * None for foreign specs whose source id is absent/unknown. */
+    * current schema's TOP-LEVEL field-id table (how the spec names
+    * sources). None means "unresolvable here", which covers three
+    * cases a caller must treat alike (skip, never prune on it):
+    * foreign specs whose source id is absent/unknown, NESTED source
+    * columns (the top-level index doesn't descend), and sources
+    * dropped by schema evolution. */
   def partitionSource(f: IcebergPartField): Option[String] =
     fieldIds.getOrElse(currentSchemaId, Map.empty).get(f.sourceId)
 
@@ -114,12 +118,17 @@ object IcebergMetadata {
       id -> n.path("fields").elements().asScala.map(f =>
         f.path("id").asInt(-1) -> f.path("name").asText()).toMap
     }
-    val specFields = root.path("partition-specs").elements().asScala
-      .find(_.path("spec-id").asInt(-1) == root.path("default-spec-id").asInt(0))
-      .map(_.path("fields").elements().asScala.map(f =>
+    def partFieldsOf(n: JsonNode): Seq[IcebergPartField] =
+      n.elements().asScala.map(f =>
         IcebergPartField(f.path("name").asText(),
           f.path("transform").asText(),
-          f.path("source-id").asInt(-1))).toSeq)
+          f.path("source-id").asInt(-1))).toSeq
+    val specFields = root.path("partition-specs").elements().asScala
+      .find(_.path("spec-id").asInt(-1) == root.path("default-spec-id").asInt(0))
+      .map(s => partFieldsOf(s.path("fields")))
+      // v1 layout: the REQUIRED singular `partition-spec` array of
+      // fields (mirrors the single-`schema` fallback above)
+      .orElse(Option(root.get("partition-spec")).map(partFieldsOf))
       .getOrElse(Seq.empty)
     IcebergMetadata(
       formatVersion = formatVersion,

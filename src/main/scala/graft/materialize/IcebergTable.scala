@@ -99,7 +99,20 @@ object IcebergTable {
     }).getOrElse(sys.error(
       s"no matching snapshot (have ${md.snapshots.map(_.snapshotId)})"))
     val entries = snapshotFiles(md, snap, tableDir)
-    val files = entries.filter(_.content == 0)
+    val dataEntries = entries.filter(_.content == 0)
+    // Silent-prune guard: a partitioned table whose manifests carry no
+    // partition tuples (a foreign writer this parser doesn't cover, or
+    // corrupted manifests) must FAIL under pruning, not filter every
+    // file and read back empty — an empty DataFrame here is
+    // indistinguishable from "the partition has no data".
+    if (prune.isDefined && md.specFields.nonEmpty && dataEntries.nonEmpty &&
+        dataEntries.forall(_.partitionValues.isEmpty))
+      sys.error(s"iceberg: table $tableDir declares partition spec " +
+        s"${md.partitionFields.mkString(", ")} but no manifest entry " +
+        "carries a partition tuple (neither the spec's r102 `partition` " +
+        "struct nor this writer's `partition_values` map) — refusing to " +
+        "prune, which would silently read the table as empty")
+    val files = dataEntries
       .filter(f => prune.forall(_(f.partitionValues)))
     val posDeletes = entries.filter(_.content == 1)
     val eqDeletes = entries.filter(_.content == 2)
@@ -128,13 +141,18 @@ object IcebergTable {
       var d = spark.read.schema(dataSchema).parquet(fs.map(_.path): _*)
       if (withCoords)
         d = d.withColumn("__graft_meta", col("_metadata"))
-      pv.foreach { case (k, v) =>
-        val typed =
-          if (v == "__HIVE_DEFAULT_PARTITION__")
-            lit(null).cast(md.schema(k).dataType)
-          else lit(v).cast(md.schema(k).dataType)
-        d = d.withColumn(k, typed)
-      }
+      // only IDENTITY tuple keys are schema columns that were
+      // partitioned out of the files; derived transform values
+      // (`x_bucket`, `ts_day`, …) exist only in the manifests — their
+      // SOURCE columns are still physically present in the data files
+      pv.filter { case (k, _) => md.schema.fieldNames.contains(k) }
+        .foreach { case (k, v) =>
+          val typed =
+            if (v == "__HIVE_DEFAULT_PARTITION__")
+              lit(null).cast(md.schema(k).dataType)
+            else lit(v).cast(md.schema(k).dataType)
+          d = d.withColumn(k, typed)
+        }
       val cols = md.schema.fieldNames.map(col(_)) ++
         (if (withCoords) Seq(col("__graft_meta")) else Nil)
       d.select(cols: _*)
@@ -161,11 +179,17 @@ object IcebergTable {
     *    matching data row only when the delete's data sequence number
     *    is STRICTLY greater than the data file's (rows written in the
     *    same or a later commit survive — that ordering is what makes
-    *    streaming upsert commits correct). Data rows pick up their
-    *    file's sequence number via a broadcast (relative-path → seq)
-    *    map, then each distinct equality-column set anti-joins
-    *    null-safely (NULL matches NULL, Iceberg semantics) with the
-    *    `deleteSeq > dataSeq` residual on the join. */
+    *    streaming upsert commits correct).
+    *
+    * Each data row picks up its (table-relative raw path, file
+    * sequence number) via ONE broadcast map keyed on the file's EXACT
+    * `_metadata.file_path` rendering, computed driver-side from the
+    * manifest path (hadoop `Path(file.toURI)` — percent-encoded, so
+    * directories with spaces/special characters key identically on
+    * both sides). The join is LEFT + raise: a rendering drift for any
+    * file is a loud per-row error, never silently dropped rows (every
+    * live row must resolve its file — the round-12 advisor's
+    * silent-data-loss finding). */
   private def applyDeletes(spark: SparkSession,
       md: IcebergMetadata, tableDir: String, files: Seq[FileEntry],
       posDeletes: Seq[FileEntry], eqDeletes: Seq[FileEntry]): DataFrame = {
@@ -173,6 +197,7 @@ object IcebergTable {
     val prefixes = Seq(localPath(md.location), localPath(tableDir))
       .filter(_.nonEmpty).distinct
     def rel(c: org.apache.spark.sql.Column) = {
+      // delete-file `file_path` VALUES (raw strings some writer chose):
       // normalize file:/ file:// file:/// to a single leading slash,
       // then strip whichever table prefix (original location or the
       // relocated dir) the path carries
@@ -183,10 +208,17 @@ object IcebergTable {
     def relStr(p: String): String =
       prefixes.foldLeft(p.replaceFirst("^file:/+", "/"))(
         (acc, pre) => acc.stripPrefix(pre + "/"))
-    var data = readData(spark, md, files, withCoords = true)
-      .withColumn("__graft_file", rel(col("__graft_meta.file_path")))
-      .withColumn("__graft_row", col("__graft_meta.row_index"))
-      .drop("__graft_meta")
+    // exact-rendering map: _metadata.file_path form -> (relative raw
+    // path, data sequence number); metadata-scale, always broadcast
+    val pathMap = spark.createDataFrame(
+      files.map(f => (metaPathOf(f.path), relStr(f.path), f.seq)))
+      .toDF("__graft_uri", "__graft_file", "__graft_seq")
+    var data = attachFileInfo(
+      readData(spark, md, files, withCoords = true)
+        .withColumn("__graft_uri", col("__graft_meta.file_path"))
+        .withColumn("__graft_row", col("__graft_meta.row_index"))
+        .drop("__graft_meta"),
+      pathMap)
     if (posDeletes.nonEmpty) {
       val dels = spark.read.parquet(posDeletes.map(_.path): _*)
         .select(rel(col("file_path")).as("__graft_file"),
@@ -196,27 +228,49 @@ object IcebergTable {
           "left_anti")
         .drop("__graft_pos")
     }
-    if (eqDeletes.nonEmpty) {
-      // attach each data row's file sequence number (metadata-scale map)
-      val seqMap = spark.createDataFrame(
-        files.map(f => (relStr(f.path), f.seq)))
-        .toDF("__graft_file", "__graft_seq")
-      data = data.join(broadcast(seqMap), Seq("__graft_file"), "inner")
-      eqDeletes.groupBy(_.equalityIds).foreach { case (ids, dfiles) =>
-        require(ids.nonEmpty, "equality delete file without equality_ids")
-        val names = ids.map(md.fieldName)
-        val dels = dfiles.map { f =>
-          spark.read.parquet(f.path)
-            .select(names.map(n => col(n).as(s"__graft_eq_$n")): _*)
-            .withColumn("__graft_dseq", lit(f.seq))
-        }.reduce(_ unionByName _)
-        val cond = names.map(n => data(n) <=> col(s"__graft_eq_$n"))
-          .reduce(_ && _) && col("__graft_dseq") > data("__graft_seq")
-        data = data.join(broadcast(dels), cond, "left_anti")
-      }
-      data = data.drop("__graft_seq")
+    eqDeletes.groupBy(_.equalityIds).foreach { case (ids, dfiles) =>
+      require(ids.nonEmpty, "equality delete file without equality_ids")
+      val names = ids.map(md.fieldName)
+      val dels = dfiles.map { f =>
+        spark.read.parquet(f.path)
+          .select(names.map(n => col(n).as(s"__graft_eq_$n")): _*)
+          .withColumn("__graft_dseq", lit(f.seq))
+      }.reduce(_ unionByName _)
+      val cond = names.map(n => data(n) <=> col(s"__graft_eq_$n"))
+        .reduce(_ && _) && col("__graft_dseq") > data("__graft_seq")
+      data = data.join(broadcast(dels), cond, "left_anti")
     }
-    data.drop("__graft_file", "__graft_row")
+    data.drop("__graft_file", "__graft_row", "__graft_seq")
+  }
+
+  /** The exact string Spark's `_metadata.file_path` carries for a local
+    * file: the file's `java.net.URI` rendering (percent-encoded, single
+    * `file:/` slash — a dir named `my table` renders `my%20table` on
+    * both sides; probed against Spark 4's actual metadata column,
+    * which follows `SparkPath.urlEncoded`, NOT hadoop `Path.toString`'s
+    * decoded form). A drift here fails loudly via [[attachFileInfo]]'s
+    * guard rather than dropping rows. */
+  private[graft] def metaPathOf(path: String): String =
+    new File(localPath(path)).toURI.toString
+
+  /** LEFT join the per-row `__graft_uri` against the snapshot's path
+    * map and FAIL on any row whose file the map doesn't cover — both
+    * resolved columns carry the guard because Catalyst prunes unused
+    * columns, and a pruned guard is no guard (an eq-delete-only plan
+    * never touches `__graft_file`; a pos-delete-only plan never touches
+    * `__graft_seq`). `private[graft]` so the spec can drive the raise
+    * with a deliberately-missing map entry. */
+  private[graft] def attachFileInfo(data: DataFrame,
+      pathMap: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def guarded(c: String) = coalesce(col(c),
+      raise_error(concat(lit("iceberg: data file not in the " +
+        "snapshot's path map (path rendering drift — deletes could " +
+        "not be applied safely): "), col("__graft_uri"))))
+    data.join(broadcast(pathMap), Seq("__graft_uri"), "left")
+      .withColumn("__graft_file", guarded("__graft_file"))
+      .withColumn("__graft_seq", guarded("__graft_seq"))
+      .drop("__graft_uri")
   }
 
   /** One live file from a snapshot's manifest chain: resolved path,
@@ -265,19 +319,71 @@ object IcebergTable {
                 l.asScala.map(_.toString.toInt).toSeq
               case _ => Seq.empty[Int]
             }
-          val pv =
-            if (df.getSchema.getField("partition_values") == null) Map.empty[String, String]
-            else Option(df.get("partition_values")) match {
-              case Some(m: java.util.Map[_, _]) =>
-                m.asScala.map { case (k, v) =>
-                  k.toString -> v.toString }.toMap
-              case _ => Map.empty[String, String]
-            }
+          val pv = partitionTuple(df, md)
           out += FileEntry(path, content, seq, eqIds, pv)
         }
       }
     }
     out.result()
+  }
+
+  /** A manifest entry's partition tuple in string form. Two layouts are
+    * accepted: this repo's writer records a `partition_values` string
+    * map (documented deviation, IcebergWriter.scala), while every other
+    * engine writes the spec's typed `partition` (r102) struct whose
+    * avro field names are the partition field names — previously the
+    * r102 layout parsed as an EMPTY tuple and readWhere pruned every
+    * file (the round-12 advisor's foreign-table silent-read-empty
+    * finding; the guard in readSnapshot backstops any layout neither
+    * branch covers). r102 values are typed: identity tuples on
+    * date/timestamp sources arrive as epoch days / epoch micros and
+    * are rendered back to the castable string forms the reader injects
+    * ([[readData]]); transform values (`bucket[N]`, `day`, …) are
+    * integers/strings and render directly. */
+  private def partitionTuple(df: GenericRecord,
+      md: IcebergMetadata): Map[String, String] = {
+    def fromMap: Option[Map[String, String]] =
+      if (df.getSchema.getField("partition_values") == null) None
+      else Option(df.get("partition_values")).collect {
+        case m: java.util.Map[_, _] =>
+          m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
+      }
+    def fromStruct: Option[Map[String, String]] =
+      if (df.getSchema.getField("partition") == null) None
+      else Option(df.get("partition")).collect {
+        case rec: GenericRecord =>
+          rec.getSchema.getFields.asScala.map { fld =>
+            fld.name -> Option(rec.get(fld.pos))
+              .map(v => renderPartValue(fld.name, v, md))
+              .getOrElse("__HIVE_DEFAULT_PARTITION__")
+          }.toMap
+      }
+    fromMap.orElse(fromStruct).getOrElse(Map.empty)
+  }
+
+  private def renderPartValue(field: String, v: Any,
+      md: IcebergMetadata): String = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val sourceType = md.specFields.find(_.name == field)
+      .filter(_.transform == "identity")
+      .flatMap(md.partitionSource)
+      .flatMap(n => md.schema.find(_.name == n).map(_.dataType))
+    (sourceType, v) match {
+      case (Some(DateType), n: Number) =>
+        java.time.LocalDate.ofEpochDay(n.longValue()).toString
+      case (Some(TimestampType | TimestampNTZType), n: Number) =>
+        // iceberg timestamps are MICROS since epoch; render a form
+        // `cast(... as timestamp)` parses (naive UTC — session TZ is
+        // pinned UTC throughout)
+        val us = n.longValue()
+        val secs = Math.floorDiv(us, 1000000L)
+        val nanos = Math.floorMod(us, 1000000L) * 1000L
+        java.time.LocalDateTime.ofEpochSecond(secs, nanos.toInt,
+          java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS"))
+      case _ => v.toString
+    }
   }
 
   /** Back-compat shim for callers/tests that only want live data files;

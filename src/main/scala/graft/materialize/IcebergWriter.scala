@@ -230,11 +230,18 @@ object IcebergWriter {
     val m = new ObjectMapper()
     val dir = new File(tableDir)
     val mdir = new File(dir, "metadata")
-    val doc = metadataJson(dir.getAbsolutePath, md.schema,
+    // location + schema-id carry FORWARD: kept snapshots' manifest
+    // lists hold absolute paths under the ORIGINAL location (what
+    // resolve() re-anchors on), and an evolved table's current schema
+    // keeps its id — rewriting either broke relocated-table
+    // expiry-then-read and evolved-table reads (round-12 ADVICE lows)
+    val doc = metadataJson(
+      Option(md.location).filter(_.nonEmpty)
+        .getOrElse(dir.getAbsolutePath), md.schema,
       md.lastSequenceNumber, md.currentSnapshotId.getOrElse(
         kept.last.snapshotId), md.lastUpdatedMs,
       keptSnapshots = kept.map(snapshotJson(m, _)), md.properties,
-      partitionBy = identityCols(md))
+      partitionBy = identityCols(md), schemaId = md.currentSchemaId)
     val version = currentVersion(mdir) + 1
     java.nio.file.Files.writeString(
       new File(mdir, s"v$version.metadata.json").toPath, doc)
@@ -307,14 +314,26 @@ object IcebergWriter {
     require(!entries.exists(_.content == 2),
       "tombstone generation over a table with equality deletes is not " +
         "supported (liveness would need the equality columns re-applied)")
-    val data = IcebergTable.readData(spark, md,
-      entries.filter(_.content == 0), withCoords = true)
-      .withColumn("__graft_w_file",
-        regexp_replace(regexp_replace(col("__graft_meta.file_path"),
-          "^file:/+", "/"),
-          "^" + java.util.regex.Pattern.quote(base + "/"), ""))
+    val dataEntries = entries.filter(_.content == 0)
+    // exact-rendering map (see IcebergTable.applyDeletes): keyed on the
+    // file's _metadata.file_path form, LEFT join + raise so a rendering
+    // drift surfaces as an error instead of tombstoning nothing
+    val pathMap = spark.createDataFrame(dataEntries.map { f =>
+      val rel = f.path.replaceFirst("^file:/+", "/")
+        .stripPrefix(base + "/")
+      (IcebergTable.metaPathOf(f.path), rel)
+    }).toDF("__graft_w_uri", "__graft_w_file")
+    val data = IcebergTable.readData(spark, md, dataEntries,
+      withCoords = true)
+      .withColumn("__graft_w_uri", col("__graft_meta.file_path"))
       .withColumn("__graft_w_pos", col("__graft_meta.row_index"))
       .drop("__graft_meta")
+      .join(broadcast(pathMap), Seq("__graft_w_uri"), "left")
+      .withColumn("__graft_w_file", coalesce(col("__graft_w_file"),
+        raise_error(concat(lit("iceberg: data file not in the " +
+          "snapshot's path map (path rendering drift): "),
+          col("__graft_w_uri")))))
+      .drop("__graft_w_uri")
     val posFiles = entries.filter(_.content == 1).map(_.path)
     if (posFiles.isEmpty) data
     else {
@@ -415,8 +434,13 @@ object IcebergWriter {
     val sid =
       if (schemaId >= 0) schemaId
       else md.map(_.currentSchemaId).getOrElse(0)
-    val doc = metadataJson(base, schema, seq, snapId, tsMs,
-      allSnaps, props, spec, sid)
+    // a RELOCATED table keeps its original `location` — prior
+    // snapshots' absolute manifest paths re-anchor through it
+    // (IcebergTable.resolve); new files written under `base` are
+    // absolute and resolve as themselves
+    val doc = metadataJson(
+      md.map(_.location).filter(_.nonEmpty).getOrElse(base),
+      schema, seq, snapId, tsMs, allSnaps, props, spec, sid)
     java.nio.file.Files.writeString(
       new File(mdir, s"v$version.metadata.json").toPath, doc)
     java.nio.file.Files.writeString(
@@ -532,9 +556,12 @@ object IcebergWriter {
     root.put("location", location)
     root.put("last-sequence-number", seq)
     root.put("last-updated-ms", tsMs)
-    root.put("last-column-id", schema.size)
+    val (schemaNode, lastColumnId) = schemaJson(m, schema, schemaId)
+    // the highest id the walker ASSIGNED — nested list/map/struct
+    // element ids included, not just the top-level column count
+    root.put("last-column-id", lastColumnId)
     val schemas = root.putArray("schemas")
-    schemas.add(schemaJson(m, schema, schemaId))
+    schemas.add(schemaNode)
     root.put("current-schema-id", schemaId)
     val specs = root.putArray("partition-specs")
     val spec0 = m.createObjectNode()
@@ -570,8 +597,10 @@ object IcebergWriter {
     n
   }
 
+  /** Schema node + the last assigned field id (nested ids included) —
+    * the pair `last-column-id` must record. */
   private def schemaJson(m: ObjectMapper, schema: StructType,
-      schemaId: Int = 0): ObjectNode = {
+      schemaId: Int = 0): (ObjectNode, Int) = {
     val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
     val node = m.createObjectNode()
     node.put("schema-id", schemaId)
@@ -588,7 +617,7 @@ object IcebergWriter {
       putType(m, fn, "type", f.dataType, nextId)
       fields.add(fn)
     }
-    node
+    (node, nextId.get())
   }
 
   /** Spark type → Iceberg schema JSON (inverse of

@@ -77,6 +77,35 @@ class IcebergSpec extends AnyFunSuite {
     r
   }
 
+  // r102-style manifest: the SPEC's typed `partition` struct instead of
+  // this repo's writer deviation (`partition_values` map) — what every
+  // foreign engine writes
+  private val manifestSchemaR102 = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"df","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+      |{"name":"id_bucket","type":["null","int"],"default":null}]}}]}}]}""".stripMargin)
+
+  private def manifestRowR102(filePath: String,
+      bucket: Integer): GenericRecord = {
+    val pr = new GenericData.Record(manifestSchemaR102
+      .getField("data_file").schema().getField("partition").schema())
+    pr.put("id_bucket", bucket)
+    val df = new GenericData.Record(
+      manifestSchemaR102.getField("data_file").schema())
+    df.put("content", 0)
+    df.put("file_path", filePath)
+    df.put("partition", pr)
+    val r = new GenericData.Record(manifestSchemaR102)
+    r.put("status", 1)
+    r.put("data_file", df)
+    r
+  }
+
   /** Build the fixture table; returns its directory. Layout mirrors a
     * relocated table: metadata paths point at `file:///warehouse/db/t`
     * while the files live under the returned temp dir.
@@ -86,10 +115,19 @@ class IcebergSpec extends AnyFunSuite {
     * id 2): seq 2 naming "d" (must NOT hide f2's "d" — f2 is also
     * seq 2 and the rule is strictly-greater) and seq 3 naming "b" and
     * NULL (hides f1's id=2 and f2's id=5, exercising null-safe match
-    * and sequence inheritance from the manifest list). */
+    * and sequence inheritance from the manifest list).
+    * `spaceDir` relocates under a directory containing spaces — the
+    * percent-encoding parity case for the delete path joins.
+    * `r102Partition` writes the data manifests with the spec's typed
+    * `partition` struct (f1 → bucket 0, f2 → bucket 1). */
   private def buildTable(withPosDelete: Boolean = false,
-      withEqDelete: Boolean = false): String = {
-    val dir = Files.createTempDirectory("graft_iceberg").toFile
+      withEqDelete: Boolean = false,
+      spaceDir: Boolean = false,
+      r102Partition: Boolean = false): String = {
+    val dir0 = Files.createTempDirectory("graft_iceberg").toFile
+    val dir = if (!spaceDir) dir0 else {
+      val d = new File(dir0, "tbl with space"); d.mkdirs(); d
+    }
     val origLoc = "file:///warehouse/db/t"
     // two single-file parquet data files, 3 + 2 rows
     import spark.implicits._
@@ -119,10 +157,17 @@ class IcebergSpec extends AnyFunSuite {
         "data/eqdel2.parquet")
     }
     // manifests: m1 → f1 (seq 1); m2 → f2 (seq 2); m3/m4 → deletes
-    writeAvro(new File(dir, "metadata/m1.avro"), manifestSchema,
-      Seq(manifestRow(1, 0, s"$origLoc/data/f1.parquet")))
-    writeAvro(new File(dir, "metadata/m2.avro"), manifestSchema,
-      Seq(manifestRow(1, 0, s"$origLoc/data/f2.parquet")))
+    if (r102Partition) {
+      writeAvro(new File(dir, "metadata/m1.avro"), manifestSchemaR102,
+        Seq(manifestRowR102(s"$origLoc/data/f1.parquet", 0)))
+      writeAvro(new File(dir, "metadata/m2.avro"), manifestSchemaR102,
+        Seq(manifestRowR102(s"$origLoc/data/f2.parquet", 1)))
+    } else {
+      writeAvro(new File(dir, "metadata/m1.avro"), manifestSchema,
+        Seq(manifestRow(1, 0, s"$origLoc/data/f1.parquet")))
+      writeAvro(new File(dir, "metadata/m2.avro"), manifestSchema,
+        Seq(manifestRow(1, 0, s"$origLoc/data/f2.parquet")))
+    }
     if (withPosDelete)
       writeAvro(new File(dir, "metadata/m3.avro"), manifestSchema,
         Seq(manifestRow(1, 1, s"$origLoc/data/del1.parquet")))
@@ -232,6 +277,84 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergTable.read(spark, dir)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 3L))
+  }
+
+  test("readWhere RAISES on a partitioned table whose manifests carry no tuples") {
+    // the base fixture declares spec `id_bucket bucket[4]` but its
+    // manifests (a foreign layout this parser doesn't cover) have no
+    // partition tuples: pruning must fail LOUDLY — silently pruning
+    // every file would read the table as empty (round-12 advisor
+    // medium #1)
+    val dir = buildTable()
+    val e = intercept[RuntimeException] {
+      IcebergTable.readWhere(spark, dir,
+        pv => pv.get("id_bucket").contains("1")).count()
+    }
+    assert(e.getMessage.contains("no manifest entry"))
+    // an unpruned read of the same table stays fine (nothing to lose)
+    assert(IcebergTable.read(spark, dir).count() == 5)
+  }
+
+  test("spec r102 typed `partition` struct: tuples parse and prune") {
+    val dir = buildTable(r102Partition = true)
+    // foreign-style manifests carry partition=(id_bucket: 0|1)
+    assert(IcebergTable.readWhere(spark, dir,
+      pv => pv.get("id_bucket").contains("1"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(4L, 5L))
+    assert(IcebergTable.readWhere(spark, dir,
+      pv => pv.get("id_bucket").contains("0")).count() == 3)
+  }
+
+  test("deletes apply correctly in a directory with spaces (rendering parity)") {
+    // _metadata.file_path renders `tbl%20with%20space`; the snapshot
+    // path map must key on the same rendering on both sides — before
+    // the exact-rendering map this silently dropped/kept rows
+    val dir = buildTable(withPosDelete = true, withEqDelete = true,
+      spaceDir = true)
+    assert(IcebergTable.read(spark, dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+  }
+
+  test("a data file missing from the snapshot path map RAISES, never drops rows") {
+    // drive the guard directly with a map that misses f2 — the failure
+    // mode is a rendering drift between Spark's _metadata.file_path
+    // and the driver-side manifest paths (round-12 advisor medium #2:
+    // the old inner join silently dropped every unmatched row)
+    import spark.implicits._
+    val dir = buildTable()
+    val files = new File(dir, "data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val data = spark.read.parquet(files.map(_.getPath): _*)
+      .withColumn("__graft_uri",
+        org.apache.spark.sql.functions.col("_metadata.file_path"))
+    val partialMap = Seq(
+      (IcebergTable.metaPathOf(files.head.getPath), "data/f1.parquet", 1L))
+      .toDF("__graft_uri", "__graft_file", "__graft_seq")
+    val e = intercept[Exception] {
+      // collect, not count: count() prunes every column and with it the
+      // guard expression — exactly why the guard sits on BOTH columns
+      IcebergTable.attachFileInfo(data, partialMap)
+        .select("__graft_seq").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("path rendering drift")))
+  }
+
+  test("v1 metadata: singular partition-spec key parses (not just v2 partition-specs)") {
+    val md = IcebergMetadata.parse(
+      """{"format-version": 1, "table-uuid": "x", "location": "",
+        |"last-updated-ms": 0,
+        |"schema": {"type": "struct", "fields": [
+        |  {"id": 1, "name": "ds", "required": false, "type": "string"}]},
+        |"partition-spec": [
+        |  {"name": "ds", "transform": "identity", "source-id": 1}],
+        |"snapshots": []}""".stripMargin)
+    assert(md.partitionFields == Seq(("ds", "identity")))
+    assert(md.partitionSource(md.specFields.head).contains("ds"))
   }
 
   test("versionless metadata picks the highest PARSED version, not lexicographic") {
