@@ -77,6 +77,236 @@ object IcebergTable {
       keep: Map[String, String] => Boolean): DataFrame =
     readSnapshot(spark, tableDir, None, Some(keep))
 
+  /** A file-pruning predicate for [[readPruned]]: `column <op> value`
+    * with `op` one of `=`, `<`, `<=`, `>`, `>=` and `value` in the
+    * column type's canonical string form (dates `1995-03-15`,
+    * timestamps `1995-03-15 00:00:00[.SSSSSS]`, numerics plain). */
+  final case class ScanPred(column: String, op: String, value: String) {
+    require(Set("=", "<", "<=", ">", ">=")(op), s"unsupported op $op")
+  }
+
+  /** Read the current snapshot scanning ONLY the files a conjunction of
+    * predicates can touch, then apply the predicates row-level (the
+    * result is EXACT — file skipping is a scan optimization, never a
+    * semantics change). Two metadata-only skip channels compose:
+    *
+    *  1. per-column `lower_bounds`/`upper_bounds` from the manifests —
+    *     a file whose [lower, upper] interval excludes the predicate
+    *     never opens;
+    *  2. the partition tuple, through the spec's TRANSFORMS — identity
+    *     compares directly, `bucket[N]` skips on equality via the same
+    *     murmur3 the writer used, `truncate[W]`/`year`/`month`/`day`/
+    *     `hour` skip on both equality and ranges (they are monotonic).
+    *
+    * This is the Iceberg scan-planning core at 100 TB: a selective
+    * predicate over a sorted/partitioned table touches kilobytes of
+    * manifest metadata plus only the qualifying files' bytes. */
+  def readPruned(spark: SparkSession, tableDir: String,
+      preds: Seq[ScanPred]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val md = loadMetadata(tableDir)
+    val snap = md.currentSnapshot.getOrElse(
+      sys.error(s"$tableDir has no current snapshot"))
+    val entries = snapshotFiles(md, snap, tableDir)
+    val kept = pruneEntries(md, entries.filter(_.content == 0), preds)
+    val df = assemble(spark, md, tableDir, kept,
+      entries.filter(_.content == 1), entries.filter(_.content == 2))
+    preds.foldLeft(df) { (d, p) =>
+      val dt = md.schema(p.column).dataType
+      val v = lit(p.value).cast(dt)
+      d.filter(p.op match {
+        case "=" => col(p.column) === v
+        case "<" => col(p.column) < v
+        case "<=" => col(p.column) <= v
+        case ">" => col(p.column) > v
+        case ">=" => col(p.column) >= v
+      })
+    }
+  }
+
+  /** The file subset a predicate conjunction can touch (exposed for
+    * the writer spec's prune-count assertions). */
+  private[graft] def pruneEntries(md: IcebergMetadata,
+      files: Seq[FileEntry], preds: Seq[ScanPred]): Seq[FileEntry] =
+    files.filter(f => preds.forall(p => mayContain(md, f, p)))
+
+  /** Conservative containment: false ONLY when the file provably holds
+    * no row satisfying `p`; any parse/compare uncertainty keeps the
+    * file (pruning must never change results). */
+  private def mayContain(md: IcebergMetadata, f: FileEntry,
+      p: ScanPred): Boolean = {
+    val dtOpt = md.schema.find(_.name == p.column).map(_.dataType)
+    if (dtOpt.isEmpty) return true
+    val dt = dtOpt.get
+    val boundsOk = (f.lowerBounds.get(p.column),
+        f.upperBounds.get(p.column)) match {
+      case (Some(lo), Some(hi)) =>
+        (cmpTyped(dt, p.value, lo), cmpTyped(dt, p.value, hi)) match {
+          case (Some(vl), Some(vh)) => p.op match {
+            case "=" => vl >= 0 && vh <= 0
+            case "<" => vl > 0 // some row < value iff lower < value
+            case "<=" => vl >= 0
+            case ">" => vh < 0 // some row > value iff upper > value
+            case ">=" => vh <= 0
+          }
+          case _ => true
+        }
+      case _ => true
+    }
+    val partOk = md.specFields.forall { sf =>
+      md.partitionSource(sf) match {
+        case Some(src) if src == p.column =>
+          f.partitionValues.get(sf.name) match {
+            case Some(t) if t != "__HIVE_DEFAULT_PARTITION__" =>
+              transformKeeps(sf.transform, dt, t, p)
+            case _ => true
+          }
+        case _ => true
+      }
+    }
+    boundsOk && partOk
+  }
+
+  /** Can a file whose rows all map to partition value `tuple` under
+    * `transform` contain a row satisfying `p`? */
+  private def transformKeeps(transform: String,
+      dt: org.apache.spark.sql.types.DataType, tuple: String,
+      p: ScanPred): Boolean = {
+    import org.apache.spark.sql.types._
+    val bucketN = "bucket\\[(\\d+)\\]".r
+    val truncW = "truncate\\[(\\d+)\\]".r
+    def keepByValue(t: Long): Boolean = {
+      // rows' transform value == tuple; the transform is monotonic, so
+      // pred value's transform t bounds which tuples can qualify
+      val tv = scala.util.Try(tuple.toLong).toOption
+      tv.forall { g => p.op match {
+        case "=" => g == t
+        case "<" | "<=" => g <= t
+        case ">" | ">=" => g >= t
+      }}
+    }
+    transform match {
+      case "identity" =>
+        cmpTyped(dt, p.value, tuple).forall { c => p.op match {
+          case "=" => c == 0
+          case "<" => c > 0 // tuple < value
+          case "<=" => c >= 0
+          case ">" => c < 0
+          case ">=" => c <= 0
+        }}
+      case bucketN(n) =>
+        if (p.op != "=") true
+        else bucketOf(dt, p.value, n.toInt).forall(b =>
+          scala.util.Try(tuple.toInt).toOption.forall(_ == b))
+      case truncW(w) => dt match {
+        case IntegerType | LongType =>
+          (for {
+            v <- scala.util.Try(p.value.toLong).toOption
+            g <- scala.util.Try(tuple.toLong).toOption
+          } yield {
+            val width = w.toLong
+            // rows v' ∈ [g, g + width)
+            p.op match {
+              case "=" => v - Math.floorMod(v, width) == g
+              case "<" => g < v
+              case "<=" => g <= v
+              case ">" => g + width - 1 > v
+              case ">=" => g + width - 1 >= v
+            }
+          }).getOrElse(true)
+        case StringType =>
+          if (p.op != "=") true
+          else p.value.take(w.toInt) == tuple
+        case _ => true
+      }
+      case "year" => temporalUnits(dt, p.value, "year").forall(keepByValue)
+      case "month" => temporalUnits(dt, p.value, "month").forall(keepByValue)
+      case "day" => temporalUnits(dt, p.value, "day").forall(keepByValue)
+      case "hour" => temporalUnits(dt, p.value, "hour").forall(keepByValue)
+      case _ => true
+    }
+  }
+
+  /** Iceberg bucket value of a predicate literal, via the SAME spec
+    * murmur3 the writer's expression used. */
+  private def bucketOf(dt: org.apache.spark.sql.types.DataType,
+      value: String, n: Int): Option[Int] = {
+    import org.apache.spark.sql.types._
+    import graft.functions.IcebergTransforms
+    dt match {
+      case IntegerType | LongType =>
+        scala.util.Try(value.toLong).toOption
+          .map(IcebergTransforms.bucketLong(_, n))
+      case DateType => parseDate(value)
+        .map(d => IcebergTransforms.bucketLong(d.toEpochDay, n))
+      case TimestampType | TimestampNTZType => parseTs(value)
+        .map(t => IcebergTransforms.bucketLong(microsOf(t), n))
+      case StringType => Some(IcebergTransforms.bucketStringJvm(value, n))
+      case _ => None
+    }
+  }
+
+  /** The `year`/`month`/`day`/`hour` transform value of a literal. */
+  private def temporalUnits(dt: org.apache.spark.sql.types.DataType,
+      value: String, unit: String): Option[Long] = {
+    import org.apache.spark.sql.types._
+    val ldt: Option[java.time.LocalDateTime] = dt match {
+      case DateType => parseDate(value).map(_.atStartOfDay())
+      case TimestampType | TimestampNTZType => parseTs(value)
+      case _ => None
+    }
+    ldt.map { t => unit match {
+      case "year" => (t.getYear - 1970).toLong
+      case "month" => (t.getYear - 1970).toLong * 12 + t.getMonthValue - 1
+      case "day" => t.toLocalDate.toEpochDay
+      case "hour" => Math.floorDiv(microsOf(t), 3600000000L)
+    }}
+  }
+
+  private def microsOf(t: java.time.LocalDateTime): Long =
+    t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+      t.getNano / 1000L
+
+  private def parseDate(s: String): Option[java.time.LocalDate] =
+    scala.util.Try(java.time.LocalDate.parse(s.take(10))).toOption
+
+  private def parseTs(s: String): Option[java.time.LocalDateTime] = {
+    val norm = s.trim.replace("T", " ")
+    val attempts = Seq(
+      () => java.time.LocalDateTime.parse(norm,
+        java.time.format.DateTimeFormatter
+          .ofPattern("uuuu-MM-dd HH:mm:ss[.SSSSSS][.SSS]")),
+      () => java.time.LocalDate.parse(norm.take(10)).atStartOfDay())
+    attempts.view.flatMap(f => scala.util.Try(f()).toOption).headOption
+  }
+
+  /** Typed three-way compare of two canonical string forms; None when
+    * either side fails to parse (callers keep the file). */
+  private def cmpTyped(dt: org.apache.spark.sql.types.DataType,
+      a: String, b: String): Option[Int] = {
+    import org.apache.spark.sql.types._
+    def num = for {
+      x <- scala.util.Try(new java.math.BigDecimal(a)).toOption
+      y <- scala.util.Try(new java.math.BigDecimal(b)).toOption
+    } yield x.compareTo(y)
+    dt match {
+      case IntegerType | LongType | ShortType | ByteType |
+           FloatType | DoubleType | _: DecimalType => num
+      case DateType => for {
+        x <- parseDate(a); y <- parseDate(b)
+      } yield x.compareTo(y)
+      case TimestampType | TimestampNTZType => for {
+        x <- parseTs(a); y <- parseTs(b)
+      } yield x.compareTo(y)
+      case StringType => Some(a.compareTo(b))
+      case BooleanType => for {
+        x <- scala.util.Try(a.toBoolean).toOption
+        y <- scala.util.Try(b.toBoolean).toOption
+      } yield java.lang.Boolean.compare(x, y)
+      case _ => None
+    }
+  }
+
   /** Read the table at an explicit snapshot id. */
   def readVersion(spark: SparkSession, tableDir: String,
       snapshotId: Long): DataFrame =
@@ -114,8 +344,16 @@ object IcebergTable {
         "prune, which would silently read the table as empty")
     val files = dataEntries
       .filter(f => prune.forall(_(f.partitionValues)))
-    val posDeletes = entries.filter(_.content == 1)
-    val eqDeletes = entries.filter(_.content == 2)
+    assemble(spark, md, tableDir, files,
+      entries.filter(_.content == 1), entries.filter(_.content == 2))
+  }
+
+  /** Materialize the live row set of a chosen file subset: plain
+    * distributed scan when the snapshot carries no deletes, the
+    * anti-join pipeline otherwise. */
+  private def assemble(spark: SparkSession, md: IcebergMetadata,
+      tableDir: String, files: Seq[FileEntry],
+      posDeletes: Seq[FileEntry], eqDeletes: Seq[FileEntry]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], md.schema)
@@ -123,7 +361,6 @@ object IcebergTable {
       readData(spark, md, files, withCoords = false)
         .select(md.schema.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
     else applyDeletes(spark, md, tableDir, files, posDeletes, eqDeletes)
-  }
 
   /** Distributed read of a set of data files with manifest-recorded
     * partition values injected as typed literal columns (partitioned
@@ -276,11 +513,17 @@ object IcebergTable {
   /** One live file from a snapshot's manifest chain: resolved path,
     * content kind (0=data, 1=positional deletes, 2=equality deletes),
     * data sequence number, the manifest-recorded partition tuple
-    * (string forms; empty for unpartitioned files), and — for equality
-    * deletes — the field ids the delete rows match on. */
-  private[materialize] final case class FileEntry(path: String,
+    * (string forms; empty for unpartitioned files), for equality
+    * deletes the field ids the delete rows match on, and the per-column
+    * `lower_bounds`/`upper_bounds`/`null_value_counts` stats (string
+    * forms keyed by column name; empty when the manifest carries
+    * none). */
+  private[graft] final case class FileEntry(path: String,
       content: Int, seq: Long, equalityIds: Seq[Int],
-      partitionValues: Map[String, String] = Map.empty)
+      partitionValues: Map[String, String] = Map.empty,
+      lowerBounds: Map[String, String] = Map.empty,
+      upperBounds: Map[String, String] = Map.empty,
+      nullCounts: Map[String, Long] = Map.empty)
 
   /** Walk snapshot → manifest-list avro → manifest avros → live parquet
     * files. Sequence numbers follow the v2 inheritance rule: a manifest
@@ -289,7 +532,7 @@ object IcebergTable {
     * writer produces for ADDED entries); v1 tables have no sequence
     * numbers and read as 0 throughout, which is consistent because they
     * cannot carry delete files either. */
-  private[materialize] def snapshotFiles(md: IcebergMetadata,
+  private[graft] def snapshotFiles(md: IcebergMetadata,
       snap: IcebergSnapshot, tableDir: String): Seq[FileEntry] = {
     def longOf(r: GenericRecord, f: String): Option[Long] =
       if (r.getSchema.getField(f) == null) None
@@ -320,7 +563,17 @@ object IcebergTable {
               case _ => Seq.empty[Int]
             }
           val pv = partitionTuple(df, md)
-          out += FileEntry(path, content, seq, eqIds, pv)
+          def strMap(field: String): Map[String, String] =
+            if (df.getSchema.getField(field) == null) Map.empty
+            else Option(df.get(field)).collect {
+              case m: java.util.Map[_, _] => m.asScala.map { case (k, v) =>
+                k.toString -> v.toString }.toMap
+            }.getOrElse(Map.empty)
+          out += FileEntry(path, content, seq, eqIds, pv,
+            lowerBounds = strMap("lower_bounds"),
+            upperBounds = strMap("upper_bounds"),
+            nullCounts = strMap("null_value_counts")
+              .map { case (k, v) => k -> v.toLong })
         }
       }
     }

@@ -56,16 +56,49 @@ object IcebergWriter {
     * lets a 100 TB table serve a one-partition query with kilobytes of
     * metadata and exactly that partition's bytes of data. */
   def create(spark: SparkSession, tableDir: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil): Unit =
+    createPartitioned(spark, tableDir, df,
+      partitionBy.map(c => (c, "identity")))
+
+  /** Create with a full Iceberg partition SPEC: `(source column,
+    * transform)` pairs where transform is one of `identity`,
+    * `bucket[N]`, `truncate[W]`, `year`, `month`, `day`, `hour` (spec
+    * "Partition Transforms"). Non-identity transforms derive a
+    * partition column (named `<col>_bucket`, `<col>_trunc`, `<col>_day`
+    * … — Iceberg's conventional names) via native codegen'd
+    * expressions; the SOURCE column stays physically present in the
+    * data files, so reads never need value re-injection and
+    * [[IcebergTable.readPruned]] can prune on the manifest tuple by
+    * evaluating the same transform over the predicate. At 100 TB this
+    * is the layout lever: `bucket[N]` bounds each partition under
+    * skew, `day`/`month` align file boundaries with time predicates. */
+  def createPartitioned(spark: SparkSession, tableDir: String,
+      df: DataFrame, spec: Seq[(String, String)]): Unit = {
     val dir = new File(tableDir)
     require(!new File(dir, "metadata").exists(),
       s"$tableDir already has an Iceberg metadata dir")
-    partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
-      s"partition column $c not in schema"))
+    spec.foreach { case (c, _) =>
+      require(df.schema.fieldNames.contains(c),
+        s"partition source column $c not in schema")
+    }
+    val fields = spec.map { case (c, t) =>
+      IcebergPartField(derivedName(c, t), t,
+        df.schema.fieldIndex(c) + 1)
+    }
     commit(spark, dir, df.schema, prior = Nil, parent = None,
       newData = Some(df), tombstones = None, operation = "append",
-      partitionBy = partitionBy)
+      partitionSpec = fields)
   }
+
+  /** Iceberg's conventional derived-field names per transform. */
+  private def derivedName(col: String, transform: String): String =
+    transform match {
+      case "identity" => col
+      case t if t.startsWith("bucket[") => s"${col}_bucket"
+      case t if t.startsWith("truncate[") => s"${col}_trunc"
+      case "year" | "month" | "day" | "hour" => s"${col}_$transform"
+      case other => sys.error(s"unknown partition transform: $other")
+    }
 
   /** Append `df` as a new snapshot. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame): Unit = {
@@ -122,8 +155,52 @@ object IcebergWriter {
       schemaId = md.currentSchemaId + 1)
   }
 
-  private def identityCols(md: IcebergMetadata): Seq[String] =
-    md.partitionFields.filter(_._2 == "identity").map(_._1)
+  /** The physical partition column for one spec field: identity
+    * partitions directly on the source column; every other transform
+    * derives `(name, expression)` via [[graft.functions.IcebergBucket]]
+    * (codegen'd murmur3 per the spec's Appendix B) or builtin column
+    * arithmetic. Sources resolve by id through the writer's top-level-
+    * first id assignment (schemaJson). */
+  private def partitionColumn(pf: IcebergPartField,
+      schema: StructType): (String, Option[Column]) = {
+    import org.apache.spark.sql.functions._
+    val srcField = schema.fields(pf.sourceId - 1)
+    val src = col(srcField.name)
+    def days = datediff(src.cast(DateType), lit("1970-01-01").cast(DateType))
+    def asLongExpr: Column = srcField.dataType match {
+      case IntegerType | LongType => src
+      case DateType => days
+      case TimestampType | TimestampNTZType => unix_micros(src)
+      case StringType => src
+      case other => sys.error(s"bucket over unsupported type $other " +
+        s"(column ${srcField.name})")
+    }
+    val bucketN = "bucket\\[(\\d+)\\]".r
+    val truncW = "truncate\\[(\\d+)\\]".r
+    pf.transform match {
+      case "identity" => (srcField.name, None)
+      case bucketN(n) =>
+        (pf.name, Some(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.IcebergBucket(
+            org.apache.spark.sql.GraftBridge.expression(asLongExpr),
+            n.toInt))))
+      case truncW(w) => srcField.dataType match {
+        case IntegerType | LongType =>
+          (pf.name, Some(src - pmod(src, lit(w.toInt))))
+        case StringType =>
+          (pf.name, Some(substring(src, 1, w.toInt)))
+        case other => sys.error(s"truncate over unsupported type $other")
+      }
+      case "year" => (pf.name, Some(year(src.cast(DateType)) - lit(1970)))
+      case "month" => (pf.name, Some(
+        (year(src.cast(DateType)) - lit(1970)) * lit(12) +
+          month(src.cast(DateType)) - lit(1)))
+      case "day" => (pf.name, Some(days))
+      case "hour" => (pf.name, Some(
+        floor(unix_micros(src) / lit(3600000000L)).cast(IntegerType)))
+      case other => sys.error(s"unknown partition transform: $other")
+    }
+  }
 
   /** Delete every live row matching `cond` via positional tombstones;
     * returns the number of rows deleted (0 = no new snapshot). */
@@ -241,7 +318,7 @@ object IcebergWriter {
       md.lastSequenceNumber, md.currentSnapshotId.getOrElse(
         kept.last.snapshotId), md.lastUpdatedMs,
       keptSnapshots = kept.map(snapshotJson(m, _)), md.properties,
-      partitionBy = identityCols(md), schemaId = md.currentSchemaId)
+      partitionBy = md.specFields, schemaId = md.currentSchemaId)
     val version = currentVersion(mdir) + 1
     java.nio.file.Files.writeString(
       new File(mdir, s"v$version.metadata.json").toPath, doc)
@@ -362,14 +439,14 @@ object IcebergWriter {
       newData: Option[DataFrame], tombstones: Option[DataFrame],
       operation: String,
       newProps: Map[String, String] = Map.empty,
-      partitionBy: Seq[String] = Nil,
+      partitionSpec: Seq[IcebergPartField] = Nil,
       schemaId: Int = -1): Unit = {
     val md = if (parent.isDefined) Some(IcebergTable.loadMetadata(dir.getPath)) else None
     // the partition spec is a TABLE property: every commit — including
     // tombstone-only deletes that write no data files — must carry it
     // forward into the new metadata version, or the next writer sees an
     // unpartitioned table (caught by the partitioned-lifecycle spec)
-    val spec = md.map(identityCols).getOrElse(partitionBy)
+    val spec = md.map(_.specFields).getOrElse(partitionSpec)
     val seq = md.map(_.lastSequenceNumber).getOrElse(0L) + 1
     val snapId = seq // deterministic history: snapshot id = seq number
     val commitId = UUID.randomUUID().toString.take(8)
@@ -388,11 +465,20 @@ object IcebergWriter {
           val Array(k, v) = seg.split("=", 2)
           k -> java.net.URLDecoder.decode(v, "UTF-8")
         }.toMap
-    def writeFiles(df: DataFrame, sub: String,
-        parts: Seq[String]): Seq[(String, Map[String, String])] = {
+    def writeFiles(df0: DataFrame, sub: String,
+        parts: Seq[IcebergPartField]): Seq[(String, Map[String, String])] = {
+      // derive non-identity partition columns; Spark's partitionBy
+      // moves ONLY the (derived) partition column into the dir layout,
+      // so transform sources stay physically present in the files
+      var df = df0
+      val partCols = parts.map { pf =>
+        val (name, expr) = partitionColumn(pf, schema)
+        expr.foreach(e => df = df.withColumn(name, e))
+        name
+      }
       val out = new File(dir, s"data/$sub-$commitId")
-      if (parts.isEmpty) df.write.parquet(out.getPath)
-      else df.write.partitionBy(parts: _*).parquet(out.getPath)
+      if (partCols.isEmpty) df.write.parquet(out.getPath)
+      else df.write.partitionBy(partCols: _*).parquet(out.getPath)
       leaves(out).map(f => (f.getAbsolutePath, tupleOf(out, f)))
         .sortBy(_._1)
     }
@@ -465,10 +551,13 @@ object IcebergWriter {
       |{"name":"min_sequence_number","type":"long"},
       |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
 
-  // partition_values deviates from the spec's typed r102 struct: the
-  // tuple is stored as the string forms Spark wrote into the hive-style
-  // path (this offline writer/reader pair is the consumer; the reader
-  // re-types values against the table schema on injection)
+  // partition_values / *_bounds / null_value_counts deviate from the
+  // spec's typed layouts (r102 struct; field-id -> single-value-
+  // serialized binary maps): tuples and bounds are stored as STRING
+  // forms keyed by COLUMN NAME (this offline writer/reader pair is the
+  // consumer; the reader re-types values against the table schema —
+  // IcebergTable.partitionTuple also accepts the spec's r102 struct
+  // from foreign manifests)
   private val manifestSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
@@ -482,6 +571,12 @@ object IcebergWriter {
       |{"name":"record_count","type":"long"},
       |{"name":"file_size_in_bytes","type":"long"},
       |{"name":"partition_values","type":["null",{"type":"map","values":"string"}],
+      |"default":null},
+      |{"name":"lower_bounds","type":["null",{"type":"map","values":"string"}],
+      |"default":null},
+      |{"name":"upper_bounds","type":["null",{"type":"map","values":"string"}],
+      |"default":null},
+      |{"name":"null_value_counts","type":["null",{"type":"map","values":"long"}],
       |"default":null}]}}]}""".stripMargin)
 
   private def writeManifest(path: File,
@@ -489,16 +584,23 @@ object IcebergWriter {
     val dfSchema = manifestSchema.getField("data_file").schema()
     val rows = files.map { case (f, pv) =>
       val d = new GenericData.Record(dfSchema)
+      val stats = parquetStats(f, withBounds = content == 0)
       d.put("content", content)
       d.put("file_path", f)
       d.put("file_format", "PARQUET")
-      d.put("record_count", parquetRowCount(f))
+      d.put("record_count", stats.rows)
       d.put("file_size_in_bytes", new File(f).length())
-      if (pv.nonEmpty) {
-        val m = new java.util.HashMap[String, String]()
-        pv.foreach { case (k, v) => m.put(k, v) }
-        d.put("partition_values", m)
+      def toJMap[V](m: Map[String, V]): java.util.Map[String, V] = {
+        val jm = new java.util.HashMap[String, V]()
+        m.foreach { case (k, v) => jm.put(k, v) }
+        jm
       }
+      if (pv.nonEmpty) d.put("partition_values", toJMap(pv))
+      if (stats.lower.nonEmpty) d.put("lower_bounds", toJMap(stats.lower))
+      if (stats.upper.nonEmpty) d.put("upper_bounds", toJMap(stats.upper))
+      if (stats.nullCounts.nonEmpty)
+        d.put("null_value_counts",
+          toJMap(stats.nullCounts.map { case (k, v) => k -> Long.box(v) }))
       val r = new GenericData.Record(manifestSchema)
       r.put("status", 1) // ADDED; sequence_number null => inherited
       r.put("data_file", d)
@@ -523,14 +625,121 @@ object IcebergWriter {
     writeAvro(path, manifestListSchema, rows)
   }
 
-  /** Footer-only row count (the spec's required data-file stat) — a
-    * few KB of metadata read per file, never the data pages. */
-  private def parquetRowCount(path: String): Long = {
+  private final case class FileStats(rows: Long,
+      lower: Map[String, String], upper: Map[String, String],
+      nullCounts: Map[String, Long])
+
+  /** Footer-only stats (the spec's data-file stats: `record_count`,
+    * per-column `lower_bounds`/`upper_bounds`/`null_value_counts`) — a
+    * few KB of metadata read per file, never the data pages. Parquet
+    * already computed min/max/nulls per row group at write time; this
+    * merges row groups and renders the values to the canonical string
+    * forms [[IcebergTable.pruneEntries]] compares against (top-level
+    * primitive columns only — nested paths carry no bounds). Parquet's
+    * own binary truncation only ever WIDENS a [min, max] interval, so
+    * pruning on these bounds stays conservative. At 100 TB these
+    * bounds are the difference between scanning a partition and
+    * scanning the files a predicate can actually touch. */
+  private def parquetStats(path: String,
+      withBounds: Boolean): FileStats = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(path),
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val rows = r.getRecordCount
+      if (!withBounds) return FileStats(rows, Map.empty, Map.empty, Map.empty)
+      val lower = scala.collection.mutable.Map[String, String]()
+      val upper = scala.collection.mutable.Map[String, String]()
+      val nulls = scala.collection.mutable.Map[String, Long]()
+      // merge row-group statistics per top-level primitive column; a
+      // column's bounds only stand if EVERY row group carried stats
+      // (a gap means uncovered rows — pruning on partial bounds would
+      // be wrong, so the column is dropped from the maps entirely)
+      val nBlocks = r.getFooter.getBlocks.size()
+      val seen = scala.collection.mutable.Map[String, Int]()
+      val merged = scala.collection.mutable.Map[String,
+        org.apache.parquet.column.statistics.Statistics[_]]()
+      r.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { c =>
+          if (c.getPath.size() == 1) {
+            val name = c.getPath.toDotString
+            val st = c.getStatistics
+            if (st != null && !st.isEmpty) {
+              seen(name) = seen.getOrElse(name, 0) + 1
+              merged.get(name) match {
+                case Some(acc) =>
+                  // Statistics is generically self-typed in Java; the
+                  // Nothing cast satisfies Scala's view of the raw
+                  // `mergeStatistics(Statistics)` signature — both
+                  // sides come from the same column, so types agree
+                  acc.asInstanceOf[org.apache.parquet.column.statistics
+                    .Statistics[Nothing]].mergeStatistics(
+                    st.asInstanceOf[org.apache.parquet.column.statistics
+                      .Statistics[Nothing]])
+                case None => merged(name) = st.copy()
+              }
+            }
+          }
+        }
+      }
+      val complete = seen.filter(_._2 == nBlocks).keySet
+      merged.foreach { case (name, st) =>
+        if (complete(name) && st.isNumNullsSet)
+          nulls(name) = st.getNumNulls
+        if (complete(name) && st.hasNonNullValue) {
+          val pt = st.`type`()
+          val logical = pt.getLogicalTypeAnnotation
+          def render(v: Any): Option[String] = (pt.getPrimitiveTypeName, v) match {
+            case (INT32, i: Integer) => logical match {
+              case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+                Some(java.time.LocalDate.ofEpochDay(i.longValue()).toString)
+              case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                Some(java.math.BigDecimal.valueOf(i.longValue(), d.getScale).toPlainString)
+              case _ => Some(i.toString)
+            }
+            case (INT64, l: java.lang.Long) => logical match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                val us = t.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => l * 1000L
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => l.longValue()
+                  case LogicalTypeAnnotation.TimeUnit.NANOS => l / 1000L
+                }
+                val secs = Math.floorDiv(us, 1000000L)
+                val nanos = Math.floorMod(us, 1000000L) * 1000L
+                Some(java.time.LocalDateTime.ofEpochSecond(secs,
+                  nanos.toInt, java.time.ZoneOffset.UTC)
+                  .format(java.time.format.DateTimeFormatter
+                    .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS")))
+              case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                Some(java.math.BigDecimal.valueOf(l, d.getScale).toPlainString)
+              case _ => Some(l.toString)
+            }
+            case (FLOAT, f: java.lang.Float) => Some(f.toString)
+            case (DOUBLE, d: java.lang.Double) => Some(d.toString)
+            case (BOOLEAN, b: java.lang.Boolean) => Some(b.toString)
+            case (BINARY | FIXED_LEN_BYTE_ARRAY,
+                b: org.apache.parquet.io.api.Binary) => logical match {
+              case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+                Some(b.toStringUsingUTF8)
+              case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                Some(new java.math.BigDecimal(
+                  new java.math.BigInteger(b.getBytes), d.getScale)
+                  .toPlainString)
+              case _ => None // raw binary: no orderable bound
+            }
+            case _ => None
+          }
+          for {
+            lo <- render(st.genericGetMin())
+            hi <- render(st.genericGetMax())
+          } { lower(name) = lo; upper(name) = hi }
+        }
+      }
+      FileStats(rows, lower.toMap, upper.toMap, nulls.toMap)
+    } finally r.close()
   }
 
   private def writeAvro(path: File, schema: Schema,
@@ -547,7 +756,7 @@ object IcebergWriter {
       seq: Long, currentSnapId: Long, tsMs: Long,
       keptSnapshots: Seq[ObjectNode],
       properties: Map[String, String],
-      partitionBy: Seq[String] = Nil,
+      partitionBy: Seq[IcebergPartField] = Nil,
       schemaId: Int = 0): String = {
     val m = new ObjectMapper()
     val root = m.createObjectNode()
@@ -567,11 +776,11 @@ object IcebergWriter {
     val spec0 = m.createObjectNode()
     spec0.put("spec-id", 0)
     val specFields = spec0.putArray("fields")
-    partitionBy.zipWithIndex.foreach { case (c, i) =>
+    partitionBy.zipWithIndex.foreach { case (pf, i) =>
       val f = m.createObjectNode()
-      f.put("name", c)
-      f.put("transform", "identity")
-      f.put("source-id", schema.fieldIndex(c) + 1)
+      f.put("name", pf.name)
+      f.put("transform", pf.transform)
+      f.put("source-id", pf.sourceId)
       f.put("field-id", 1000 + i)
       specFields.add(f)
     }

@@ -221,6 +221,55 @@ object MaterializeQueries {
           sum(col("price")).cast(DoubleType).as("total"))
     }),
 
+    // Manifest COLUMN BOUNDS pruning: files land range-partitioned on
+    // o_orderdate, so each file's manifest-recorded
+    // lower_bounds/upper_bounds interval is tight; readPruned opens
+    // only the files a `>= 1998-01-01` predicate can touch (the
+    // metadata-only skip channel every Iceberg engine plans with — at
+    // 100 TB this is the difference between scanning a table and
+    // scanning a week), then re-applies the predicate row-level, so
+    // the aggregate is oracle-exact regardless of sampling boundaries.
+    "m_iceberg_pruned_bounds" -> ((s, dir) => {
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_iceb").toFile.getPath
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        .repartitionByRange(8, col("o_orderdate"))
+      IcebergWriter.create(s, tdir, o)
+      IcebergTable.readPruned(s, tdir, Seq(IcebergTable.ScanPred(
+          "o_orderdate", ">=", "1998-01-01 00:00:00")))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast(DoubleType).as("total"))
+    }),
+
+    // Non-identity partition TRANSFORMS end-to-end: bucket[4] on the
+    // key (spec murmur3) + year on the date derive the layout at
+    // write; readPruned evaluates the same transforms over the
+    // predicate and skips every year partition before the range — the
+    // tuple, not data, decides which files open, and the mid-year
+    // boundary shows the row-level residual staying exact. The input
+    // is range-laid on the date so each write task touches few
+    // partition dirs (a thousand-tiny-file layout is a write
+    // anti-pattern at ANY scale — year × bucket keeps it bounded).
+    "m_iceberg_transforms" -> ((s, dir) => {
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_icet").toFile.getPath
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        .repartitionByRange(4, col("o_orderdate"))
+      IcebergWriter.createPartitioned(s, tdir, o,
+        Seq(("o_orderkey", "bucket[4]"), ("o_orderdate", "year")))
+      IcebergTable.readPruned(s, tdir, Seq(IcebergTable.ScanPred(
+          "o_orderdate", ">=", "1999-07-01 00:00:00")))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast(DoubleType).as("total"))
+    }),
+
     // Partitioned create + manifest-level file pruning: only the F
     // partition's files are opened (readWhere consults manifests, not
     // data); the injected partition column aggregates oracle-exact
@@ -363,6 +412,20 @@ object MaterializeQueries {
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total
-        |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1""".stripMargin
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1""".stripMargin,
+
+    "m_iceberg_pruned_bounds" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "m_iceberg_transforms" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1999-07-01'
+        |GROUP BY 1""".stripMargin
   )
 }

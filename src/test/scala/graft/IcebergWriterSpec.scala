@@ -190,6 +190,129 @@ class IcebergWriterSpec extends AnyFunSuite {
       spark, dir, Seq((4L, 1.0)).toDF("id", "score")))
   }
 
+  test("iceberg bucket hashes match the spec's Appendix B vectors") {
+    import graft.functions.IcebergTransforms._
+    // https://iceberg.apache.org/spec/#appendix-b-32-bit-hash-requirements
+    assert(hashLong(34L) == 2017239379) // int and long 34 agree
+    assert(murmur3("iceberg".getBytes("UTF-8")) == 1210000089)
+    assert(hashLong(17486L) == -653330422) // date 2017-11-16
+    assert(hashLong(81068000000L) == -662762989) // time 22:31:08
+    assert(hashLong(1510871468000000L) == -2047944441) // ts 2017-11-16T22:31:08
+    // decimal 14.20: minimal two's-complement of unscaled 1420
+    assert(murmur3(java.math.BigInteger.valueOf(1420).toByteArray)
+      == -500754589)
+  }
+
+  test("non-identity transforms: bucket + day partition, prune, round-trip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_icetrans").toFile.getPath
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (34L, ts("2017-11-16 22:31:08"), "a"),
+      (35L, ts("2017-11-16 09:00:00"), "b"),
+      (36L, ts("2017-11-17 10:00:00"), "c"),
+      (99L, ts("2017-11-18 11:00:00"), "d"))
+      .toDF("id", "ts", "name")
+    IcebergWriter.createPartitioned(spark, dir, df,
+      Seq(("id", "bucket[4]"), ("ts", "day")))
+    // full read: sources stay physically present, nothing re-injected
+    assert(ids(dir) == Seq(34L, 35L, 36L, 99L))
+    val md = IcebergTable.loadMetadata(dir)
+    assert(md.partitionFields ==
+      Seq(("id_bucket", "bucket[4]"), ("ts_day", "day")))
+    val entries = IcebergTable.snapshotFiles(md,
+      md.currentSnapshot.get, dir).filter(_.content == 0)
+    // every file carries BOTH transform values in its tuple, and the
+    // bucket value matches the spec hash of the file's ids
+    assert(entries.forall(e => e.partitionValues.contains("id_bucket")
+      && e.partitionValues.contains("ts_day")))
+    // day 2017-11-16 is epoch day 17486
+    assert(entries.exists(_.partitionValues("ts_day") == "17486"))
+
+    // bucket pruning on equality: only files whose bucket matches open
+    val eq34 = IcebergTable.pruneEntries(md, entries,
+      Seq(IcebergTable.ScanPred("id", "=", "34")))
+    assert(eq34.size < entries.size)
+    assert(eq34.forall(_.partitionValues("id_bucket") ==
+      graft.functions.IcebergTransforms.bucketLong(34L, 4).toString))
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("id", "=", "34")))
+      .select("name").collect().map(_.getString(0)).toSeq == Seq("a"))
+
+    // day pruning on a range: the 11-18 file alone satisfies ts >= 11-18
+    val late = IcebergTable.pruneEntries(md, entries,
+      Seq(IcebergTable.ScanPred("ts", ">=", "2017-11-18 00:00:00")))
+    assert(late.nonEmpty && late.size < entries.size)
+    assert(late.forall(_.partitionValues("ts_day").toLong >= 17488L))
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("ts", ">=", "2017-11-18 00:00:00")))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(99L))
+
+    // appends carry the spec forward: new files land transformed
+    IcebergWriter.append(spark, dir,
+      Seq((100L, ts("2017-11-19 08:00:00"), "e")).toDF("id", "ts", "name"))
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("ts", ">=", "2017-11-19 00:00:00")))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(100L))
+
+    // month + truncate on a second table
+    val dir2 = Files.createTempDirectory("graft_icetrans2").toFile.getPath
+    IcebergWriter.createPartitioned(spark, dir2,
+      Seq((7L, "alpha"), (23L, "beta"), (107L, "alpaca"))
+        .toDF("id", "name"),
+      Seq(("id", "truncate[100]"), ("name", "truncate[3]")))
+    val md2 = IcebergTable.loadMetadata(dir2)
+    val e2 = IcebergTable.snapshotFiles(md2,
+      md2.currentSnapshot.get, dir2).filter(_.content == 0)
+    // trunc(7)=0, trunc(23)=0, trunc(107)=100; prefixes alp/bet
+    val t100 = IcebergTable.pruneEntries(md2, e2,
+      Seq(IcebergTable.ScanPred("id", ">=", "100")))
+    assert(t100.forall(_.partitionValues("id_trunc") == "100"))
+    assert(IcebergTable.readPruned(spark, dir2,
+      Seq(IcebergTable.ScanPred("name", "=", "alpha")))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("manifest column bounds prune files; results stay exact") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_icebounds").toFile.getPath
+    val df = spark.range(0, 1000)
+      .select(col("id"), (col("id") * 2).as("v"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("k"),
+          org.apache.spark.sql.functions.lpad(col("id").cast("string"),
+            4, "0")).as("key"))
+      .repartitionByRange(4, col("id"))
+    IcebergWriter.create(spark, dir, df)
+    val md = IcebergTable.loadMetadata(dir)
+    val entries = IcebergTable.snapshotFiles(md,
+      md.currentSnapshot.get, dir).filter(_.content == 0)
+    assert(entries.size > 1)
+    // every file carries bounds for all three columns
+    assert(entries.forall(e => Seq("id", "v", "key").forall(c =>
+      e.lowerBounds.contains(c) && e.upperBounds.contains(c))))
+    assert(entries.forall(_.nullCounts.get("id").contains(0L)))
+    // a selective range prunes most files…
+    val kept = IcebergTable.pruneEntries(md, entries,
+      Seq(IcebergTable.ScanPred("id", ">=", "900")))
+    assert(kept.size < entries.size)
+    // …and the result is EXACT (the predicate re-applies row-level)
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("id", ">=", "900"))).count() == 100)
+    // string bounds prune equality probes too
+    val k1 = IcebergTable.pruneEntries(md, entries,
+      Seq(IcebergTable.ScanPred("key", "=", "k0005")))
+    assert(k1.size < entries.size)
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("key", "=", "k0005"))).count() == 1)
+    // a bounds-excluded probe opens NOTHING
+    assert(IcebergTable.pruneEntries(md, entries,
+      Seq(IcebergTable.ScanPred("id", ">", "99999"))).isEmpty)
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("id", ">", "99999"))).count() == 0)
+  }
+
   test("schema round-trips through iceberg JSON including nested types") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_icewrite2").toFile.getPath
