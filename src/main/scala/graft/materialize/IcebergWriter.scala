@@ -434,6 +434,16 @@ object IcebergWriter {
   /** Write one snapshot: data files and/or a positional-delete file,
     * their manifests, the manifest list (prior manifests carried
     * forward verbatim), and the next `v<N>.metadata.json` + hint. */
+  /** Per-table commit locks (canonical path → monitor): commits from
+    * ONE driver JVM — the Spark deployment model — fully serialize,
+    * so concurrent appends refresh onto each other instead of clobber.
+    * Cross-PROCESS writers are backstopped by the atomic version-file
+    * claim below (`Files.createFile` is atomic on POSIX): a lost race
+    * surfaces as a retry (appends) or a loud conflict error, never a
+    * silently overwritten metadata version. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def commit(spark: SparkSession, dir: File, schema: StructType,
       prior: Seq[ManifestRef], parent: Option[IcebergSnapshot],
       newData: Option[DataFrame], tombstones: Option[DataFrame],
@@ -441,14 +451,13 @@ object IcebergWriter {
       newProps: Map[String, String] = Map.empty,
       partitionSpec: Seq[IcebergPartField] = Nil,
       schemaId: Int = -1): Unit = {
-    val md = if (parent.isDefined) Some(IcebergTable.loadMetadata(dir.getPath)) else None
+    val md0 = if (parent.isDefined) Some(IcebergTable.loadMetadata(dir.getPath)) else None
     // the partition spec is a TABLE property: every commit — including
     // tombstone-only deletes that write no data files — must carry it
     // forward into the new metadata version, or the next writer sees an
-    // unpartitioned table (caught by the partitioned-lifecycle spec)
-    val spec = md.map(_.specFields).getOrElse(partitionSpec)
-    val seq = md.map(_.lastSequenceNumber).getOrElse(0L) + 1
-    val snapId = seq // deterministic history: snapshot id = seq number
+    // unpartitioned table (caught by the partitioned-lifecycle spec).
+    // Specs never change after create, so the pre-lock read is stable.
+    val spec = md0.map(_.specFields).getOrElse(partitionSpec)
     val commitId = UUID.randomUUID().toString.take(8)
     val base = dir.getAbsolutePath
     val mdir = new File(dir, "metadata"); mdir.mkdirs()
@@ -482,55 +491,130 @@ object IcebergWriter {
       leaves(out).map(f => (f.getAbsolutePath, tupleOf(out, f)))
         .sortBy(_._1)
     }
-    var refs = prior
-    newData.foreach { df =>
-      val files = writeFiles(df, s"snap-$snapId", spec)
-      val m = new File(mdir, s"manifest-$snapId-$commitId-d.avro")
-      writeManifest(m, files, content = 0)
-      refs :+= ManifestRef(m.getAbsolutePath, 0, seq)
-    }
-    tombstones.foreach { t =>
+    // the heavy DISTRIBUTED work happens outside the commit critical
+    // section — data/tombstone parquet is keyed by commitId, so a
+    // refreshed sequence number never invalidates the written bytes
+    val dataFiles = newData.map(writeFiles(_, "snap", spec))
+    val tombFiles = tombstones.map { t =>
       // tombstone paths are table-relative strings; store them
       // re-anchored at the table location like every writer does
       import org.apache.spark.sql.functions._
       val abs = t.select(
         concat(lit(base + "/"), col("file_path")).as("file_path"),
         col("pos"))
-      val files = writeFiles(abs, s"del-$snapId", Nil)
-      val m = new File(mdir, s"manifest-$snapId-$commitId-t.avro")
-      writeManifest(m, files, content = 1)
-      refs :+= ManifestRef(m.getAbsolutePath, 1, seq)
+      writeFiles(abs, "del", Nil)
     }
-    val mlist = new File(mdir, s"snap-$snapId-$commitId.avro")
-    writeManifestList(mlist, refs)
-    val tsMs = math.max(System.currentTimeMillis(),
-      parent.map(_.timestampMs + 1).getOrElse(0L))
-    val version = md.map(_ => currentVersion(mdir) + 1).getOrElse(1)
-    val jm = new ObjectMapper()
-    val sn = jm.createObjectNode()
-    sn.put("snapshot-id", snapId)
-    parent.foreach(p => sn.put("parent-snapshot-id", p.snapshotId))
-    sn.put("sequence-number", seq)
-    sn.put("timestamp-ms", tsMs)
-    sn.put("manifest-list", mlist.getAbsolutePath)
-    sn.putObject("summary").put("operation", operation)
-    val allSnaps = md.map(_.snapshots).getOrElse(Nil)
-      .map(snapshotJson(jm, _)) :+ sn
-    val props = md.map(_.properties).getOrElse(Map.empty) ++ newProps
-    val sid =
-      if (schemaId >= 0) schemaId
-      else md.map(_.currentSchemaId).getOrElse(0)
-    // a RELOCATED table keeps its original `location` — prior
-    // snapshots' absolute manifest paths re-anchor through it
-    // (IcebergTable.resolve); new files written under `base` are
-    // absolute and resolve as themselves
-    val doc = metadataJson(
-      md.map(_.location).filter(_.nonEmpty).getOrElse(base),
-      schema, seq, snapId, tsMs, allSnaps, props, spec, sid)
-    java.nio.file.Files.writeString(
-      new File(mdir, s"v$version.metadata.json").toPath, doc)
-    java.nio.file.Files.writeString(
-      new File(mdir, "version-hint.text").toPath, version.toString)
+    // append-only commits can REFRESH onto a concurrent commit and
+    // retry (their inputs don't depend on the parent snapshot's
+    // contents); anything computed AGAINST a snapshot — tombstones,
+    // replace/compact's live set, schema evolution — must fail loudly
+    // on conflict, exactly like Iceberg's non-retryable validation
+    val retryable = tombstones.isEmpty && operation == "append" &&
+      schemaId < 0
+    val lock = commitLocks.computeIfAbsent(dir.getCanonicalPath,
+      _ => new Object)
+    lock.synchronized {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        val mdNow =
+          if (parent.isDefined) Some(IcebergTable.loadMetadata(dir.getPath))
+          else None
+        val conflicted =
+          mdNow.flatMap(_.currentSnapshotId) != parent.map(_.snapshotId)
+        if (conflicted || attempts > 0)
+          require(retryable, s"iceberg: concurrent commit detected on " +
+            s"$base (current snapshot moved past " +
+            s"${parent.map(_.snapshotId)}); this $operation was computed " +
+            "against a stale snapshot — re-run it")
+        if (conflicted)
+          // a refresh must not resurrect a stale schema: a concurrent
+          // schema evolution makes this append non-retryable too
+          require(mdNow.get.schema.map(f => (f.name, f.dataType)) ==
+            md0.get.schema.map(f => (f.name, f.dataType)),
+            s"iceberg: concurrent schema change on $base — re-run")
+        val effParent = if (conflicted) mdNow.flatMap(_.currentSnapshot)
+          else parent
+        val effPrior = if (conflicted) listRefs(mdNow.get, dir.getPath)
+          else prior
+        val seq = mdNow.map(_.lastSequenceNumber).getOrElse(0L) + 1
+        val snapId = seq // deterministic history: snapshot id = seq
+        var refs = effPrior
+        dataFiles.foreach { files =>
+          val m = new File(mdir, s"manifest-$snapId-$commitId-d.avro")
+          writeManifest(m, files, content = 0)
+          refs :+= ManifestRef(m.getAbsolutePath, 0, seq)
+        }
+        tombFiles.foreach { files =>
+          val m = new File(mdir, s"manifest-$snapId-$commitId-t.avro")
+          writeManifest(m, files, content = 1)
+          refs :+= ManifestRef(m.getAbsolutePath, 1, seq)
+        }
+        val mlist = new File(mdir, s"snap-$snapId-$commitId.avro")
+        writeManifestList(mlist, refs)
+        val tsMs = math.max(System.currentTimeMillis(),
+          effParent.map(_.timestampMs + 1).getOrElse(0L))
+        val jm = new ObjectMapper()
+        val sn = jm.createObjectNode()
+        sn.put("snapshot-id", snapId)
+        effParent.foreach(p => sn.put("parent-snapshot-id", p.snapshotId))
+        sn.put("sequence-number", seq)
+        sn.put("timestamp-ms", tsMs)
+        sn.put("manifest-list", mlist.getAbsolutePath)
+        sn.putObject("summary").put("operation", operation)
+        val allSnaps = mdNow.map(_.snapshots).getOrElse(Nil)
+          .map(snapshotJson(jm, _)) :+ sn
+        val props = mdNow.map(_.properties).getOrElse(Map.empty) ++ newProps
+        val sid =
+          if (schemaId >= 0) schemaId
+          else mdNow.map(_.currentSchemaId).getOrElse(0)
+        // a RELOCATED table keeps its original `location` — prior
+        // snapshots' absolute manifest paths re-anchor through it
+        // (IcebergTable.resolve); new files written under `base` are
+        // absolute and resolve as themselves
+        val doc = metadataJson(
+          mdNow.map(_.location).filter(_.nonEmpty).getOrElse(base),
+          schema, seq, snapId, tsMs, allSnaps, props, spec, sid)
+        val version = mdNow.map(_ => currentVersion(mdir) + 1).getOrElse(1)
+        val vfile = new File(mdir, s"v$version.metadata.json")
+        try {
+          // ATOMIC claim: createFile fails if the version exists — a
+          // cross-process writer that raced us loses exactly one of
+          // the two claims, and the loser retries (append) or raises
+          java.nio.file.Files.createFile(vfile.toPath)
+          java.nio.file.Files.writeString(vfile.toPath, doc)
+          java.nio.file.Files.writeString(
+            new File(mdir, "version-hint.text").toPath, version.toString)
+          done = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            require(parent.isDefined, s"iceberg: concurrent CREATE on " +
+              s"$base — the table already has a metadata version")
+            attempts += 1
+            require(attempts < 20,
+              s"iceberg: gave up claiming a metadata version on $base " +
+                s"after $attempts conflicts")
+            // let the other process finish its hint write, then
+            // refresh from its committed state
+            Thread.sleep(25L * attempts)
+        }
+      }
+    }
+  }
+
+  /** The current snapshot's manifest-list rows for `md` (refresh path
+    * of a conflicted append). */
+  private def listRefs(md: IcebergMetadata,
+      tableDir: String): Seq[ManifestRef] = {
+    val snap = md.currentSnapshot.getOrElse(return Nil)
+    val lfile = localFile(snap.manifestList, md, tableDir)
+    val reader = DataFileReader.openReader(lfile,
+      new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.map { r =>
+      ManifestRef(r.get("manifest_path").toString,
+        r.get("content").toString.toInt,
+        r.get("sequence_number").toString.toLong)
+    }.toList finally reader.close()
   }
 
   private def currentVersion(mdir: File): Int =

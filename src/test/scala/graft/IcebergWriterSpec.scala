@@ -313,6 +313,52 @@ class IcebergWriterSpec extends AnyFunSuite {
       Seq(IcebergTable.ScanPred("id", ">", "99999"))).count() == 0)
   }
 
+  test("concurrent appends all land: refresh-and-retry, no lost update") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_icerace").toFile.getPath
+    IcebergWriter.create(spark, dir, Seq((0L, "seed")).toDF("id", "name"))
+    // 4 threads append disjoint rows; each loaded the same parent
+    // snapshot at entry — without refresh-under-lock the last commit
+    // would silently clobber the other three
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 4).foreach { i =>
+      pool.execute { () =>
+        try IcebergWriter.append(spark, dir,
+          Seq((i.toLong, s"w$i")).toDF("id", "name"))
+        catch { case t: Throwable => errs.add(t) }
+      }
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"append failed: ${Option(errs.peek())}")
+    assert(ids(dir) == Seq(0L, 1L, 2L, 3L, 4L))
+    val md = IcebergTable.loadMetadata(dir)
+    assert(md.snapshots.size == 5) // create + 4 appends, all present
+    assert(md.lastSequenceNumber == 5L)
+  }
+
+  test("a cross-process claimed metadata version is skipped, not clobbered") {
+    import spark.implicits._
+    val dirF = Files.createTempDirectory("graft_iceclaim").toFile
+    val dir = dirF.getPath
+    IcebergWriter.create(spark, dir, Seq((1L, "a")).toDF("id", "name"))
+    // simulate another PROCESS mid-commit: v2 exists on disk (claimed)
+    // but the hint still points at v1 — an append must claim v3, and
+    // the orphan claim must never be served as current metadata
+    val orphan = new java.io.File(dirF, "metadata/v2.metadata.json")
+    java.nio.file.Files.createFile(orphan.toPath)
+    IcebergWriter.append(spark, dir, Seq((2L, "b")).toDF("id", "name"))
+    assert(ids(dir) == Seq(1L, 2L))
+    assert(new java.io.File(dirF, "metadata/v3.metadata.json").isFile)
+    assert(java.nio.file.Files.readString(
+      new java.io.File(dirF, "metadata/version-hint.text").toPath)
+      .trim == "3")
+    // a concurrent CREATE against an existing table raises
+    intercept[IllegalArgumentException](IcebergWriter.create(spark, dir,
+      Seq((9L, "x")).toDF("id", "name")))
+  }
+
   test("schema round-trips through iceberg JSON including nested types") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_icewrite2").toFile.getPath
