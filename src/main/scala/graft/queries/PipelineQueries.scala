@@ -409,12 +409,18 @@ object PipelineQueries {
          |    x -> x::VARCHAR), ',') AS posting_sample
          |FROM td GROUP BY term""".stripMargin,
 
+    // fifth-decade discipline: the distinct-term expansion is inlined
+    // at BOTH use sites (single-use CTEs stream; a doubly-referenced
+    // ~billions-row CTE would materialize and spill) — identical
+    // result, same hash
     "t_pmi" ->
-      s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
-         |  FROM documents),
-         |dfq AS (SELECT term, count(*) AS c FROM dt GROUP BY term),
+      s"""WITH dfq AS (SELECT term, count(*) AS c FROM
+         |    (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
+         |     FROM documents) GROUP BY term),
          |topv AS (SELECT term, c FROM dfq ORDER BY c DESC, term LIMIT 50),
-         |ft AS (SELECT dt.doc_id, dt.term FROM dt JOIN topv USING (term)),
+         |ft AS (SELECT dt.doc_id, dt.term FROM
+         |    (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
+         |     FROM documents) dt JOIN topv USING (term)),
          |pr AS (SELECT a.term AS term_a, b.term AS term_b,
          |    count(*) AS co_docs
          |  FROM ft a JOIN ft b
@@ -455,6 +461,13 @@ object PipelineQueries {
          |      CAST(4.0 AS DOUBLE))) AS BIGINT) AS planned_tokens
          |FROM pd JOIN w ON pd.domain = w.domain""".stripMargin,
 
+    // fifth-decade discipline: the top-3-per-doc window
+    // (row_number PARTITION BY doc_id over the ~billions-row tf·idf
+    // expansion — a global sort at sf1000) is replaced by a grouped
+    // list sorted on (-wq, term): negating the weight turns the mixed
+    // (wq DESC, term ASC) order into one ascending lexicographic sort
+    // of a struct, and the 3-slice's ordinality IS kw_rank — identical
+    // rows, same hash
     "t_keywords" ->
       s"""WITH td AS (
          |  SELECT doc_id, term, count(*) AS tf FROM (
@@ -468,13 +481,15 @@ object PipelineQueries {
          |w AS (SELECT doc_id, td.term,
          |    CAST(round(tf * idf, 6) AS DECIMAL(18,6)) AS wq
          |  FROM td JOIN idf ON td.term = idf.term),
-         |r AS (SELECT doc_id, term, wq,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY wq DESC, term) AS kw_rank
-         |  FROM w)
-         |SELECT doc_id, term, CAST(wq AS DOUBLE) AS weight,
-         |  CAST(kw_rank AS INT) AS kw_rank
-         |FROM r WHERE kw_rank <= 3""".stripMargin,
+         |top3 AS (SELECT doc_id, list_slice(list_sort(
+         |    list(struct_pack(nwq := -wq, term := term))), 1, 3) AS l
+         |  FROM w GROUP BY doc_id)
+         |SELECT doc_id,
+         |  unnest(list_transform(l, x -> x.term)) AS term,
+         |  unnest(list_transform(l, x -> CAST(-x.nwq AS DOUBLE)))
+         |    AS weight,
+         |  CAST(unnest(generate_series(1, len(l))) AS INT) AS kw_rank
+         |FROM top3""".stripMargin,
 
     "p_pagerank" -> pagerankOracleSql,
 
