@@ -35,6 +35,18 @@ final case class IcebergSnapshot(
 final case class IcebergPartField(name: String, transform: String,
     sourceId: Int)
 
+/** Manifest-list `field_summary` (spec "Manifest Lists", field 507
+  * `partitions`): the range of one partition field's TRANSFORM values
+  * across every live file in a manifest. Bounds are canonical STRING
+  * forms (the same documented deviation as the writer's
+  * `partition_values` — the spec serializes single-value binary);
+  * `None` bounds mean "unknown here" and callers must keep the
+  * manifest. Lets a reader skip an entire manifest — thousands of file
+  * entries — without opening its avro, the second metadata tier of
+  * Iceberg scan planning at 100 TB. */
+final case class IcebergFieldSummary(containsNull: Boolean,
+    lower: Option[String], upper: Option[String])
+
 final case class IcebergMetadata(
     formatVersion: Int,
     tableUuid: String,

@@ -107,7 +107,7 @@ object IcebergTable {
     val md = loadMetadata(tableDir)
     val snap = md.currentSnapshot.getOrElse(
       sys.error(s"$tableDir has no current snapshot"))
-    val entries = snapshotFiles(md, snap, tableDir)
+    val entries = snapshotFiles(md, snap, tableDir, preds)
     val kept = pruneEntries(md, entries.filter(_.content == 0), preds)
     val df = assemble(spark, md, tableDir, kept,
       entries.filter(_.content == 1), entries.filter(_.content == 2))
@@ -281,8 +281,10 @@ object IcebergTable {
   }
 
   /** Typed three-way compare of two canonical string forms; None when
-    * either side fails to parse (callers keep the file). */
-  private def cmpTyped(dt: org.apache.spark.sql.types.DataType,
+    * either side fails to parse (callers keep the file). Shared with
+    * [[IcebergWriter]]'s manifest-list summary min/max so write-side
+    * ordering and read-side pruning can never disagree. */
+  private[materialize] def cmpTyped(dt: org.apache.spark.sql.types.DataType,
       a: String, b: String): Option[Int] = {
     import org.apache.spark.sql.types._
     def num = for {
@@ -525,21 +527,179 @@ object IcebergTable {
       upperBounds: Map[String, String] = Map.empty,
       nullCounts: Map[String, Long] = Map.empty)
 
+  /** One manifest-list row: path, sequence number, content kind
+    * (0=data, 1=deletes; absent reads as 0), and the spec's `partitions`
+    * field_summary array when present AND string-form (this writer's
+    * layout; foreign binary bounds parse to None — kept, never pruned). */
+  private[graft] final case class ManifestListRow(path: String,
+      seq: Long, content: Int,
+      summaries: Option[Seq[IcebergFieldSummary]])
+
+  /** The manifest-list rows of a snapshot — the metadata tier ABOVE the
+    * manifests, read without opening any manifest avro. */
+  private[graft] def manifestRows(md: IcebergMetadata,
+      snap: IcebergSnapshot, tableDir: String): Seq[ManifestListRow] = {
+    def longOf(r: GenericRecord, f: String): Option[Long] =
+      if (r.getSchema.getField(f) == null) None
+      else Option(r.get(f)).map(_.toString.toLong)
+    readAvro(resolve(snap.manifestList, md, tableDir)).map { r =>
+      ManifestListRow(r.get("manifest_path").toString,
+        longOf(r, "sequence_number").getOrElse(0L),
+        longOf(r, "content").map(_.toInt).getOrElse(0),
+        parseFieldSummaries(r))
+    }
+  }
+
+  /** `partitions` field_summary array of a manifest-list row, in spec
+    * field order. All-or-nothing: a bound that is not a string (the
+    * spec's single-value BINARY form, written by foreign engines) drops
+    * the whole array — callers treat None as "cannot prune here".
+    * Shared with [[IcebergWriter]]'s carry-forward so rewritten lists
+    * keep their summaries. */
+  private[materialize] def parseFieldSummaries(
+      r: GenericRecord): Option[Seq[IcebergFieldSummary]] = {
+    if (r.getSchema.getField("partitions") == null) return None
+    Option(r.get("partitions")).flatMap {
+      case c: java.util.Collection[_] =>
+        val parsed = c.asScala.toSeq.map {
+          case g: GenericRecord =>
+            def strOf(f: String): Option[Option[String]] =
+              if (g.getSchema.getField(f) == null) Some(None)
+              else Option(g.get(f)) match {
+                case None => Some(None)
+                case Some(s: CharSequence) => Some(Some(s.toString))
+                case Some(_) => None // binary (foreign) — unusable
+              }
+            for { lo <- strOf("lower_bound"); hi <- strOf("upper_bound") }
+              yield IcebergFieldSummary(
+                Option(g.get("contains_null"))
+                  .exists(_.toString.toBoolean), lo, hi)
+          case _ => None
+        }
+        if (parsed.forall(_.isDefined)) Some(parsed.map(_.get)) else None
+      case _ => None
+    }
+  }
+
+  /** Conservative manifest-level containment: false ONLY when the
+    * manifest-list summaries prove NO file in the manifest can hold a
+    * qualifying row. Delete manifests are never pruned (their rows
+    * apply to whatever data files remain); a null-carrying field, a
+    * missing bound, a summary/spec arity mismatch, or any parse
+    * uncertainty keeps the manifest. */
+  private[graft] def manifestMayMatch(md: IcebergMetadata,
+      row: ManifestListRow, preds: Seq[ScanPred]): Boolean = {
+    if (row.content != 0) return true
+    row.summaries match {
+      case Some(ss) if ss.size == md.specFields.size =>
+        preds.forall { p =>
+          md.schema.find(_.name == p.column).map(_.dataType).forall { dt =>
+            md.specFields.zip(ss).forall { case (sf, s) =>
+              md.partitionSource(sf) match {
+                case Some(src) if src == p.column =>
+                  s.containsNull || ((s.lower, s.upper) match {
+                    case (Some(lo), Some(hi)) =>
+                      transformRangeKeeps(sf.transform, dt, lo, hi, p)
+                    case _ => true
+                  })
+                case _ => true
+              }
+            }
+          }
+        }
+      case _ => true
+    }
+  }
+
+  /** Can ANY file whose transform values lie in `[lo, hi]` contain a
+    * row satisfying `p`? The range twin of [[transformKeeps]]: identity
+    * ranges compare directly; monotonic transforms map the predicate
+    * literal into transform units and range-compare; `bucket[N]` prunes
+    * equality when the literal's bucket falls outside the range
+    * (bucket values are unordered, but membership in [lo, hi] is still
+    * necessary). */
+  private def transformRangeKeeps(transform: String,
+      dt: org.apache.spark.sql.types.DataType, lo: String, hi: String,
+      p: ScanPred): Boolean = {
+    import org.apache.spark.sql.types._
+    val bucketN = "bucket\\[(\\d+)\\]".r
+    val truncW = "truncate\\[(\\d+)\\]".r
+    def longRange: Option[(Long, Long)] = for {
+      l <- scala.util.Try(lo.toLong).toOption
+      h <- scala.util.Try(hi.toLong).toOption
+    } yield (l, h)
+    def unitKeep(t: Long): Boolean = longRange.forall { case (l, h) =>
+      p.op match {
+        case "=" => l <= t && t <= h
+        case "<" | "<=" => l <= t // some unit value <= t exists
+        case ">" | ">=" => h >= t
+      }
+    }
+    transform match {
+      case "identity" =>
+        (cmpTyped(dt, p.value, lo), cmpTyped(dt, p.value, hi)) match {
+          case (Some(cl), Some(ch)) => p.op match {
+            case "=" => cl >= 0 && ch <= 0
+            case "<" => cl > 0 // some value < literal iff lo < literal
+            case "<=" => cl >= 0
+            case ">" => ch < 0 // some value > literal iff hi > literal
+            case ">=" => ch <= 0
+          }
+          case _ => true
+        }
+      case bucketN(n) =>
+        if (p.op != "=") true
+        else bucketOf(dt, p.value, n.toInt).forall(b =>
+          longRange.forall { case (l, h) => l <= b && b <= h })
+      case truncW(w) => dt match {
+        case IntegerType | LongType =>
+          scala.util.Try(p.value.toLong).toOption.forall { v =>
+            longRange.forall { case (l, h) =>
+              val width = w.toLong
+              p.op match {
+                case "=" =>
+                  val g = v - Math.floorMod(v, width); l <= g && g <= h
+                case "<" => l < v // a group l holds rows >= l
+                case "<=" => l <= v
+                case ">" => h + width - 1 > v // group h holds rows < h+w
+                case ">=" => h + width - 1 >= v
+              }
+            }
+          }
+        case StringType =>
+          if (p.op != "=") true
+          else { val pre = p.value.take(w.toInt); lo <= pre && pre <= hi }
+        case _ => true
+      }
+      case "year" | "month" | "day" | "hour" =>
+        temporalUnits(dt, p.value, transform).forall(unitKeep)
+      case _ => true
+    }
+  }
+
   /** Walk snapshot → manifest-list avro → manifest avros → live parquet
     * files. Sequence numbers follow the v2 inheritance rule: a manifest
     * entry with a null/absent `sequence_number` inherits the manifest's
     * own sequence number from the manifest-list row (the layout every
     * writer produces for ADDED entries); v1 tables have no sequence
     * numbers and read as 0 throughout, which is consistent because they
-    * cannot carry delete files either. */
+    * cannot carry delete files either.
+    *
+    * `preds` prune at the MANIFEST tier: a data manifest whose
+    * manifest-list partition summaries exclude the conjunction is never
+    * opened — at 100 TB a selective predicate over a partitioned table
+    * touches a few manifest avros instead of all of them. Exactness is
+    * unaffected (callers re-apply predicates row-level). */
   private[graft] def snapshotFiles(md: IcebergMetadata,
-      snap: IcebergSnapshot, tableDir: String): Seq[FileEntry] = {
+      snap: IcebergSnapshot, tableDir: String,
+      preds: Seq[ScanPred] = Nil): Seq[FileEntry] = {
     def longOf(r: GenericRecord, f: String): Option[Long] =
       if (r.getSchema.getField(f) == null) None
       else Option(r.get(f)).map(_.toString.toLong)
-    val manifests = readAvro(resolve(snap.manifestList, md, tableDir))
-      .map(r => (r.get("manifest_path").toString,
-        longOf(r, "sequence_number").getOrElse(0L)))
+    val rows = manifestRows(md, snap, tableDir)
+    val manifests = (if (preds.isEmpty) rows
+      else rows.filter(manifestMayMatch(md, _, preds)))
+      .map(r => (r.path, r.seq))
     val out = Seq.newBuilder[FileEntry]
     manifests.foreach { case (mp, mseq) =>
       readAvro(resolve(mp, md, tableDir)).foreach { entry =>

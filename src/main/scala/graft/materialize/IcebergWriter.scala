@@ -366,16 +366,25 @@ object IcebergWriter {
     val lfile = localFile(snap.manifestList, md, tableDir)
     val reader = DataFileReader.openReader(lfile,
       new GenericDatumReader[GenericRecord]())
-    val refs = try reader.iterator().asScala.map { r =>
-      ManifestRef(r.get("manifest_path").toString,
-        r.get("content").toString.toInt,
-        r.get("sequence_number").toString.toLong)
-    }.toList finally reader.close()
+    val refs = try reader.iterator().asScala.map(refOf).toList
+      finally reader.close()
     (md, refs)
   }
 
   private final case class ManifestRef(path: String, content: Int,
-      seq: Long)
+      seq: Long, summaries: Option[Seq[IcebergFieldSummary]] = None)
+
+  /** One manifest-list row → ManifestRef, keeping the row's partition
+    * field summaries so carried-forward manifests don't lose their
+    * manifest-level pruning metadata on rewrite. Foreign lists carry
+    * the spec's BINARY bounds — unusable in this string-form layout —
+    * so any non-string bound drops the whole summary (conservative:
+    * the reader keeps summary-less manifests). */
+  private def refOf(r: GenericRecord): ManifestRef =
+    ManifestRef(r.get("manifest_path").toString,
+      r.get("content").toString.toInt,
+      r.get("sequence_number").toString.toLong,
+      IcebergTable.parseFieldSummaries(r))
 
   /** Live rows with their (table-relative file path, row ordinal) —
     * the coordinates a positional tombstone names. */
@@ -543,7 +552,8 @@ object IcebergWriter {
         dataFiles.foreach { files =>
           val m = new File(mdir, s"manifest-$snapId-$commitId-d.avro")
           writeManifest(m, files, content = 0)
-          refs :+= ManifestRef(m.getAbsolutePath, 0, seq)
+          refs :+= ManifestRef(m.getAbsolutePath, 0, seq,
+            summariesOf(files, spec, schema))
         }
         tombFiles.foreach { files =>
           val m = new File(mdir, s"manifest-$snapId-$commitId-t.avro")
@@ -610,11 +620,8 @@ object IcebergWriter {
     val lfile = localFile(snap.manifestList, md, tableDir)
     val reader = DataFileReader.openReader(lfile,
       new GenericDatumReader[GenericRecord]())
-    try reader.iterator().asScala.map { r =>
-      ManifestRef(r.get("manifest_path").toString,
-        r.get("content").toString.toInt,
-        r.get("sequence_number").toString.toLong)
-    }.toList finally reader.close()
+    try reader.iterator().asScala.map(refOf).toList
+      finally reader.close()
   }
 
   private def currentVersion(mdir: File): Int =
@@ -625,6 +632,10 @@ object IcebergWriter {
 
   // -- avro structures ---------------------------------------------- //
 
+  // `partitions` is the spec's manifest-list field 507 (one
+  // field_summary per partition-spec field, in spec order); bounds are
+  // canonical STRING transform values — same documented deviation from
+  // the spec's single-value binary as partition_values below
   private val manifestListSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"},
@@ -633,7 +644,13 @@ object IcebergWriter {
       |{"name":"content","type":"int"},
       |{"name":"sequence_number","type":"long"},
       |{"name":"min_sequence_number","type":"long"},
-      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+      |{"name":"added_snapshot_id","type":"long"},
+      |{"name":"partitions","type":["null",{"type":"array","items":
+      |{"type":"record","name":"field_summary","fields":[
+      |{"name":"contains_null","type":"boolean"},
+      |{"name":"lower_bound","type":["null","string"],"default":null},
+      |{"name":"upper_bound","type":["null","string"],"default":null}
+      |]}}],"default":null}]}""".stripMargin)
 
   // partition_values / *_bounds / null_value_counts deviate from the
   // spec's typed layouts (r102 struct; field-id -> single-value-
@@ -704,9 +721,58 @@ object IcebergWriter {
       r.put("sequence_number", ref.seq)
       r.put("min_sequence_number", ref.seq)
       r.put("added_snapshot_id", ref.seq)
+      ref.summaries.foreach { ss =>
+        val itemSchema = manifestListSchema.getField("partitions")
+          .schema().getTypes.get(1).getElementType
+        val arr = new java.util.ArrayList[GenericRecord](ss.size)
+        ss.foreach { s =>
+          val g = new GenericData.Record(itemSchema)
+          g.put("contains_null", s.containsNull)
+          s.lower.foreach(g.put("lower_bound", _))
+          s.upper.foreach(g.put("upper_bound", _))
+          arr.add(g)
+        }
+        r.put("partitions", arr)
+      }
       r
     }
     writeAvro(path, manifestListSchema, rows)
+  }
+
+  /** Per-partition-field transform-value summaries of one new data
+    * manifest, from the tuples its files land with. A field whose
+    * values fail to order in its transform's value domain records no
+    * bounds (containsNull still recorded) — the reader keeps such
+    * manifests. */
+  private def summariesOf(files: Seq[(String, Map[String, String])],
+      spec: Seq[IcebergPartField],
+      schema: StructType): Option[Seq[IcebergFieldSummary]] = {
+    if (spec.isEmpty || files.isEmpty) return None
+    Some(spec.map { sf =>
+      val truncStr = sf.transform.startsWith("truncate[") &&
+        schema.fields(sf.sourceId - 1).dataType == StringType
+      // ordering domain of the TRANSFORM values: identity → source
+      // type, truncate-on-string → string, every other transform → long
+      val dt: DataType =
+        if (sf.transform == "identity") schema.fields(sf.sourceId - 1).dataType
+        else if (truncStr) StringType
+        else LongType
+      val vals = files.map(_._2.get(sf.name))
+      val containsNull = vals.exists(v =>
+        v.isEmpty || v.contains("__HIVE_DEFAULT_PARTITION__"))
+      val present = vals.flatten.filter(_ != "__HIVE_DEFAULT_PARTITION__")
+      def pick(keepLeft: Int => Boolean): Option[String] =
+        present.foldLeft(Option(Option.empty[String])) {
+          case (None, _) => None // an earlier compare failed
+          case (Some(None), v) => Some(Some(v))
+          case (Some(Some(best)), v) =>
+            IcebergTable.cmpTyped(dt, v, best) match {
+              case Some(c) => Some(Some(if (keepLeft(c)) v else best))
+              case None => None
+            }
+        }.flatten
+      IcebergFieldSummary(containsNull, pick(_ < 0), pick(_ > 0))
+    })
   }
 
   private final case class FileStats(rows: Long,

@@ -270,6 +270,38 @@ object MaterializeQueries {
           sum(col("price")).cast(DoubleType).as("total"))
     }),
 
+    // Manifest-LIST-level pruning: three era appends leave three data
+    // manifests whose list rows carry disjoint month-transform
+    // summaries; a late-date predicate skips the early manifests
+    // WITHOUT OPENING THEIR AVRO — the metadata tier above per-file
+    // bounds. At 100 TB a table accretes thousands of manifests; a
+    // selective scan must touch the few its summaries admit, not
+    // parse them all. The row-level residual keeps results exact.
+    "m_iceberg_manifest_prune" -> ((s, dir) => {
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_icem").toFile.getPath
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        .repartitionByRange(4, col("o_orderdate"))
+      // era cuts are open-ended on both sides so the three appends
+      // cover every row no matter the synthetic date range
+      IcebergWriter.createPartitioned(s, tdir,
+        o.filter(col("o_orderdate") < lit("1998-01-01")),
+        Seq(("o_orderdate", "month")))
+      IcebergWriter.append(s, tdir,
+        o.filter(col("o_orderdate") >= lit("1998-01-01") &&
+          col("o_orderdate") < lit("2000-01-01")))
+      IcebergWriter.append(s, tdir,
+        o.filter(col("o_orderdate") >= lit("2000-01-01")))
+      IcebergTable.readPruned(s, tdir, Seq(IcebergTable.ScanPred(
+          "o_orderdate", ">=", "2000-06-01 00:00:00")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast(DoubleType).as("total"))
+    }),
+
     // Partitioned create + manifest-level file pruning: only the F
     // partition's files are opened (readWhere consults manifests, not
     // data); the injected partition column aggregates oracle-exact
@@ -426,6 +458,13 @@ object MaterializeQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total
         |FROM orders WHERE o_orderdate >= TIMESTAMP '1999-07-01'
+        |GROUP BY 1""".stripMargin,
+
+    "m_iceberg_manifest_prune" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '2000-06-01'
         |GROUP BY 1""".stripMargin
   )
 }

@@ -359,6 +359,123 @@ class IcebergWriterSpec extends AnyFunSuite {
       Seq((9L, "x")).toDF("id", "name")))
   }
 
+  test("manifest-list partition summaries prune whole manifests") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_icemsum").toFile.getPath
+    // three appends with disjoint identity-partition ranges → three
+    // data manifests whose list rows carry [lo, hi] summaries
+    IcebergWriter.createPartitioned(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "name"),
+      Seq(("k", "identity")))
+    IcebergWriter.append(spark, dir,
+      Seq((5L, "c"), (6L, "d")).toDF("k", "name"))
+    IcebergWriter.append(spark, dir,
+      Seq((9L, "e"), (10L, "f")).toDF("k", "name"))
+    val md = IcebergTable.loadMetadata(dir)
+    val rows = IcebergTable.manifestRows(md, md.currentSnapshot.get, dir)
+    val dataRows = rows.filter(_.content == 0)
+    assert(dataRows.size == 3)
+    // every data manifest carries a one-field summary with real bounds
+    assert(dataRows.forall(_.summaries.exists(ss =>
+      ss.size == 1 && !ss.head.containsNull &&
+        ss.head.lower.isDefined && ss.head.upper.isDefined)))
+    assert(dataRows.flatMap(_.summaries).map(ss =>
+      (ss.head.lower.get, ss.head.upper.get)).toSet ==
+      Set(("1", "2"), ("5", "6"), ("9", "10")))
+
+    // a point probe touches exactly ONE manifest; a range, two
+    def keptFor(preds: Seq[IcebergTable.ScanPred]): Int =
+      dataRows.count(IcebergTable.manifestMayMatch(md, _, preds))
+    assert(keptFor(Seq(IcebergTable.ScanPred("k", "=", "5"))) == 1)
+    assert(keptFor(Seq(IcebergTable.ScanPred("k", ">=", "6"))) == 2)
+    assert(keptFor(Seq(IcebergTable.ScanPred("k", "<", "3"))) == 1)
+    assert(keptFor(Seq(IcebergTable.ScanPred("k", "=", "7"))) == 0)
+    // …and the pruned read stays EXACT
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("k", ">=", "6")))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(6L, 9L, 10L))
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("k", "=", "7"))).count() == 0)
+
+    // a tombstone commit adds a DELETE manifest: never pruned, and the
+    // carried-forward data manifests keep their summaries on rewrite
+    assert(IcebergWriter.deleteWhere(spark, dir, col("k") === 5L) == 1L)
+    val md2 = IcebergTable.loadMetadata(dir)
+    val rows2 = IcebergTable.manifestRows(md2, md2.currentSnapshot.get, dir)
+    assert(rows2.count(_.content == 1) == 1)
+    assert(rows2.filter(_.content == 1).forall(
+      IcebergTable.manifestMayMatch(md2, _,
+        Seq(IcebergTable.ScanPred("k", "=", "999")))))
+    assert(rows2.filter(_.content == 0).flatMap(_.summaries).map(ss =>
+      (ss.head.lower.get, ss.head.upper.get)).toSet ==
+      Set(("1", "2"), ("5", "6"), ("9", "10")))
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("k", ">=", "5")))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(6L, 9L, 10L)) // the delete applied inside the pruned scan
+
+    // summary-less rows (foreign/binary bounds) and null-carrying
+    // fields are always kept
+    val bare = IcebergTable.ManifestListRow("m.avro", 1L, 0, None)
+    assert(IcebergTable.manifestMayMatch(md, bare,
+      Seq(IcebergTable.ScanPred("k", "=", "999"))))
+    val withNull = IcebergTable.ManifestListRow("m.avro", 1L, 0,
+      Some(Seq(graft.materialize.IcebergFieldSummary(
+        containsNull = true, Some("1"), Some("2")))))
+    assert(IcebergTable.manifestMayMatch(md, withNull,
+      Seq(IcebergTable.ScanPred("k", "=", "999"))))
+  }
+
+  test("manifest summaries prune through bucket and day transforms") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = Files.createTempDirectory("graft_icemsum2").toFile.getPath
+    // two appends a month apart: day summaries of the two manifests
+    // are disjoint ranges; bucket summaries are whatever murmur3 lands
+    IcebergWriter.createPartitioned(spark, dir,
+      Seq((34L, ts("2017-11-16 22:31:08"), "a"),
+        (35L, ts("2017-11-17 09:00:00"), "b"))
+        .toDF("id", "ts", "name"),
+      Seq(("id", "bucket[16]"), ("ts", "day")))
+    IcebergWriter.append(spark, dir,
+      Seq((36L, ts("2017-12-20 10:00:00"), "c"),
+        (99L, ts("2017-12-21 11:00:00"), "d"))
+        .toDF("id", "ts", "name"))
+    val md = IcebergTable.loadMetadata(dir)
+    val dataRows = IcebergTable.manifestRows(md,
+      md.currentSnapshot.get, dir).filter(_.content == 0)
+    assert(dataRows.size == 2)
+    assert(dataRows.forall(_.summaries.exists(_.size == 2)))
+    // day range: November manifest excluded by a December predicate
+    def keptFor(p: IcebergTable.ScanPred): Int =
+      dataRows.count(IcebergTable.manifestMayMatch(md, _, Seq(p)))
+    assert(keptFor(IcebergTable.ScanPred(
+      "ts", ">=", "2017-12-01 00:00:00")) == 1)
+    assert(keptFor(IcebergTable.ScanPred(
+      "ts", "<", "2017-12-01 00:00:00")) == 1)
+    assert(keptFor(IcebergTable.ScanPred(
+      "ts", "=", "2017-11-16 22:31:08")) == 1)
+    // bucket equality: a literal whose bucket lies outside BOTH
+    // manifests' bucket ranges opens nothing; an in-range one keeps
+    val buckets = dataRows.flatMap(_.summaries).map(ss =>
+      (ss.head.lower.get.toLong, ss.head.upper.get.toLong))
+    val missLit = (0L to 200L).find { v =>
+      val b = graft.functions.IcebergTransforms.bucketLong(v, 16)
+      buckets.forall { case (l, h) => b < l || b > h }
+    }
+    missLit.foreach { v =>
+      assert(keptFor(IcebergTable.ScanPred("id", "=", v.toString)) == 0)
+    }
+    assert(keptFor(IcebergTable.ScanPred("id", "=", "34")) >= 1)
+    // end-to-end: December range scan reads exactly the December rows
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("ts", ">=", "2017-12-01 00:00:00")))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(36L, 99L))
+  }
+
   test("schema round-trips through iceberg JSON including nested types") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_icewrite2").toFile.getPath
