@@ -78,6 +78,11 @@ def main():
     con.execute("SET TimeZone='UTC'")
     import os
     con.execute(f"SET memory_limit='{os.environ.get('BIGCHECK_MEM', '60GB')}'")
+    # fewer threads = fewer concurrent operator hash tables: the lever
+    # when a query's working set exceeds memory_limit + free disk at
+    # full parallelism (t_keywords' 2.7 B (doc,term) aggregate, r14)
+    if os.environ.get("BIGCHECK_THREADS"):
+        con.execute(f"SET threads={int(os.environ['BIGCHECK_THREADS'])}")
     # an in-memory duckdb has NO temp dir and therefore cannot spill —
     # a 1 B-row window digest then dies with 'Failed to allocate'
     # instead of going out-of-core (e_top_event, round 12)
