@@ -80,9 +80,19 @@ object IcebergTable {
   /** A file-pruning predicate for [[readPruned]]: `column <op> value`
     * with `op` one of `=`, `<`, `<=`, `>`, `>=` and `value` in the
     * column type's canonical string form (dates `1995-03-15`,
-    * timestamps `1995-03-15 00:00:00[.SSSSSS]`, numerics plain). */
-  final case class ScanPred(column: String, op: String, value: String) {
-    require(Set("=", "<", "<=", ">", ">=")(op), s"unsupported op $op")
+    * timestamps `1995-03-15 00:00:00[.SSSSSS]`, numerics plain).
+    * Three more ops widen the skippable surface: `in` (membership over
+    * `values`; a disjunction of equalities at every metadata tier),
+    * `is_null` (skips via `null_value_counts` = 0, non-null partition
+    * tuples, and `contains_null` = false summaries — transforms map
+    * null to null, so a null-free partition field proves a null-free
+    * source), and `is_not_null` (skips files that are all-null in the
+    * column: `null_value_counts` = `record_count`). */
+  final case class ScanPred(column: String, op: String, value: String,
+      values: Seq[String] = Nil) {
+    require(Set("=", "<", "<=", ">", ">=", "in",
+      "is_null", "is_not_null")(op), s"unsupported op $op")
+    require(op != "in" || values.nonEmpty, "in needs a non-empty list")
   }
 
   /** Read the current snapshot scanning ONLY the files a conjunction of
@@ -113,13 +123,16 @@ object IcebergTable {
       entries.filter(_.content == 1), entries.filter(_.content == 2))
     preds.foldLeft(df) { (d, p) =>
       val dt = md.schema(p.column).dataType
-      val v = lit(p.value).cast(dt)
+      def v = lit(p.value).cast(dt)
       d.filter(p.op match {
         case "=" => col(p.column) === v
         case "<" => col(p.column) < v
         case "<=" => col(p.column) <= v
         case ">" => col(p.column) > v
         case ">=" => col(p.column) >= v
+        case "in" => col(p.column).isin(p.values.map(lit(_).cast(dt)): _*)
+        case "is_null" => col(p.column).isNull
+        case "is_not_null" => col(p.column).isNotNull
       })
     }
   }
@@ -138,6 +151,43 @@ object IcebergTable {
     val dtOpt = md.schema.find(_.name == p.column).map(_.dataType)
     if (dtOpt.isEmpty) return true
     val dt = dtOpt.get
+    p.op match {
+      case "in" =>
+        // membership = disjunction of equalities: keep iff ANY value
+        // could be present
+        return p.values.exists(v =>
+          mayContain(md, f, p.copy(op = "=", value = v, values = Nil)))
+      case "is_null" =>
+        // no-null proof from stats (null count 0) or from a non-null
+        // identity/transform partition tuple (transforms map null to
+        // null, so a non-null tuple means no null source rows)
+        if (f.nullCounts.get(p.column).contains(0L)) return false
+        val tupleNonNull = md.specFields.exists { sf =>
+          md.partitionSource(sf).contains(p.column) &&
+            f.partitionValues.get(sf.name)
+              .exists(_ != "__HIVE_DEFAULT_PARTITION__")
+        }
+        return !tupleNonNull
+      case "is_not_null" =>
+        // an all-null file has no matching row: proven by stats (null
+        // count == record count) or by a NULL partition tuple on any
+        // transform of the column (spec transforms map null to null
+        // and non-null to non-null, so a null tuple means every
+        // source row is null — identity-partitioned columns leave the
+        // data files entirely and carry no footer stats)
+        val statsAllNull = f.recordCount > 0L &&
+          f.nullCounts.get(p.column).contains(f.recordCount)
+        val tupleNull = md.specFields.exists { sf =>
+          md.partitionSource(sf).contains(p.column) &&
+            f.partitionValues.get(sf.name)
+              .contains("__HIVE_DEFAULT_PARTITION__")
+        }
+        return !(statsAllNull || tupleNull)
+      case _ => ()
+    }
+    // value ops can never match a NULL row: an all-null file skips
+    if (f.recordCount > 0L &&
+      f.nullCounts.get(p.column).contains(f.recordCount)) return false
     val boundsOk = (f.lowerBounds.get(p.column),
         f.upperBounds.get(p.column)) match {
       case (Some(lo), Some(hi)) =>
@@ -159,7 +209,11 @@ object IcebergTable {
           f.partitionValues.get(sf.name) match {
             case Some(t) if t != "__HIVE_DEFAULT_PARTITION__" =>
               transformKeeps(sf.transform, dt, t, p)
-            case _ => true
+            case Some(_) =>
+              // the null partition: every source row is NULL here
+              // (transforms map null to null), so no value op matches
+              false
+            case None => true
           }
         case _ => true
       }
@@ -525,7 +579,8 @@ object IcebergTable {
       partitionValues: Map[String, String] = Map.empty,
       lowerBounds: Map[String, String] = Map.empty,
       upperBounds: Map[String, String] = Map.empty,
-      nullCounts: Map[String, Long] = Map.empty)
+      nullCounts: Map[String, Long] = Map.empty,
+      recordCount: Long = 0L)
 
   /** One manifest-list row: path, sequence number, content kind
     * (0=data, 1=deletes; absent reads as 0), and the spec's `partitions`
@@ -597,11 +652,25 @@ object IcebergTable {
             md.specFields.zip(ss).forall { case (sf, s) =>
               md.partitionSource(sf) match {
                 case Some(src) if src == p.column =>
-                  s.containsNull || ((s.lower, s.upper) match {
-                    case (Some(lo), Some(hi)) =>
-                      transformRangeKeeps(sf.transform, dt, lo, hi, p)
-                    case _ => true
-                  })
+                  def rangeKeeps(pp: ScanPred): Boolean =
+                    (s.lower, s.upper) match {
+                      case (Some(lo), Some(hi)) =>
+                        transformRangeKeeps(sf.transform, dt, lo, hi, pp)
+                      case _ => true
+                    }
+                  p.op match {
+                    // a null-free partition field proves a null-free
+                    // source column across the whole manifest
+                    // (transforms map null to null)
+                    case "is_null" => s.containsNull
+                    case "is_not_null" => true
+                    // value ops never match NULL rows, so the bounds
+                    // of the NON-null values decide alone (bounds are
+                    // computed over non-null tuples on both sides)
+                    case "in" => p.values.exists(v =>
+                      rangeKeeps(p.copy(op = "=", value = v, values = Nil)))
+                    case _ => rangeKeeps(p)
+                  }
                 case _ => true
               }
             }
@@ -733,7 +802,11 @@ object IcebergTable {
             lowerBounds = strMap("lower_bounds"),
             upperBounds = strMap("upper_bounds"),
             nullCounts = strMap("null_value_counts")
-              .map { case (k, v) => k -> v.toLong })
+              .map { case (k, v) => k -> v.toLong },
+            recordCount =
+              if (df.getSchema.getField("record_count") == null) 0L
+              else Option(df.get("record_count"))
+                .map(_.toString.toLong).getOrElse(0L))
         }
       }
     }

@@ -306,6 +306,31 @@ object MaterializeQueries {
           sum(col("price")).cast(DoubleType).as("total"))
     }),
 
+    // NULL-aware pruning: identity partitioning on a nullable key
+    // lands the NULL rows in the null partition; an IS NULL scan
+    // opens only those files (the null tuple + contains_null summary
+    // channels — spec transforms map null to null, so a null-free
+    // partition field proves a null-free source). DuckDB re-derives
+    // the same nullable key and filters IS NULL — null semantics are
+    // where engines diverge most, so this is oracle-gated, not just
+    // spec-tested.
+    "m_iceberg_prune_nulls" -> ((s, dir) => {
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_icen").toFile.getPath
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(col("o_orderkey") % 7 === 0, lit(null))
+            .otherwise(col("o_orderpriority")).as("prio_nn"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      IcebergWriter.createPartitioned(s, tdir, o,
+        Seq(("prio_nn", "identity")))
+      IcebergTable.readPruned(s, tdir,
+          Seq(IcebergTable.ScanPred("prio_nn", "is_null", "")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast(DoubleType).as("total"))
+    }),
+
     // Partitioned create + manifest-level file pruning: only the F
     // partition's files are opened (readWhere consults manifests, not
     // data); the injected partition column aggregates oracle-exact
@@ -469,6 +494,16 @@ object MaterializeQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total
         |FROM orders WHERE o_orderdate >= TIMESTAMP '2000-06-01'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "m_iceberg_prune_nulls" ->
+      """WITH t AS (SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE o_orderpriority END AS prio_nn,
+        |  o_totalprice FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM t WHERE prio_nn IS NULL GROUP BY 1""".stripMargin
   )
 }

@@ -416,16 +416,21 @@ class IcebergWriterSpec extends AnyFunSuite {
       .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(6L, 9L, 10L)) // the delete applied inside the pruned scan
 
-    // summary-less rows (foreign/binary bounds) and null-carrying
-    // fields are always kept
+    // summary-less rows (foreign/binary bounds) are always kept
     val bare = IcebergTable.ManifestListRow("m.avro", 1L, 0, None)
     assert(IcebergTable.manifestMayMatch(md, bare,
       Seq(IcebergTable.ScanPred("k", "=", "999"))))
+    // a null-carrying field still prunes VALUE ops by its non-null
+    // bounds (NULL rows can't match `=`), but is kept for IS NULL
     val withNull = IcebergTable.ManifestListRow("m.avro", 1L, 0,
       Some(Seq(graft.materialize.IcebergFieldSummary(
         containsNull = true, Some("1"), Some("2")))))
-    assert(IcebergTable.manifestMayMatch(md, withNull,
+    assert(!IcebergTable.manifestMayMatch(md, withNull,
       Seq(IcebergTable.ScanPred("k", "=", "999"))))
+    assert(IcebergTable.manifestMayMatch(md, withNull,
+      Seq(IcebergTable.ScanPred("k", "=", "2"))))
+    assert(IcebergTable.manifestMayMatch(md, withNull,
+      Seq(IcebergTable.ScanPred("k", "is_null", ""))))
   }
 
   test("manifest summaries prune through bucket and day transforms") {
@@ -474,6 +479,71 @@ class IcebergWriterSpec extends AnyFunSuite {
       Seq(IcebergTable.ScanPred("ts", ">=", "2017-12-01 00:00:00")))
       .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(36L, 99L))
+  }
+
+  test("IS NULL / IS NOT NULL / IN prune through all three tiers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_icenull").toFile.getPath
+    // create: non-null keys 1..2; append 2: null keys only; append 3:
+    // non-null keys 9..10 — identity partitioning lands the null rows
+    // in the __HIVE_DEFAULT_PARTITION__ dir, and the manifest-list
+    // summaries carry contains_null per manifest
+    IcebergWriter.createPartitioned(spark, dir,
+      Seq((Some(1L), "a"), (Some(2L), "b")).toDF("k", "name"),
+      Seq(("k", "identity")))
+    IcebergWriter.append(spark, dir,
+      Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2"))
+        .toDF("k", "name"))
+    IcebergWriter.append(spark, dir,
+      Seq((Some(9L), "c"), (Some(10L), "d")).toDF("k", "name"))
+    val md = IcebergTable.loadMetadata(dir)
+    val rows = IcebergTable.manifestRows(md, md.currentSnapshot.get, dir)
+      .filter(_.content == 0)
+    assert(rows.size == 3)
+    assert(rows.flatMap(_.summaries).map(_.head.containsNull) ==
+      Seq(false, true, false))
+    def keptRows(preds: Seq[IcebergTable.ScanPred]): Int =
+      rows.count(IcebergTable.manifestMayMatch(md, _, preds))
+    val isNull = Seq(IcebergTable.ScanPred("k", "is_null", ""))
+    val notNull = Seq(IcebergTable.ScanPred("k", "is_not_null", ""))
+    val in = Seq(IcebergTable.ScanPred("k", "in", "",
+      Seq("2", "9", "77")))
+    // list tier: only the null-carrying manifest can satisfy IS NULL.
+    // IN keeps the two ranged manifests holding 2 and 9 AND the
+    // all-null manifest (its summary has contains_null=true with NO
+    // bounds — exactly what any writer emits for an all-null
+    // manifest — which is indistinguishable from a stats gap here, so
+    // the list tier keeps it and the FILE tier drops it by tuple)
+    assert(keptRows(isNull) == 1)
+    assert(keptRows(notNull) == 3)
+    assert(keptRows(in) == 3)
+
+    // file tier: the null partition's file is excluded by value ops
+    // and by IS NOT NULL (all-null in k), kept alone by IS NULL
+    val entries = IcebergTable.snapshotFiles(md,
+      md.currentSnapshot.get, dir).filter(_.content == 0)
+    assert(entries.forall(_.recordCount > 0L))
+    val nullKept = IcebergTable.pruneEntries(md, entries, isNull)
+    assert(nullKept.nonEmpty && nullKept.forall(
+      _.partitionValues("k") == "__HIVE_DEFAULT_PARTITION__"))
+    assert(!IcebergTable.pruneEntries(md, entries, notNull)
+      .exists(_.partitionValues("k") == "__HIVE_DEFAULT_PARTITION__"))
+    val inKept = IcebergTable.pruneEntries(md, entries, in)
+    assert(inKept.size == 2 &&
+      inKept.map(_.partitionValues("k")).sorted == Seq("2", "9"))
+
+    // end-to-end exactness through readPruned
+    assert(IcebergTable.readPruned(spark, dir, isNull)
+      .select("name").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("n1", "n2"))
+    assert(IcebergTable.readPruned(spark, dir, notNull).count() == 4)
+    assert(IcebergTable.readPruned(spark, dir, in)
+      .select("name").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("b", "c"))
+    // IN with no reachable value opens nothing and returns nothing
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("k", "in", "", Seq("77")))).count() == 0)
   }
 
   test("schema round-trips through iceberg JSON including nested types") {
