@@ -68,12 +68,13 @@ final case class IcebergMetadata(
     specFields.map(f => (f.name, f.transform))
 
   /** Source COLUMN NAME of a partition field, resolved through the
-    * current schema's TOP-LEVEL field-id table (how the spec names
-    * sources). None means "unresolvable here", which covers three
-    * cases a caller must treat alike (skip, never prune on it):
-    * foreign specs whose source id is absent/unknown, NESTED source
-    * columns (the top-level index doesn't descend), and sources
-    * dropped by schema evolution. */
+    * current schema's field-id table — the index descends struct
+    * nesting, so a nested source resolves to its dotted path (e.g.
+    * `addr.city`; the pruning comparators look columns up by TOP-LEVEL
+    * name, so dotted sources simply never prune — conservative, and
+    * now distinguishable from "unknown id"). None means genuinely
+    * unresolvable: a foreign spec's absent/unknown source id, or a
+    * source dropped by schema evolution. */
   def partitionSource(f: IcebergPartField): Option[String] =
     fieldIds.getOrElse(currentSchemaId, Map.empty).get(f.sourceId)
 
@@ -81,12 +82,18 @@ final case class IcebergMetadata(
 
   /** Top-level column name for an Iceberg field id in the current
     * schema — how v2 equality-delete files (`equality_ids`) name the
-    * columns they match on. Nested field ids raise: equality deletes
-    * on nested fields have no offline application here. */
-  def fieldName(id: Int): String =
-    fieldIds.getOrElse(currentSchemaId, Map.empty).getOrElse(id,
-      sys.error(s"equality field id $id is not a top-level column of " +
+    * columns they match on. Nested field ids (dotted paths in the
+    * index) raise: equality deletes on nested fields have no offline
+    * application here. */
+  def fieldName(id: Int): String = {
+    val name = fieldIds.getOrElse(currentSchemaId, Map.empty).getOrElse(id,
+      sys.error(s"equality field id $id is not a column of " +
         s"schema $currentSchemaId"))
+    if (name.contains('.'))
+      sys.error(s"equality field id $id names NESTED column $name — " +
+        "equality deletes on nested fields are not applied offline")
+    name
+  }
 
   def currentSnapshot: Option[IcebergSnapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
@@ -126,9 +133,22 @@ object IcebergMetadata {
       else // v1: single top-level "schema"
         Map(0 -> root.path("schema"))
     val schemas = schemaNodes.map { case (id, n) => id -> structOf(n) }
+    // field-id index DESCENDS into struct nesting (dotted paths), so a
+    // partition spec sourced on a nested column resolves to its real
+    // path instead of silently reading as "unknown id". List/map
+    // element ids are not indexed: the spec forbids partitioning on
+    // them and no stats bound addresses them.
+    def idsOf(n: JsonNode, prefix: String): Seq[(Int, String)] =
+      n.path("fields").elements().asScala.toSeq.flatMap { f =>
+        val name = prefix + f.path("name").asText()
+        val t = f.path("type")
+        Seq(f.path("id").asInt(-1) -> name) ++
+          (if (t.isObject && t.path("type").asText() == "struct")
+            idsOf(t, name + ".")
+          else Nil)
+      }
     val fieldIds = schemaNodes.map { case (id, n) =>
-      id -> n.path("fields").elements().asScala.map(f =>
-        f.path("id").asInt(-1) -> f.path("name").asText()).toMap
+      id -> idsOf(n, "").toMap
     }
     def partFieldsOf(n: JsonNode): Seq[IcebergPartField] =
       n.elements().asScala.map(f =>

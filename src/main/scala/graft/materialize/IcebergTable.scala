@@ -90,10 +90,15 @@ object IcebergTable {
     * column: `null_value_counts` = `record_count`). */
   final case class ScanPred(column: String, op: String, value: String,
       values: Seq[String] = Nil) {
-    require(Set("=", "<", "<=", ">", ">=", "in",
+    require(Set("=", "!=", "<", "<=", ">", ">=", "in",
       "is_null", "is_not_null")(op), s"unsupported op $op")
     require(op != "in" || values.nonEmpty, "in needs a non-empty list")
   }
+
+  /** `column BETWEEN lo AND hi` as the two range predicates it is —
+    * both prune through every metadata tier. */
+  def between(column: String, lo: String, hi: String): Seq[ScanPred] =
+    Seq(ScanPred(column, ">=", lo), ScanPred(column, "<=", hi))
 
   /** Read the current snapshot scanning ONLY the files a conjunction of
     * predicates can touch, then apply the predicates row-level (the
@@ -112,20 +117,45 @@ object IcebergTable {
     * predicate over a sorted/partitioned table touches kilobytes of
     * manifest metadata plus only the qualifying files' bytes. */
   def readPruned(spark: SparkSession, tableDir: String,
-      preds: Seq[ScanPred]): DataFrame = {
-    import org.apache.spark.sql.functions._
+      preds: Seq[ScanPred]): DataFrame =
+    readPrunedOr(spark, tableDir, Seq(preds))
+
+  /** Read scanning only the files SOME branch of an OR-of-conjunctions
+    * can touch — a file (or a whole unopened manifest) is skipped iff
+    * EVERY branch proves it empty of qualifying rows — then apply the
+    * full disjunction row-level (exact results; file skipping is a
+    * scan optimization, never a semantics change). `branches` is a
+    * disjunction of conjunctions: `Seq(Seq(a, b), Seq(c))` means
+    * `(a AND b) OR c`. At 100 TB this is how a
+    * `d < '1995' OR d BETWEEN '2000-06' AND '2000-09'` scan over a
+    * date-partitioned table touches two slices of files instead of
+    * falling back to a full scan because the predicate isn't one
+    * conjunction. */
+  def readPrunedOr(spark: SparkSession, tableDir: String,
+      branches: Seq[Seq[ScanPred]]): DataFrame = {
+    require(branches.nonEmpty && branches.forall(_.nonEmpty),
+      "readPrunedOr needs at least one non-empty branch")
     val md = loadMetadata(tableDir)
     val snap = md.currentSnapshot.getOrElse(
       sys.error(s"$tableDir has no current snapshot"))
-    val entries = snapshotFiles(md, snap, tableDir, preds)
-    val kept = pruneEntries(md, entries.filter(_.content == 0), preds)
+    val entries = snapshotFiles(md, snap, tableDir, branches)
+    val kept = entries.filter(_.content == 0).filter(f =>
+      branches.exists(b => b.forall(p => mayContain(md, f, p))))
     val df = assemble(spark, md, tableDir, kept,
       entries.filter(_.content == 1), entries.filter(_.content == 2))
-    preds.foldLeft(df) { (d, p) =>
+    df.filter(branches.map(b => predColumn(md, b)).reduce(_ || _))
+  }
+
+  /** Row-level Column of one predicate conjunction. */
+  private def predColumn(md: IcebergMetadata,
+      preds: Seq[ScanPred]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    preds.map { p =>
       val dt = md.schema(p.column).dataType
       def v = lit(p.value).cast(dt)
-      d.filter(p.op match {
+      p.op match {
         case "=" => col(p.column) === v
+        case "!=" => col(p.column) =!= v
         case "<" => col(p.column) < v
         case "<=" => col(p.column) <= v
         case ">" => col(p.column) > v
@@ -133,8 +163,8 @@ object IcebergTable {
         case "in" => col(p.column).isin(p.values.map(lit(_).cast(dt)): _*)
         case "is_null" => col(p.column).isNull
         case "is_not_null" => col(p.column).isNotNull
-      })
-    }
+      }
+    }.reduce(_ && _)
   }
 
   /** The file subset a predicate conjunction can touch (exposed for
@@ -142,6 +172,24 @@ object IcebergTable {
   private[graft] def pruneEntries(md: IcebergMetadata,
       files: Seq[FileEntry], preds: Seq[ScanPred]): Seq[FileEntry] =
     files.filter(f => preds.forall(p => mayContain(md, f, p)))
+
+  /** Transforms the spec proves NULL-FAITHFUL — null maps to null AND
+    * non-null maps to non-null — so a partition tuple's nullness
+    * testifies about the SOURCE rows' nullness. The `void` transform
+    * (how foreign tables represent dropped partition fields) maps
+    * EVERY value to null, and an unknown transform promises nothing,
+    * so null-tuple inference must never fire on either: it would skip
+    * files full of live rows — the silent-read-empty failure class.
+    * Value-op tuple pruning is gated separately inside
+    * [[transformKeeps]] (unknown transforms fall through to keep). */
+  private def nullFaithful(transform: String): Boolean =
+    transform == "identity" ||
+      transform.matches("bucket\\[\\d+\\]") ||
+      transform.matches("truncate\\[\\d+\\]") ||
+      (transform match {
+        case "year" | "month" | "day" | "hour" => true
+        case _ => false
+      })
 
   /** Conservative containment: false ONLY when the file provably holds
     * no row satisfying `p`; any parse/compare uncertainty keeps the
@@ -163,7 +211,8 @@ object IcebergTable {
         // null, so a non-null tuple means no null source rows)
         if (f.nullCounts.get(p.column).contains(0L)) return false
         val tupleNonNull = md.specFields.exists { sf =>
-          md.partitionSource(sf).contains(p.column) &&
+          nullFaithful(sf.transform) &&
+            md.partitionSource(sf).contains(p.column) &&
             f.partitionValues.get(sf.name)
               .exists(_ != "__HIVE_DEFAULT_PARTITION__")
         }
@@ -177,8 +226,11 @@ object IcebergTable {
         // data files entirely and carry no footer stats)
         val statsAllNull = f.recordCount > 0L &&
           f.nullCounts.get(p.column).contains(f.recordCount)
+        // gated on NULL-FAITHFUL transforms: a `void` field's tuple is
+        // null for every file while the source rows are not
         val tupleNull = md.specFields.exists { sf =>
-          md.partitionSource(sf).contains(p.column) &&
+          nullFaithful(sf.transform) &&
+            md.partitionSource(sf).contains(p.column) &&
             f.partitionValues.get(sf.name)
               .contains("__HIVE_DEFAULT_PARTITION__")
         }
@@ -194,6 +246,9 @@ object IcebergTable {
         (cmpTyped(dt, p.value, lo), cmpTyped(dt, p.value, hi)) match {
           case (Some(vl), Some(vh)) => p.op match {
             case "=" => vl >= 0 && vh <= 0
+            // only a [v, v] point interval proves every non-null row
+            // equals v (null rows never satisfy != either)
+            case "!=" => !(vl == 0 && vh == 0)
             case "<" => vl > 0 // some row < value iff lower < value
             case "<=" => vl >= 0
             case ">" => vh < 0 // some row > value iff upper > value
@@ -210,9 +265,10 @@ object IcebergTable {
             case Some(t) if t != "__HIVE_DEFAULT_PARTITION__" =>
               transformKeeps(sf.transform, dt, t, p)
             case Some(_) =>
-              // the null partition: every source row is NULL here
-              // (transforms map null to null), so no value op matches
-              false
+              // the null partition: on a NULL-FAITHFUL transform every
+              // source row is NULL here, so no value op matches; a
+              // void/unknown transform's null tuple testifies nothing
+              !nullFaithful(sf.transform)
             case None => true
           }
         case _ => true
@@ -229,6 +285,11 @@ object IcebergTable {
     import org.apache.spark.sql.types._
     val bucketN = "bucket\\[(\\d+)\\]".r
     val truncW = "truncate\\[(\\d+)\\]".r
+    // != skips only when the tuple proves EVERY row equals the
+    // literal — which only an identity tuple can
+    if (p.op == "!=")
+      return transform != "identity" ||
+        !cmpTyped(dt, p.value, tuple).contains(0)
     def keepByValue(t: Long): Boolean = {
       // rows' transform value == tuple; the transform is monotonic, so
       // pred value's transform t bounds which tuples can qualify
@@ -583,11 +644,16 @@ object IcebergTable {
       recordCount: Long = 0L)
 
   /** One manifest-list row: path, sequence number, content kind
-    * (0=data, 1=deletes; absent reads as 0), and the spec's `partitions`
-    * field_summary array when present AND string-form (this writer's
-    * layout; foreign binary bounds parse to None — kept, never pruned). */
+    * (0=data, 1=deletes; absent reads as 0), the row's
+    * `partition_spec_id` (-1 when the column is absent — summaries are
+    * then uninterpretable and never pruned on), and the spec's
+    * `partitions` field_summary array when present (string-form bounds
+    * read directly; foreign BINARY bounds decode per Appendix D —
+    * [[IcebergSingleValue]] — against the spec field's transform value
+    * type; an undecodable bound reads as None and keeps the
+    * manifest). */
   private[graft] final case class ManifestListRow(path: String,
-      seq: Long, content: Int,
+      seq: Long, content: Int, specId: Int,
       summaries: Option[Seq[IcebergFieldSummary]])
 
   /** The manifest-list rows of a snapshot — the metadata tier ABOVE the
@@ -597,38 +663,68 @@ object IcebergTable {
     def longOf(r: GenericRecord, f: String): Option[Long] =
       if (r.getSchema.getField(f) == null) None
       else Option(r.get(f)).map(_.toString.toLong)
+    val stypes = summaryTypes(md)
     readAvro(resolve(snap.manifestList, md, tableDir)).map { r =>
       ManifestListRow(r.get("manifest_path").toString,
         longOf(r, "sequence_number").getOrElse(0L),
         longOf(r, "content").map(_.toInt).getOrElse(0),
-        parseFieldSummaries(r))
+        longOf(r, "partition_spec_id").map(_.toInt).getOrElse(-1),
+        parseFieldSummaries(r, stypes))
+    }
+  }
+
+  /** Ordering value domain of each default-spec field's TRANSFORM —
+    * what a binary field-summary bound deserializes as: identity and
+    * truncate carry source-typed values; bucket / year / month / hour
+    * are spec `int`s and `day` is a spec `date` whose binary form is
+    * the same 4-byte LE day ordinal the range comparator consumes as a
+    * plain number. An unresolvable source (foreign/nested/dropped)
+    * maps to NullType — its binary bounds decode to None, keeping the
+    * manifest. */
+  private[materialize] def summaryTypes(
+      md: IcebergMetadata): Seq[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    md.specFields.map { sf =>
+      if (sf.transform == "identity" || sf.transform.startsWith("truncate["))
+        md.partitionSource(sf)
+          .flatMap(n => md.schema.find(_.name == n).map(_.dataType))
+          .getOrElse(NullType)
+      else if (sf.transform.startsWith("bucket[") ||
+        Set("year", "month", "day", "hour")(sf.transform)) IntegerType
+      else NullType // void / unknown: no decodable bound domain
     }
   }
 
   /** `partitions` field_summary array of a manifest-list row, in spec
-    * field order. All-or-nothing: a bound that is not a string (the
-    * spec's single-value BINARY form, written by foreign engines) drops
-    * the whole array — callers treat None as "cannot prune here".
+    * field order, paired positionally with `types` (the transform
+    * value domains from [[summaryTypes]]). String-form bounds (this
+    * writer's documented deviation) read directly; BINARY bounds — the
+    * spec's Appendix D single-value serialization, what real engines
+    * write — decode through [[IcebergSingleValue]]. A bound that
+    * decodes to nothing records None for THAT field (the range
+    * comparator keeps on None), never dropping the rest of the array.
     * Shared with [[IcebergWriter]]'s carry-forward so rewritten lists
     * keep their summaries. */
-  private[materialize] def parseFieldSummaries(
-      r: GenericRecord): Option[Seq[IcebergFieldSummary]] = {
+  private[materialize] def parseFieldSummaries(r: GenericRecord,
+      types: Seq[org.apache.spark.sql.types.DataType])
+      : Option[Seq[IcebergFieldSummary]] = {
     if (r.getSchema.getField("partitions") == null) return None
     Option(r.get("partitions")).flatMap {
       case c: java.util.Collection[_] =>
-        val parsed = c.asScala.toSeq.map {
-          case g: GenericRecord =>
-            def strOf(f: String): Option[Option[String]] =
-              if (g.getSchema.getField(f) == null) Some(None)
-              else Option(g.get(f)) match {
-                case None => Some(None)
-                case Some(s: CharSequence) => Some(Some(s.toString))
-                case Some(_) => None // binary (foreign) — unusable
+        val parsed = c.asScala.toSeq.zipWithIndex.map {
+          case (g: GenericRecord, i) =>
+            val dt = types.lift(i)
+              .getOrElse(org.apache.spark.sql.types.NullType)
+            def strOf(f: String): Option[String] =
+              if (g.getSchema.getField(f) == null) None
+              else Option(g.get(f)).flatMap {
+                case s: CharSequence => Some(s.toString)
+                case other => IcebergSingleValue.bytesOf(other)
+                  .flatMap(IcebergSingleValue.decode(dt, _))
               }
-            for { lo <- strOf("lower_bound"); hi <- strOf("upper_bound") }
-              yield IcebergFieldSummary(
-                Option(g.get("contains_null"))
-                  .exists(_.toString.toBoolean), lo, hi)
+            Some(IcebergFieldSummary(
+              Option(g.get("contains_null")).exists(_.toString.toBoolean),
+              strOf("lower_bound"), strOf("upper_bound")))
           case _ => None
         }
         if (parsed.forall(_.isDefined)) Some(parsed.map(_.get)) else None
@@ -645,6 +741,10 @@ object IcebergTable {
   private[graft] def manifestMayMatch(md: IcebergMetadata,
       row: ManifestListRow, preds: Seq[ScanPred]): Boolean = {
     if (row.content != 0) return true
+    // summaries are interpreted against the DEFAULT spec: a row from
+    // an evolved-away spec — possibly of EQUAL arity, where positional
+    // matching would read the wrong fields' bounds — never prunes
+    if (row.specId != md.defaultSpecId) return true
     row.summaries match {
       case Some(ss) if ss.size == md.specFields.size =>
         preds.forall { p =>
@@ -660,9 +760,11 @@ object IcebergTable {
                     }
                   p.op match {
                     // a null-free partition field proves a null-free
-                    // source column across the whole manifest
-                    // (transforms map null to null)
-                    case "is_null" => s.containsNull
+                    // source column across the whole manifest — on a
+                    // NULL-FAITHFUL transform only (void/unknown
+                    // transforms testify nothing about source nulls)
+                    case "is_null" =>
+                      !nullFaithful(sf.transform) || s.containsNull
                     case "is_not_null" => true
                     // value ops never match NULL rows, so the bounds
                     // of the NON-null values decide alone (bounds are
@@ -693,6 +795,12 @@ object IcebergTable {
     import org.apache.spark.sql.types._
     val bucketN = "bucket\\[(\\d+)\\]".r
     val truncW = "truncate\\[(\\d+)\\]".r
+    // != skips a manifest only when the identity summary's [lo, hi]
+    // is the point interval [v, v] — every row in every file equals v
+    if (p.op == "!=")
+      return transform != "identity" ||
+        !(cmpTyped(dt, p.value, lo).contains(0) &&
+          cmpTyped(dt, p.value, hi).contains(0))
     def longRange: Option[(Long, Long)] = for {
       l <- scala.util.Try(lo.toLong).toOption
       h <- scala.util.Try(hi.toLong).toOption
@@ -754,20 +862,21 @@ object IcebergTable {
     * numbers and read as 0 throughout, which is consistent because they
     * cannot carry delete files either.
     *
-    * `preds` prune at the MANIFEST tier: a data manifest whose
-    * manifest-list partition summaries exclude the conjunction is never
+    * `branches` (an OR of predicate conjunctions; one branch = a plain
+    * conjunction) prune at the MANIFEST tier: a data manifest whose
+    * manifest-list partition summaries exclude EVERY branch is never
     * opened — at 100 TB a selective predicate over a partitioned table
     * touches a few manifest avros instead of all of them. Exactness is
     * unaffected (callers re-apply predicates row-level). */
   private[graft] def snapshotFiles(md: IcebergMetadata,
       snap: IcebergSnapshot, tableDir: String,
-      preds: Seq[ScanPred] = Nil): Seq[FileEntry] = {
+      branches: Seq[Seq[ScanPred]] = Nil): Seq[FileEntry] = {
     def longOf(r: GenericRecord, f: String): Option[Long] =
       if (r.getSchema.getField(f) == null) None
       else Option(r.get(f)).map(_.toString.toLong)
     val rows = manifestRows(md, snap, tableDir)
-    val manifests = (if (preds.isEmpty) rows
-      else rows.filter(manifestMayMatch(md, _, preds)))
+    val manifests = (if (branches.isEmpty) rows
+      else rows.filter(r => branches.exists(manifestMayMatch(md, r, _))))
       .map(r => (r.path, r.seq))
     val out = Seq.newBuilder[FileEntry]
     manifests.foreach { case (mp, mseq) =>
@@ -792,17 +901,53 @@ object IcebergTable {
               case _ => Seq.empty[Int]
             }
           val pv = partitionTuple(df, md)
-          def strMap(field: String): Map[String, String] =
-            if (df.getSchema.getField(field) == null) Map.empty
-            else Option(df.get(field)).collect {
-              case m: java.util.Map[_, _] => m.asScala.map { case (k, v) =>
-                k.toString -> v.toString }.toMap
-            }.getOrElse(Map.empty)
+          // stats maps in BOTH layouts: this writer's column-name-keyed
+          // string-valued avro maps, and the spec's FIELD-ID-keyed
+          // binary-valued maps (avro logical map = array of key/value
+          // records) written by foreign engines — values decode per
+          // Appendix D ([[IcebergSingleValue]]) against the schema
+          // column's type. An unresolvable id (nested/dropped) or an
+          // undecodable value drops just that column: a lost bound is a
+          // kept file, never a wrong prune.
+          val ids = md.fieldIds.getOrElse(md.currentSchemaId, Map.empty)
+          def colOf(k: String): Option[String] =
+            if (k.nonEmpty && k.forall(_.isDigit))
+              scala.util.Try(k.toInt).toOption.flatMap(ids.get)
+            else Some(k)
+          def kvPairs(field: String): Seq[(String, Any)] =
+            if (df.getSchema.getField(field) == null) Nil
+            else Option(df.get(field)).toSeq.flatMap {
+              case m: java.util.Map[_, _] =>
+                m.asScala.toSeq.map { case (k, v) => k.toString -> (v: Any) }
+              case c: java.util.Collection[_] => c.asScala.toSeq.collect {
+                case g: GenericRecord if g.getSchema.getField("key") != null =>
+                  g.get("key").toString -> g.get("value")
+              }
+              case _ => Nil
+            }
+          def boundMap(field: String): Map[String, String] =
+            kvPairs(field).flatMap { case (k, v) =>
+              for {
+                name <- colOf(k)
+                dt <- md.schema.find(_.name == name).map(_.dataType)
+                s <- v match {
+                  case cs: CharSequence => Some(cs.toString)
+                  case other => IcebergSingleValue.bytesOf(other)
+                    .flatMap(IcebergSingleValue.decode(dt, _))
+                }
+              } yield name -> s
+            }.toMap
+          def countMap(field: String): Map[String, Long] =
+            kvPairs(field).flatMap { case (k, v) =>
+              for {
+                name <- colOf(k)
+                n <- scala.util.Try(v.toString.toLong).toOption
+              } yield name -> n
+            }.toMap
           out += FileEntry(path, content, seq, eqIds, pv,
-            lowerBounds = strMap("lower_bounds"),
-            upperBounds = strMap("upper_bounds"),
-            nullCounts = strMap("null_value_counts")
-              .map { case (k, v) => k -> v.toLong },
+            lowerBounds = boundMap("lower_bounds"),
+            upperBounds = boundMap("upper_bounds"),
+            nullCounts = countMap("null_value_counts"),
             recordCount =
               if (df.getSchema.getField("record_count") == null) 0L
               else Option(df.get("record_count"))
@@ -849,12 +994,17 @@ object IcebergTable {
 
   private def renderPartValue(field: String, v: Any,
       md: IcebergMetadata): String = {
-    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
-    val sourceType = md.specFields.find(_.name == field)
-      .filter(_.transform == "identity")
+    import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
+    val sf = md.specFields.find(_.name == field)
+    // value domain of the tuple slot: identity and truncate carry
+    // SOURCE-typed values; bucket/temporal values are plain ints whose
+    // toString is already the canonical form
+    val domain: Option[DataType] = sf
+      .filter(f => f.transform == "identity" ||
+        f.transform.startsWith("truncate["))
       .flatMap(md.partitionSource)
       .flatMap(n => md.schema.find(_.name == n).map(_.dataType))
-    (sourceType, v) match {
+    (domain, v) match {
       case (Some(DateType), n: Number) =>
         java.time.LocalDate.ofEpochDay(n.longValue()).toString
       case (Some(TimestampType | TimestampNTZType), n: Number) =>
@@ -868,6 +1018,14 @@ object IcebergTable {
           java.time.ZoneOffset.UTC)
           .format(java.time.format.DateTimeFormatter
             .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS"))
+      case (Some(dt), b) if IcebergSingleValue.bytesOf(b).isDefined =>
+        // binary tuple values (foreign avro decimal/fixed): decode per
+        // Appendix D or FAIL — a garbage rendering here would be
+        // silently injected as a wrong column value on read
+        IcebergSingleValue.bytesOf(b)
+          .flatMap(IcebergSingleValue.decode(dt, _))
+          .getOrElse(sys.error(s"iceberg: undecodable binary partition " +
+            s"value for field $field (domain $dt)"))
       case _ => v.toString
     }
   }

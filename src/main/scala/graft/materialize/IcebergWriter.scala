@@ -234,6 +234,52 @@ object IcebergWriter {
       tombstones = Some(tomb), operation = "overwrite")
   }
 
+  /** CDC-shaped upsert as ONE snapshot: append `df` and write an
+    * EQUALITY delete file (spec v2, manifest-entry content=2,
+    * `equality_ids` = the key columns' field ids) hiding every OLDER
+    * row whose key tuple matches — no scan and no rewrite of existing
+    * data, which at 100 TB is the difference between an upsert that
+    * costs O(batch) and one that costs O(table). The delete and the
+    * new data files share the commit's sequence number; the reader's
+    * strictly-greater rule ([[IcebergTable]] applyDeletes) keeps the
+    * fresh rows alive while hiding every prior version of the key —
+    * the layout streaming-upsert sinks (e.g. Flink's) commit.
+    * Positional-tombstone generation over a table carrying equality
+    * deletes raises (liveness would need the values re-applied);
+    * [[compact]] materializes them away and resets the layout. */
+  def upsertKeys(spark: SparkSession, tableDir: String, df: DataFrame,
+      keys: Seq[String]): Unit = {
+    val (md, prior) = state(tableDir)
+    require(md.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)),
+      s"upsert schema ${df.schema.simpleString} != table ${md.schema.simpleString}")
+    require(keys.nonEmpty && keys.forall(md.schema.fieldNames.contains),
+      s"upsert keys $keys must be table columns")
+    commit(spark, new File(tableDir), md.schema, prior,
+      parent = md.currentSnapshot, newData = Some(df),
+      tombstones = None, operation = "overwrite",
+      eqDelete = Some((df.select(keys.map(col): _*).distinct(), keys)))
+  }
+
+  /** Equality DELETE: one commit writing only the KEY VALUES (columns
+    * = `keys`) of the rows to hide — every live row whose key tuple
+    * appears in `keyRows` disappears from subsequent reads, at a cost
+    * proportional to the key set, not the table. */
+  def deleteWhereKeys(spark: SparkSession, tableDir: String,
+      keyRows: DataFrame, keys: Seq[String]): Unit = {
+    val (md, prior) = state(tableDir)
+    require(keys.nonEmpty && keys.forall(md.schema.fieldNames.contains),
+      s"delete keys $keys must be table columns")
+    require(keyRows.schema.map(f => (f.name, f.dataType)) ==
+      keys.map(k => (k, md.schema(k).dataType)),
+      s"keyRows schema ${keyRows.schema.simpleString} must be exactly " +
+        s"the key columns $keys in table types")
+    commit(spark, new File(tableDir), md.schema, prior,
+      parent = md.currentSnapshot, newData = None, tombstones = None,
+      operation = "delete",
+      eqDelete = Some((keyRows.distinct(), keys)))
+  }
+
   /** Exactly-once streaming ingestion (the `foreachBatch` lakehouse
     * pattern): append a micro-batch IF its `batchId` has not already
     * been committed, recording the id as a table property in the same
@@ -366,7 +412,8 @@ object IcebergWriter {
     val lfile = localFile(snap.manifestList, md, tableDir)
     val reader = DataFileReader.openReader(lfile,
       new GenericDatumReader[GenericRecord]())
-    val refs = try reader.iterator().asScala.map(refOf).toList
+    val refs = try reader.iterator().asScala
+      .map(refOf(_, IcebergTable.summaryTypes(md))).toList
       finally reader.close()
     (md, refs)
   }
@@ -377,14 +424,16 @@ object IcebergWriter {
   /** One manifest-list row → ManifestRef, keeping the row's partition
     * field summaries so carried-forward manifests don't lose their
     * manifest-level pruning metadata on rewrite. Foreign lists carry
-    * the spec's BINARY bounds — unusable in this string-form layout —
-    * so any non-string bound drops the whole summary (conservative:
-    * the reader keeps summary-less manifests). */
-  private def refOf(r: GenericRecord): ManifestRef =
+    * the spec's BINARY bounds — decoded per Appendix D against the
+    * spec field's transform value domain (`types`); an undecodable
+    * bound carries forward as None (conservative: the reader keeps
+    * boundless fields). */
+  private def refOf(r: GenericRecord,
+      types: Seq[org.apache.spark.sql.types.DataType]): ManifestRef =
     ManifestRef(r.get("manifest_path").toString,
       r.get("content").toString.toInt,
       r.get("sequence_number").toString.toLong,
-      IcebergTable.parseFieldSummaries(r))
+      IcebergTable.parseFieldSummaries(r, types))
 
   /** Live rows with their (table-relative file path, row ordinal) —
     * the coordinates a positional tombstone names. */
@@ -459,7 +508,8 @@ object IcebergWriter {
       operation: String,
       newProps: Map[String, String] = Map.empty,
       partitionSpec: Seq[IcebergPartField] = Nil,
-      schemaId: Int = -1): Unit = {
+      schemaId: Int = -1,
+      eqDelete: Option[(DataFrame, Seq[String])] = None): Unit = {
     val md0 = if (parent.isDefined) Some(IcebergTable.loadMetadata(dir.getPath)) else None
     // the partition spec is a TABLE property: every commit — including
     // tombstone-only deletes that write no data files — must carry it
@@ -494,6 +544,24 @@ object IcebergWriter {
         expr.foreach(e => df = df.withColumn(name, e))
         name
       }
+      // in-band null-sentinel guard: a STRING partition value that
+      // equals Spark/Hive's null-directory sentinel would read back as
+      // NULL and let the null-pruning channels skip live files —
+      // refuse at write time (zero extra jobs: the raise rides the
+      // write itself) rather than corrupt at read time
+      partCols.foreach { name =>
+        if (df.schema.fields.exists(f => f.name == name &&
+            f.dataType == StringType)) {
+          import org.apache.spark.sql.functions.{lit, raise_error, when}
+          df = df.withColumn(name,
+            when(col(name) === lit("__HIVE_DEFAULT_PARTITION__"),
+              raise_error(lit(s"iceberg: partition value of '$name' " +
+                "collides with the null-partition sentinel " +
+                "__HIVE_DEFAULT_PARTITION__ — repartition or escape " +
+                "the value")).cast(StringType))
+              .otherwise(col(name)))
+        }
+      }
       val out = new File(dir, s"data/$sub-$commitId")
       if (partCols.isEmpty) df.write.parquet(out.getPath)
       else df.write.partitionBy(partCols: _*).parquet(out.getPath)
@@ -504,6 +572,9 @@ object IcebergWriter {
     // section — data/tombstone parquet is keyed by commitId, so a
     // refreshed sequence number never invalidates the written bytes
     val dataFiles = newData.map(writeFiles(_, "snap", spec))
+    // equality-delete files carry only the key columns, unpartitioned
+    // (they apply table-wide by value)
+    val eqFiles = eqDelete.map { case (k, _) => writeFiles(k, "eqd", Nil) }
     val tombFiles = tombstones.map { t =>
       // tombstone paths are table-relative strings; store them
       // re-anchored at the table location like every writer does
@@ -560,6 +631,14 @@ object IcebergWriter {
           writeManifest(m, files, content = 1)
           refs :+= ManifestRef(m.getAbsolutePath, 1, seq)
         }
+        eqFiles.foreach { files =>
+          // equality_ids name the key columns by Iceberg FIELD ID —
+          // this writer's ids are top-level-first positional
+          val ids = eqDelete.get._2.map(k => schema.fieldIndex(k) + 1)
+          val m = new File(mdir, s"manifest-$snapId-$commitId-e.avro")
+          writeManifest(m, files, content = 2, equalityIds = ids)
+          refs :+= ManifestRef(m.getAbsolutePath, 1, seq)
+        }
         val mlist = new File(mdir, s"snap-$snapId-$commitId.avro")
         writeManifestList(mlist, refs)
         val tsMs = math.max(System.currentTimeMillis(),
@@ -587,6 +666,17 @@ object IcebergWriter {
           schema, seq, snapId, tsMs, allSnaps, props, spec, sid)
         val version = mdNow.map(_ => currentVersion(mdir) + 1).getOrElse(1)
         val vfile = new File(mdir, s"v$version.metadata.json")
+        // test-only chaos hook: signal + pause between computing the
+        // version and claiming it, so the cross-process conflict spec
+        // can interleave a competing commit deterministically
+        if (attempts == 0)
+          sys.env.get("GRAFT_ICEBERG_TEST_CLAIM_DELAY_MS").foreach { ms =>
+            sys.env.get("GRAFT_ICEBERG_TEST_CLAIM_MARKER").foreach { mk =>
+              java.nio.file.Files.writeString(new File(mk).toPath,
+                version.toString)
+            }
+            Thread.sleep(ms.toLong)
+          }
         try {
           // ATOMIC claim: createFile fails if the version exists — a
           // cross-process writer that raced us loses exactly one of
@@ -620,7 +710,8 @@ object IcebergWriter {
     val lfile = localFile(snap.manifestList, md, tableDir)
     val reader = DataFileReader.openReader(lfile,
       new GenericDatumReader[GenericRecord]())
-    try reader.iterator().asScala.map(refOf).toList
+    try reader.iterator().asScala
+      .map(refOf(_, IcebergTable.summaryTypes(md))).toList
       finally reader.close()
   }
 
@@ -678,15 +769,23 @@ object IcebergWriter {
       |{"name":"upper_bounds","type":["null",{"type":"map","values":"string"}],
       |"default":null},
       |{"name":"null_value_counts","type":["null",{"type":"map","values":"long"}],
+      |"default":null},
+      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
       |"default":null}]}}]}""".stripMargin)
 
   private def writeManifest(path: File,
-      files: Seq[(String, Map[String, String])], content: Int): Unit = {
+      files: Seq[(String, Map[String, String])], content: Int,
+      equalityIds: Seq[Int] = Nil): Unit = {
     val dfSchema = manifestSchema.getField("data_file").schema()
     val rows = files.map { case (f, pv) =>
       val d = new GenericData.Record(dfSchema)
       val stats = parquetStats(f, withBounds = content == 0)
       d.put("content", content)
+      if (equalityIds.nonEmpty) {
+        val l = new java.util.ArrayList[Integer](equalityIds.size)
+        equalityIds.foreach(i => l.add(Int.box(i)))
+        d.put("equality_ids", l)
+      }
       d.put("file_path", f)
       d.put("file_format", "PARQUET")
       d.put("record_count", stats.rows)

@@ -331,6 +331,63 @@ object MaterializeQueries {
           sum(col("price")).cast(DoubleType).as("total"))
     }),
 
+    // Writer-side EQUALITY deletes (spec v2 content=2) — the
+    // CDC-upsert lifecycle real pipelines commit: create, two keyed
+    // upserts (each ONE commit: new data + an equality-delete file
+    // whose `equality_ids` hide every OLDER row of the key — cost
+    // O(batch), never O(table)), then compaction materializing the
+    // deletes away. The reader's strictly-greater sequence rule is
+    // what keeps each upsert's own rows alive, and the aggregate must
+    // be invariant across the compaction boundary.
+    "m_iceberg_eq_delete" -> ((s, dir) => {
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_icee").toFile.getPath
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val b = col("o_orderkey") % 10
+      IcebergWriter.create(s, tdir, o.filter(b <= 5))
+      IcebergWriter.upsertKeys(s, tdir,
+        o.filter(b === 4 || b === 5 || b === 6)
+          .withColumn("price", (col("price") * 3).cast(DecimalType(18, 2))),
+        Seq("o_orderkey"))
+      IcebergWriter.upsertKeys(s, tdir,
+        o.filter(b === 5)
+          .withColumn("price", (col("price") * 5).cast(DecimalType(18, 2))),
+        Seq("o_orderkey"))
+      IcebergWriter.compact(s, tdir)
+      IcebergTable.read(s, tdir)
+        .groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast(DoubleType).as("total"))
+    }),
+
+    // OR-of-conjunctions pruning: a year-partitioned table served a
+    // disjunction — an early era OR a BETWEEN window — where a file
+    // (or unopened manifest) skips only when EVERY branch excludes it.
+    // Without a disjunction planner a scan like this falls back to
+    // reading the whole table; here both metadata tiers keep exactly
+    // the two slices and the row-level residual keeps results exact.
+    "m_iceberg_prune_or" -> ((s, dir) => {
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_iceo").toFile.getPath
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        .repartitionByRange(4, col("o_orderdate"))
+      IcebergWriter.createPartitioned(s, tdir, o,
+        Seq(("o_orderdate", "year")))
+      IcebergTable.readPrunedOr(s, tdir, Seq(
+        Seq(IcebergTable.ScanPred(
+          "o_orderdate", "<", "1995-01-01 00:00:00")),
+        IcebergTable.between("o_orderdate",
+          "2000-06-01 00:00:00", "2000-09-30 23:59:59")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast(DoubleType).as("total"))
+    }),
+
     // Partitioned create + manifest-level file pruning: only the F
     // partition's files are opened (readWhere consults manifests, not
     // data); the injected partition column aggregates oracle-exact
@@ -494,6 +551,35 @@ object MaterializeQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total
         |FROM orders WHERE o_orderdate >= TIMESTAMP '2000-06-01'
+        |GROUP BY 1""".stripMargin,
+
+    // executable spec of the upsert lifecycle's live row set: buckets
+    // 0-3 original; 4 and 6 from the first upsert (×3 — the equality
+    // delete hid every older bucket-4 row; bucket 6 had no original);
+    // 5 from the second (×5, hiding both earlier versions)
+    "m_iceberg_eq_delete" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |f AS (
+        |  SELECT o_orderkey, price FROM o WHERE o_orderkey % 10 <= 3
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(price * 3 AS DECIMAL(18,2))
+        |  FROM o WHERE o_orderkey % 10 IN (4, 6)
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(price * 5 AS DECIMAL(18,2))
+        |  FROM o WHERE o_orderkey % 10 = 5)
+        |SELECT o_orderkey % 10 AS bucket, count(*) AS n_orders,
+        |  CAST(SUM(price) AS DOUBLE) AS total
+        |FROM f GROUP BY 1""".stripMargin,
+
+    "m_iceberg_prune_or" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        |   OR (o_orderdate >= TIMESTAMP '2000-06-01'
+        |       AND o_orderdate <= TIMESTAMP '2000-09-30 23:59:59')
         |GROUP BY 1""".stripMargin,
 
     "m_iceberg_prune_nulls" ->

@@ -417,12 +417,12 @@ class IcebergWriterSpec extends AnyFunSuite {
       Seq(6L, 9L, 10L)) // the delete applied inside the pruned scan
 
     // summary-less rows (foreign/binary bounds) are always kept
-    val bare = IcebergTable.ManifestListRow("m.avro", 1L, 0, None)
+    val bare = IcebergTable.ManifestListRow("m.avro", 1L, 0, 0, None)
     assert(IcebergTable.manifestMayMatch(md, bare,
       Seq(IcebergTable.ScanPred("k", "=", "999"))))
     // a null-carrying field still prunes VALUE ops by its non-null
     // bounds (NULL rows can't match `=`), but is kept for IS NULL
-    val withNull = IcebergTable.ManifestListRow("m.avro", 1L, 0,
+    val withNull = IcebergTable.ManifestListRow("m.avro", 1L, 0, 0,
       Some(Seq(graft.materialize.IcebergFieldSummary(
         containsNull = true, Some("1"), Some("2")))))
     assert(!IcebergTable.manifestMayMatch(md, withNull,
