@@ -1,0 +1,498 @@
+package graft
+
+import java.io.File
+import java.nio.ByteBuffer
+import java.nio.file.Files
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.materialize.{IcebergMetadata, IcebergSingleValue, IcebergTable}
+
+/** FOREIGN-written Iceberg tables: manifests and manifest lists laid
+  * out exactly as real engines (Spark+Iceberg, Flink, Trino) write
+  * them per the public spec — field-id-keyed stats maps whose values
+  * are Appendix D binary single-value serializations, r102 typed
+  * partition structs, binary field-summary bounds — hand-built here
+  * with the same avro layer the reader parses. This is the read path
+  * the reference's adapter actually serves (connections.py:990-1055
+  * ATTACHes catalogs of tables OTHER systems wrote), and what the
+  * pruning tiers must fire on without this repo's writer in the loop.
+  * Also locks the advisor's round-14 safety items: `void` transforms
+  * never let null-tuple inference skip live files, summaries from a
+  * non-default partition_spec_id never prune, and nested partition
+  * sources resolve to dotted paths (never a wrong top-level match). */
+class IcebergForeignSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---------------------------------------------------------------- //
+  //  Appendix D codec round-trip
+  // ---------------------------------------------------------------- //
+
+  test("Appendix D codec: encode/decode round-trips every primitive type") {
+    val cases: Seq[(DataType, Seq[String])] = Seq(
+      BooleanType -> Seq("true", "false"),
+      IntegerType -> Seq("0", "42", "-7", "2147483647"),
+      LongType -> Seq("0", "9131", "-123456789012345"),
+      FloatType -> Seq("1.5", "-0.25"),
+      DoubleType -> Seq("3.141592653589793", "-1.0E-7"),
+      DateType -> Seq("1970-01-01", "1995-03-15", "1969-12-31"),
+      TimestampType -> Seq("1995-03-15 00:00:00.000000",
+        "2001-07-04 12:30:45.123456"),
+      TimestampNTZType -> Seq("1969-12-31 23:59:59.999999"),
+      StringType -> Seq("", "alpha", "naïve — δ"),
+      DecimalType(9, 2) -> Seq("12345.67", "-0.01", "0.00"))
+    cases.foreach { case (dt, vals) =>
+      vals.foreach { v =>
+        val enc = IcebergSingleValue.encode(dt, v)
+        assert(enc.isDefined, s"$dt: $v failed to encode")
+        assert(IcebergSingleValue.decode(dt, enc.get).contains(v),
+          s"$dt: $v did not round-trip")
+      }
+    }
+    // spec byte-layout pins (not just self-consistency): int 4-byte LE,
+    // date = days-from-epoch int, decimal = minimal big-endian unscaled
+    assert(IcebergSingleValue.encode(IntegerType, "1").get.toSeq ==
+      Seq[Byte](1, 0, 0, 0))
+    assert(IcebergSingleValue.encode(DateType, "1970-01-02").get.toSeq ==
+      Seq[Byte](1, 0, 0, 0))
+    assert(IcebergSingleValue.encode(DecimalType(9, 2), "2.56").get.toSeq ==
+      Seq[Byte](1, 0)) // unscaled 256 = 0x0100
+    // undecodable shapes keep conservative: wrong length, raw binary
+    assert(IcebergSingleValue.decode(IntegerType, Array[Byte](1, 2)).isEmpty)
+    assert(IcebergSingleValue.decode(BinaryType, Array[Byte](1)).isEmpty)
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Foreign table fixture: binary stats, r102 tuples, binary summaries
+  // ---------------------------------------------------------------- //
+
+  // the spec's manifest layout as real writers emit it: stats maps are
+  // avro logical maps = arrays of (key int, value bytes) records
+  private val kvBytes =
+    """{"type":"array","items":{"type":"record","name":"kvb","fields":[
+      |{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}"""
+      .stripMargin
+  private val kvLong =
+    """{"type":"array","items":{"type":"record","name":"kvl","fields":[
+      |{"name":"key","type":"int"},{"name":"value","type":"long"}]}}"""
+      .stripMargin
+  private val foreignManifestSchema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_entry","fields":[
+       |{"name":"status","type":"int"},
+       |{"name":"sequence_number","type":["null","long"],"default":null},
+       |{"name":"data_file","type":{"type":"record","name":"df","fields":[
+       |{"name":"content","type":"int"},
+       |{"name":"file_path","type":"string"},
+       |{"name":"record_count","type":"long"},
+       |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+       |{"name":"ds_day","type":["null","int"],"default":null}]}},
+       |{"name":"lower_bounds","type":["null",$kvBytes],"default":null},
+       |{"name":"upper_bounds","type":["null",$kvBytes],"default":null},
+       |{"name":"null_value_counts","type":["null",$kvLong],"default":null}
+       |]}}]}""".stripMargin)
+  private val foreignListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"partitions","type":["null",{"type":"array","items":
+      |{"type":"record","name":"field_summary","fields":[
+      |{"name":"contains_null","type":"boolean"},
+      |{"name":"lower_bound","type":["null","bytes"],"default":null},
+      |{"name":"upper_bound","type":["null","bytes"],"default":null}
+      |]}}],"default":null}]}""".stripMargin)
+
+  private def writeAvro(path: File, schema: Schema,
+      rows: Seq[GenericRecord]): Unit = {
+    path.getParentFile.mkdirs()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path)
+    rows.foreach(w.append)
+    w.close()
+  }
+
+  private def kvRow(schema: Schema, key: Int, value: Any): GenericRecord = {
+    val r = new GenericData.Record(schema)
+    r.put("key", key)
+    r.put("value", value)
+    r
+  }
+
+  private def bb(dt: DataType, v: String): ByteBuffer =
+    ByteBuffer.wrap(IcebergSingleValue.encode(dt, v).get)
+
+  /** One spec-conformant data-file manifest row: binary bounds keyed by
+    * FIELD ID (1=id long, 2=ds date, 3=price decimal(9,2), 4=name
+    * string), r102 typed tuple carrying day(ds). */
+  private def foreignRow(filePath: String, rows: Long, dayVal: Int,
+      idLo: String, idHi: String, dsLo: String, dsHi: String,
+      priceLo: String, priceHi: String,
+      nameNulls: Long): GenericRecord = {
+    val dfS = foreignManifestSchema.getField("data_file").schema()
+    val itemB = dfS.getField("lower_bounds").schema()
+      .getTypes.get(1).getElementType
+    val itemL = dfS.getField("null_value_counts").schema()
+      .getTypes.get(1).getElementType
+    def bounds(id: String, ds: String, price: String) = {
+      val a = new java.util.ArrayList[GenericRecord]()
+      a.add(kvRow(itemB, 1, bb(LongType, id)))
+      a.add(kvRow(itemB, 2, bb(DateType, ds)))
+      a.add(kvRow(itemB, 3, bb(DecimalType(9, 2), price)))
+      a
+    }
+    val pr = new GenericData.Record(dfS.getField("partition").schema())
+    pr.put("ds_day", Int.box(dayVal))
+    val nulls = new java.util.ArrayList[GenericRecord]()
+    nulls.add(kvRow(itemL, 1, Long.box(0L)))
+    nulls.add(kvRow(itemL, 2, Long.box(0L)))
+    nulls.add(kvRow(itemL, 4, Long.box(nameNulls)))
+    val df = new GenericData.Record(dfS)
+    df.put("content", 0)
+    df.put("file_path", filePath)
+    df.put("record_count", rows)
+    df.put("partition", pr)
+    df.put("lower_bounds", bounds(idLo, dsLo, priceLo))
+    df.put("upper_bounds", bounds(idHi, dsHi, priceHi))
+    df.put("null_value_counts", nulls)
+    val r = new GenericData.Record(foreignManifestSchema)
+    r.put("status", 1)
+    r.put("data_file", df)
+    r
+  }
+
+  private def foreignListRow(path: String, seq: Long, specId: Int,
+      summary: Option[(Boolean, String, String)]): GenericRecord = {
+    val r = new GenericData.Record(foreignListSchema)
+    r.put("manifest_path", path)
+    r.put("content", 0)
+    r.put("sequence_number", seq)
+    r.put("partition_spec_id", specId)
+    summary.foreach { case (cn, lo, hi) =>
+      val itemS = foreignListSchema.getField("partitions").schema()
+        .getTypes.get(1).getElementType
+      val g = new GenericData.Record(itemS)
+      g.put("contains_null", cn)
+      // day-transform summary bounds: the spec `date` value domain —
+      // 4-byte LE day ordinals, here built from the ordinal itself
+      g.put("lower_bound", bb(IntegerType, lo))
+      g.put("upper_bound", bb(IntegerType, hi))
+      val arr = new java.util.ArrayList[GenericRecord]()
+      arr.add(g)
+      r.put("partitions", arr)
+    }
+    r
+  }
+
+  private def onePart(dir: File, df: org.apache.spark.sql.DataFrame,
+      name: String): Unit = {
+    val tmp = new File(dir, s"__tmp_${name.replace('/', '_')}")
+    df.coalesce(1).write.parquet(tmp.getPath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dst = new File(dir, name)
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+  }
+
+  /** Three-file day-partitioned foreign table: eras 1995 / 1998 / 2000,
+    * each file one manifest, every stats structure in the spec's
+    * binary layout. `m2SpecId` lets the spec-id test mark the middle
+    * manifest as written under a different (evolved-away) spec. */
+  private def buildForeign(m2SpecId: Int = 0): String = {
+    val dir = Files.createTempDirectory("graft_iceforeign").toFile
+    val loc = dir.getPath
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    def slice(ids: Seq[Long], day0: String, name: (Long => String))
+        : org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, java.sql.Date.valueOf(day0),
+        new java.math.BigDecimal(i).multiply(new java.math.BigDecimal("1.50")),
+        name(i)))
+        .toDF("id", "ds", "price", "name")
+        .select(col("id"), col("ds"),
+          col("price").cast(DecimalType(9, 2)).as("price"), col("name"))
+    onePart(dir, slice(Seq(1L, 2L, 3L), "1995-01-05", i => s"a$i"),
+      "data/f1.parquet")
+    onePart(dir, slice(Seq(4L, 5L, 6L), "1998-06-10", i => s"b$i"),
+      "data/f2.parquet")
+    onePart(dir, slice(Seq(7L, 8L, 9L), "2000-12-20", i => s"c$i"),
+      "data/f3.parquet")
+    val day95 = java.time.LocalDate.parse("1995-01-05").toEpochDay.toInt
+    val day98 = java.time.LocalDate.parse("1998-06-10").toEpochDay.toInt
+    val day00 = java.time.LocalDate.parse("2000-12-20").toEpochDay.toInt
+    writeAvro(new File(dir, "metadata/m1.avro"), foreignManifestSchema,
+      Seq(foreignRow(s"$loc/data/f1.parquet", 3, day95,
+        "1", "3", "1995-01-05", "1995-01-05", "1.50", "4.50", 0)))
+    writeAvro(new File(dir, "metadata/m2.avro"), foreignManifestSchema,
+      Seq(foreignRow(s"$loc/data/f2.parquet", 3, day98,
+        "4", "6", "1998-06-10", "1998-06-10", "6.00", "9.00", 0)))
+    writeAvro(new File(dir, "metadata/m3.avro"), foreignManifestSchema,
+      Seq(foreignRow(s"$loc/data/f3.parquet", 3, day00,
+        "7", "9", "2000-12-20", "2000-12-20", "10.50", "13.50", 0)))
+    writeAvro(new File(dir, "metadata/ml1.avro"), foreignListSchema, Seq(
+      foreignListRow(s"$loc/metadata/m1.avro", 1L, 0,
+        Some((false, day95.toString, day95.toString))),
+      foreignListRow(s"$loc/metadata/m2.avro", 2L, m2SpecId,
+        Some((false, day98.toString, day98.toString))),
+      foreignListRow(s"$loc/metadata/m3.avro", 3L, 0,
+        Some((false, day00.toString, day00.toString)))))
+    val metadata =
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": "0000-foreign",
+         |  "location": "$loc",
+         |  "last-updated-ms": 3000,
+         |  "current-snapshot-id": 300,
+         |  "current-schema-id": 0,
+         |  "schemas": [{
+         |    "schema-id": 0, "type": "struct", "fields": [
+         |      {"id": 1, "name": "id", "required": true, "type": "long"},
+         |      {"id": 2, "name": "ds", "required": false, "type": "date"},
+         |      {"id": 3, "name": "price", "required": false,
+         |       "type": "decimal(9, 2)"},
+         |      {"id": 4, "name": "name", "required": false, "type": "string"}
+         |    ]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": [
+         |    {"name": "ds_day", "transform": "day",
+         |     "source-id": 2, "field-id": 1000}]}],
+         |  "snapshots": [
+         |    {"snapshot-id": 300, "timestamp-ms": 3000,
+         |     "manifest-list": "$loc/metadata/ml1.avro",
+         |     "summary": {"operation": "append"}}
+         |  ]
+         |}""".stripMargin
+    java.nio.file.Files.writeString(
+      new File(dir, "metadata/00001-foreign.metadata.json").toPath, metadata)
+    dir.getPath
+  }
+
+  test("foreign binary file bounds prune at the FILE tier; results exact") {
+    val dir = buildForeign()
+    val md = IcebergTable.loadMetadata(dir)
+    val entries = IcebergTable.snapshotFiles(md,
+      md.currentSnapshot.get, dir).filter(_.content == 0)
+    assert(entries.size == 3)
+    // decoded binary bounds are canonical strings for every column
+    assert(entries.flatMap(_.lowerBounds.get("ds")).sorted ==
+      Seq("1995-01-05", "1998-06-10", "2000-12-20"))
+    assert(entries.flatMap(_.upperBounds.get("price")).sorted ==
+      Seq("13.50", "4.50", "9.00"))
+    assert(entries.forall(_.nullCounts.get("id").contains(0L)))
+    // long bounds: id = 8 touches only f3
+    val byId = IcebergTable.pruneEntries(md, entries,
+      Seq(IcebergTable.ScanPred("id", "=", "8")))
+    assert(byId.map(_.path).map(p => new File(p).getName) ==
+      Seq("f3.parquet"))
+    // decimal bounds: price > 9.00 excludes f1 and f2
+    val byPrice = IcebergTable.pruneEntries(md, entries,
+      Seq(IcebergTable.ScanPred("price", ">", "9.00")))
+    assert(byPrice.map(p => new File(p.path).getName) == Seq("f3.parquet"))
+    // date bounds: ds <= 1995-12-31 keeps only f1
+    val byDs = IcebergTable.pruneEntries(md, entries,
+      Seq(IcebergTable.ScanPred("ds", "<=", "1995-12-31")))
+    assert(byDs.map(p => new File(p.path).getName) == Seq("f1.parquet"))
+    // null counts: name IS NULL provably empty → every file skipped
+    assert(IcebergTable.pruneEntries(md, entries,
+      Seq(IcebergTable.ScanPred("name", "is_null", ""))).isEmpty)
+    // end-to-end exactness through readPruned
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("price", ">", "9.00")))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(7L, 8L, 9L))
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("id", "=", "8")))
+      .select("name").collect().map(_.getString(0)).toSeq == Seq("c8"))
+  }
+
+  test("foreign binary field summaries prune whole manifests unopened") {
+    val dir = buildForeign()
+    val md = IcebergTable.loadMetadata(dir)
+    val rows = IcebergTable.manifestRows(md, md.currentSnapshot.get, dir)
+    assert(rows.size == 3 && rows.forall(_.summaries.isDefined))
+    // binary day-ordinal bounds decoded positionally against the spec
+    val pred2000 = Seq(IcebergTable.ScanPred(
+      "ds", ">=", "2000-01-01"))
+    assert(rows.map(IcebergTable.manifestMayMatch(md, _, pred2000)) ==
+      Seq(false, false, true))
+    val pred9598 = IcebergTable.between("ds", "1995-01-01", "1998-12-31")
+    assert(rows.map(IcebergTable.manifestMayMatch(md, _, pred9598)) ==
+      Seq(true, true, false))
+    // r102 typed tuples flow into the file entries (day ordinals)
+    val entries = IcebergTable.snapshotFiles(md,
+      md.currentSnapshot.get, dir)
+    assert(entries.flatMap(_.partitionValues.get("ds_day")).toSet ==
+      Set("1995-01-05", "1998-06-10", "2000-12-20")
+        .map(d => java.time.LocalDate.parse(d).toEpochDay.toString))
+    // day-tuple pruning composes with the bounds: full read is exact
+    assert(IcebergTable.readPruned(spark, dir, pred2000)
+      .count() == 3)
+    assert(IcebergTable.readPruned(spark, dir, pred9598)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("summaries from a non-default partition_spec_id never prune (kept)") {
+    val dir = buildForeign(m2SpecId = 7)
+    val md = IcebergTable.loadMetadata(dir)
+    val rows = IcebergTable.manifestRows(md, md.currentSnapshot.get, dir)
+    val pred2000 = Seq(IcebergTable.ScanPred("ds", ">=", "2000-01-01"))
+    // m2's summary excludes year 2000 — but its spec id (7) is not the
+    // default spec, so positional interpretation would be a guess: the
+    // manifest must be KEPT (m1 still prunes; exactness via row filter)
+    assert(rows.map(IcebergTable.manifestMayMatch(md, _, pred2000)) ==
+      Seq(false, true, true))
+    assert(IcebergTable.readPruned(spark, dir, pred2000).count() == 3)
+  }
+
+  test("!= prunes point-interval files and identity tuples, keeps the rest") {
+    val dir = buildForeign()
+    val md = IcebergTable.loadMetadata(dir)
+    val entries = IcebergTable.snapshotFiles(md,
+      md.currentSnapshot.get, dir).filter(_.content == 0)
+    // every file's ds bounds are a point interval [d, d]: ds !=
+    // 1998-06-10 proves f2 empty of matches, keeps f1/f3
+    val kept = IcebergTable.pruneEntries(md, entries,
+      Seq(IcebergTable.ScanPred("ds", "!=", "1998-06-10")))
+    assert(kept.map(p => new File(p.path).getName).sorted ==
+      Seq("f1.parquet", "f3.parquet"))
+    // non-point interval: id != 5 can't skip f2 (ids 4..6)
+    assert(IcebergTable.pruneEntries(md, entries,
+      Seq(IcebergTable.ScanPred("id", "!=", "5"))).size == 3)
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("ds", "!=", "1998-06-10")))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 7L, 8L, 9L))
+  }
+
+  // ---------------------------------------------------------------- //
+  //  void transform: null tuples must never skip live files
+  // ---------------------------------------------------------------- //
+
+  private val voidManifestSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"df","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"record_count","type":"long"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+      |{"name":"legacy","type":["null","int"],"default":null}]}}
+      |]}}]}""".stripMargin)
+
+  /** A table whose spec carries a `void` field (the spec's way of
+    * dropping a partition field without renumbering): every tuple is
+    * NULL while the source rows are NOT. */
+  private def buildVoid(): String = {
+    val dir = Files.createTempDirectory("graft_icevoid").toFile
+    val loc = dir.getPath
+    import spark.implicits._
+    onePart(dir, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"),
+      "data/f1.parquet")
+    val dfS = voidManifestSchema.getField("data_file").schema()
+    val pr = new GenericData.Record(dfS.getField("partition").schema())
+    pr.put("legacy", null) // void: always null
+    val df = new GenericData.Record(dfS)
+    df.put("content", 0)
+    df.put("file_path", s"$loc/data/f1.parquet")
+    df.put("record_count", 3L)
+    df.put("partition", pr)
+    val row = new GenericData.Record(voidManifestSchema)
+    row.put("status", 1)
+    row.put("data_file", df)
+    writeAvro(new File(dir, "metadata/m1.avro"), voidManifestSchema, Seq(row))
+    writeAvro(new File(dir, "metadata/ml1.avro"), foreignListSchema, Seq(
+      foreignListRow(s"$loc/metadata/m1.avro", 1L, 0, None)))
+    java.nio.file.Files.writeString(
+      new File(dir, "metadata/00001-void.metadata.json").toPath,
+      s"""{
+         |  "format-version": 2, "table-uuid": "0000-void",
+         |  "location": "$loc", "last-updated-ms": 1000,
+         |  "current-snapshot-id": 100, "current-schema-id": 0,
+         |  "schemas": [{
+         |    "schema-id": 0, "type": "struct", "fields": [
+         |      {"id": 1, "name": "id", "required": true, "type": "long"},
+         |      {"id": 2, "name": "name", "required": false, "type": "string"}
+         |    ]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": [
+         |    {"name": "legacy", "transform": "void",
+         |     "source-id": 2, "field-id": 1000}]}],
+         |  "snapshots": [
+         |    {"snapshot-id": 100, "timestamp-ms": 1000,
+         |     "manifest-list": "$loc/metadata/ml1.avro",
+         |     "summary": {"operation": "append"}}
+         |  ]
+         |}""".stripMargin)
+    dir.getPath
+  }
+
+  test("void transform: null tuples never skip live files (advisor r14 medium)") {
+    val dir = buildVoid()
+    // value op on the void-partitioned source: the null tuple proves
+    // NOTHING (void maps every value to null) — the file must open
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("name", "=", "b")))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // is_not_null: the rows are all non-null; a null-tuple skip here
+    // would silently read the table as empty
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("name", "is_not_null", "")))
+      .count() == 3)
+    // is_null stays correct too (row-level filter finds nothing)
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("name", "is_null", ""))).count() == 0)
+  }
+
+  // ---------------------------------------------------------------- //
+  //  nested partition sources
+  // ---------------------------------------------------------------- //
+
+  test("nested partition sources resolve to dotted paths; never a top-level guess") {
+    val md = IcebergMetadata.parse(
+      """{"format-version": 2, "table-uuid": "x", "location": "",
+        |"last-updated-ms": 0, "current-snapshot-id": null,
+        |"current-schema-id": 0,
+        |"schemas": [{"schema-id": 0, "type": "struct", "fields": [
+        |  {"id": 1, "name": "id", "required": true, "type": "long"},
+        |  {"id": 2, "name": "addr", "required": false, "type": {
+        |    "type": "struct", "fields": [
+        |      {"id": 3, "name": "city", "required": false,
+        |       "type": "string"},
+        |      {"id": 4, "name": "geo", "required": false, "type": {
+        |        "type": "struct", "fields": [
+        |          {"id": 5, "name": "lat", "required": false,
+        |           "type": "double"}]}}]}}]}],
+        |"default-spec-id": 0,
+        |"partition-specs": [{"spec-id": 0, "fields": [
+        |  {"name": "city", "transform": "identity", "source-id": 3,
+        |   "field-id": 1000},
+        |  {"name": "lat_b", "transform": "bucket[4]", "source-id": 5,
+        |   "field-id": 1001},
+        |  {"name": "gone", "transform": "identity", "source-id": 99,
+        |   "field-id": 1002}]}],
+        |"snapshots": []}""".stripMargin)
+    // nested sources resolve to their DOTTED paths — distinguishable
+    // from unknown ids, and never colliding with a top-level column
+    assert(md.partitionSource(md.specFields(0)).contains("addr.city"))
+    assert(md.partitionSource(md.specFields(1)).contains("addr.geo.lat"))
+    // a dropped/unknown source id is genuinely None
+    assert(md.partitionSource(md.specFields(2)).isEmpty)
+    // equality deletes on nested ids fail loudly, top-level still works
+    assert(md.fieldName(1) == "id")
+    val e = intercept[RuntimeException] { md.fieldName(3) }
+    assert(e.getMessage.contains("NESTED"))
+  }
+}

@@ -546,6 +546,157 @@ class IcebergWriterSpec extends AnyFunSuite {
       Seq(IcebergTable.ScanPred("k", "in", "", Seq("77")))).count() == 0)
   }
 
+  test("equality-delete upserts: strictly-greater rule, time travel, compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_iceeq").toFile.getPath
+    IcebergWriter.create(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
+    // snapshot 2: ONE commit = new rows + an equality delete on id
+    // hiding every OLDER version of keys 2 and 4
+    IcebergWriter.upsertKeys(spark, dir,
+      Seq((2L, "b2"), (4L, "d")).toDF("id", "name"), Seq("id"))
+    def byId(d: String): Map[Long, String] =
+      IcebergTable.read(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(dir) == Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"))
+    // snapshot 3: a second upsert of the same key hides snapshot 2's
+    // version too (delete seq 3 > data seqs 1 and 2), while its own
+    // row survives (same seq — strictly greater)
+    IcebergWriter.upsertKeys(spark, dir,
+      Seq((2L, "b3")).toDF("id", "name"), Seq("id"))
+    assert(byId(dir) == Map(1L -> "a", 2L -> "b3", 3L -> "c", 4L -> "d"))
+    // time travel: each snapshot re-reads under its own delete set
+    assert(IcebergTable.readVersion(spark, dir, 1L).count() == 3)
+    assert(IcebergTable.readVersion(spark, dir, 2L)
+      .filter(col("id") === 2L).select("name").collect()
+      .map(_.getString(0)).toSeq == Seq("b2"))
+    // keyed delete: one commit carrying only the key values
+    IcebergWriter.deleteWhereKeys(spark, dir,
+      Seq(3L).toDF("id"), Seq("id"))
+    assert(ids(dir) == Seq(1L, 2L, 4L))
+    // positional-tombstone generation over live equality deletes must
+    // refuse (liveness would need the values re-applied)...
+    intercept[IllegalArgumentException](
+      IcebergWriter.deleteWhere(spark, dir, col("id") === 1L))
+    // ...and compaction materializes them away, after which the whole
+    // positional machinery works again
+    IcebergWriter.compact(spark, dir)
+    assert(byId(dir) == Map(1L -> "a", 2L -> "b3", 4L -> "d"))
+    assert(IcebergWriter.deleteWhere(spark, dir, col("id") === 4L) == 1L)
+    assert(ids(dir) == Seq(1L, 2L))
+  }
+
+  test("a string partition value equal to the null sentinel is refused at write") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_icesent").toFile.getPath
+    val df = Seq((1L, "ok"), (2L, "__HIVE_DEFAULT_PARTITION__"))
+      .toDF("id", "k")
+    val e = intercept[Exception](
+      IcebergWriter.create(spark, dir, df, partitionBy = Seq("k")))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("null-partition sentinel")))
+    // genuine NULLs still land in the null partition and read back
+    val dir2 = Files.createTempDirectory("graft_icesent2").toFile.getPath
+    IcebergWriter.create(spark, dir2,
+      Seq((1L, Some("x")), (2L, None)).toDF("id", "k"),
+      partitionBy = Seq("k"))
+    assert(IcebergTable.read(spark, dir2)
+      .filter(org.apache.spark.sql.functions.col("k").isNull)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("readPrunedOr: a file skips only when EVERY branch excludes it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_iceor").toFile.getPath
+    // three single-file eras via range layout on k
+    IcebergWriter.create(spark, dir,
+      spark.range(0, 30).select(col("id"),
+        (col("id") / 10).cast("long").as("k"))
+        .repartitionByRange(3, col("k")))
+    val md = IcebergTable.loadMetadata(dir)
+    val entries = IcebergTable.snapshotFiles(md,
+      md.currentSnapshot.get, dir).filter(_.content == 0)
+    assert(entries.size == 3)
+    // (k = 0) OR (k = 2): the middle file is excluded by BOTH branches
+    val branches = Seq(
+      Seq(IcebergTable.ScanPred("k", "=", "0")),
+      Seq(IcebergTable.ScanPred("k", "=", "2")))
+    val keptPer = entries.filter(f => branches.exists(b =>
+      IcebergTable.pruneEntries(md, Seq(f), b).nonEmpty))
+    assert(keptPer.size == 2)
+    val out = IcebergTable.readPrunedOr(spark, dir, branches)
+    assert(out.count() == 20)
+    assert(out.select("k").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L))
+    // BETWEEN composes as its two range predicates
+    assert(IcebergTable.readPruned(spark, dir,
+      IcebergTable.between("id", "5", "14")).count() == 10)
+  }
+
+  test("cross-process commit race: one winner, the loser refreshes and retries") {
+    import spark.implicits._
+    val dirF = Files.createTempDirectory("graft_icefork").toFile
+    val dir = dirF.getPath
+    IcebergWriter.create(spark, dir, Seq((1L, "a")).toDF("id", "name"))
+    // fork a SECOND JVM whose append will compute version 2, write the
+    // marker, then sleep before claiming — while it sleeps, THIS
+    // process commits version 2, so the worker's createFile loses and
+    // must refresh-and-retry onto version 3 (the in-JVM commit lock
+    // cannot serialize two processes; only the atomic claim can)
+    val marker = new java.io.File(dirF, "claim.marker")
+    val log = new java.io.File(dirF, "worker.log")
+    val classes = Seq("target/scala-2.13/classes",
+      "target/scala-2.13/test-classes")
+      .map(p => new java.io.File(p).getAbsolutePath)
+    val cp = (classes :+ "/opt/spark/jars/*").mkString(":")
+    val opens = scala.io.Source.fromFile("tools/jdk17-add-opens.txt")
+      .getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")).toSeq
+    val cmd = Seq("java", "-cp", cp) ++ opens ++ Seq("-Xmx1500m",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-Duser.language=en", "-Duser.country=US",
+      "graft.IcebergForkWorker", dir)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("GRAFT_ICEBERG_TEST_CLAIM_DELAY_MS", "8000")
+    pb.environment().put("GRAFT_ICEBERG_TEST_CLAIM_MARKER", marker.getPath)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    val proc = pb.start()
+    try {
+      // wait for the worker to compute its version and enter the sleep
+      val deadline = System.currentTimeMillis() + 240000L
+      while (!marker.isFile && System.currentTimeMillis() < deadline &&
+        proc.isAlive) Thread.sleep(100)
+      assert(marker.isFile, "worker never reached the claim hook: " +
+        scala.util.Try(java.nio.file.Files.readString(log.toPath)
+          .takeRight(2000)).getOrElse("<no log>"))
+      assert(java.nio.file.Files.readString(marker.toPath).trim == "2")
+      // interleave: the parent wins version 2 while the worker sleeps
+      IcebergWriter.append(spark, dir, Seq((2L, "parent")).toDF("id", "name"))
+      assert(proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+        "worker did not exit")
+      assert(proc.exitValue() == 0, "worker failed: " +
+        scala.util.Try(java.nio.file.Files.readString(log.toPath)
+          .takeRight(2000)).getOrElse("<no log>"))
+    } finally if (proc.isAlive) proc.destroyForcibly()
+    // one winner per version; the loser's retry landed cleanly on v3
+    assert(ids(dir) == Seq(1L, 2L, 1000L))
+    val md = IcebergTable.loadMetadata(dir)
+    assert(md.snapshots.map(_.snapshotId) == Seq(1L, 2L, 3L))
+    // the worker loaded snapshot 1 but committed with parent 2 —
+    // proof the conflict path refreshed instead of clobbering
+    assert(md.snapshots.last.parentId.contains(2L))
+    assert(new java.io.File(dirF, "metadata/v3.metadata.json").isFile)
+    assert(java.nio.file.Files.readString(
+      new java.io.File(dirF, "metadata/version-hint.text").toPath)
+      .trim == "3")
+  }
+
   test("schema round-trips through iceberg JSON including nested types") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_icewrite2").toFile.getPath
