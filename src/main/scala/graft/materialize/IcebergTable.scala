@@ -67,6 +67,21 @@ object IcebergTable {
   def read(spark: SparkSession, tableDir: String): DataFrame =
     readSnapshot(spark, tableDir, None)
 
+  /** Read a table whose metadata was RESOLVED BY A CATALOG
+    * ([[IcebergRestCatalog.loadTable]] — embedded metadata or a
+    * fetched metadata-location) instead of a directory scan. Data and
+    * manifest paths resolve against `tableDir` exactly as directory
+    * reads do; everything downstream of the metadata document —
+    * deletes, schema, pruning — is the same code path. */
+  def readResolved(spark: SparkSession, md: IcebergMetadata,
+      tableDir: String): DataFrame = {
+    val snap = md.currentSnapshot.getOrElse(
+      sys.error(s"catalog table at $tableDir has no current snapshot"))
+    val entries = snapshotFiles(md, snap, tableDir)
+    assemble(spark, md, tableDir, entries.filter(_.content == 0),
+      entries.filter(_.content == 1), entries.filter(_.content == 2))
+  }
+
   /** Read the current snapshot with FILE-LEVEL partition pruning: only
     * data files whose manifest-recorded partition tuple passes `keep`
     * are opened (positional deletes for pruned files simply never
