@@ -531,9 +531,12 @@ object IcebergTable {
   /** v2 row-level deletes, applied the way every engine reading
     * Iceberg without its runtime does (the reference reads such tables
     * via DuckDB's iceberg ATTACH, connections.py:990-1055), as
-    * distributed anti-joins with the delete side broadcast (delete
-    * files are metadata-scale next to the data they prune) and the data
-    * side never reshuffled:
+    * distributed anti-joins with NO forced distribution: AQE
+    * broadcasts a small delete side at runtime (keeping the data side
+    * unshuffled — the common case), and falls back to a shuffled join
+    * when tombstones have accumulated to data scale (a forced
+    * broadcast there collects hundreds of millions of coordinates
+    * onto the driver — measured dying at sf1000):
     *
     *  - POSITIONAL: a delete file is plain parquet of `(file_path,
     *    pos)` rows; a data row is live iff no delete row names its
@@ -592,8 +595,13 @@ object IcebergTable {
       val dels = spark.read.parquet(posDeletes.map(_.path): _*)
         .select(rel(col("file_path")).as("__graft_file"),
           col("pos").cast("long").as("__graft_pos"))
+      // no broadcast HINT on the delete side: positional tombstone
+      // sets scale with delete history, not with metadata (a 0.1%
+      // delete of a 100 TB table is ~100 M coordinates) — a forced
+      // broadcast collects them onto the driver; AQE still broadcasts
+      // small delete sets at runtime
       data = data.withColumn("__graft_pos", col("__graft_row"))
-        .join(broadcast(dels), Seq("__graft_file", "__graft_pos"),
+        .join(dels, Seq("__graft_file", "__graft_pos"),
           "left_anti")
         .drop("__graft_pos")
     }
@@ -607,7 +615,10 @@ object IcebergTable {
       }.reduce(_ unionByName _)
       val cond = names.map(n => data(n) <=> col(s"__graft_eq_$n"))
         .reduce(_ && _) && col("__graft_dseq") > data("__graft_seq")
-      data = data.join(broadcast(dels), cond, "left_anti")
+      // null-safe equalities hash/merge-join with the sequence compare
+      // as residual; no broadcast hint — an upsert stream's accumulated
+      // equality-delete keys scale with the ingested batches
+      data = data.join(dels, cond, "left_anti")
     }
     data.drop("__graft_file", "__graft_row", "__graft_seq")
   }

@@ -224,7 +224,12 @@ object IcebergWriter {
   def deleteInsert(spark: SparkSession, tableDir: String, df: DataFrame,
       keys: Seq[String]): Unit = {
     val (md, prior) = state(tableDir)
-    val keyBatch = broadcast(df.select(keys.map(col): _*).distinct())
+    // no broadcast HINT: an incremental batch's key set scales with
+    // the batch (at sf1000 it is hundreds of millions of keys — a
+    // forced broadcast collects it onto the driver and dies on
+    // maxResultSize); AQE still picks a broadcast join at runtime
+    // whenever the distinct key set is actually small
+    val keyBatch = df.select(keys.map(col): _*).distinct()
     val current = withOrdinals(spark, tableDir, md)
     val tomb = current.join(keyBatch, keys, "left_semi")
       .select(col("__graft_w_file").as("file_path"),
@@ -478,7 +483,9 @@ object IcebergWriter {
           "^" + java.util.regex.Pattern.quote(base + "/"), "")
           .as("__graft_w_file"),
           col("pos").cast("long").as("__graft_w_pos"))
-      data.join(broadcast(dels), Seq("__graft_w_file", "__graft_w_pos"),
+      // no broadcast hint: accumulated tombstone sets scale with
+      // delete history; AQE broadcasts small ones at runtime
+      data.join(dels, Seq("__graft_w_file", "__graft_w_pos"),
         "left_anti")
     }
   }
