@@ -8,7 +8,9 @@
 # relaxes environment knobs, never semantics.
 set -u
 cd "$(dirname "$0")/.."
-export _JAVA_OPTIONS="-Dspark.io.compression.codec=zstd -Dspark.driver.maxResultSize=4g"
+export _JAVA_OPTIONS="-Dspark.io.compression.codec=zstd -Dspark.driver.maxResultSize=4g -Dspark.sql.parquet.compression.codec=zstd"
+# parquet zstd: the temp Iceberg tables these legs write are the other
+# half of the peak footprint; codec choice never changes row values
 
 run_one() {
   local q=$1 need_gb=$2
@@ -44,10 +46,12 @@ run_one() {
   rm -rf "/tmp/v1000_$q"
 }
 
-run_one m_iceberg_pruned_bounds 30
-run_one m_iceberg_prune_or 30
-run_one m_iceberg_transforms 30
+# feasibility order: eq_delete/roundtrip avoid the range shuffle whose
+# ~37 GB zstd spill is what killed transforms/prune_or on this box —
+# those two and cdc_diff run last behind honest disk gates
 run_one m_iceberg_eq_delete 32
-run_one m_iceberg_roundtrip 34
-run_one m_cdc_diff 34
+run_one m_iceberg_roundtrip 36
+run_one m_iceberg_transforms 44
+run_one m_iceberg_prune_or 44
+run_one m_cdc_diff 44
 echo "[r15rerun] done $(date +%H:%M:%S)"
