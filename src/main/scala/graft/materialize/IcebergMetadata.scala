@@ -37,9 +37,11 @@ final case class IcebergPartField(name: String, transform: String,
 
 /** Manifest-list `field_summary` (spec "Manifest Lists", field 507
   * `partitions`): the range of one partition field's TRANSFORM values
-  * across every live file in a manifest. Bounds are canonical STRING
-  * forms (the same documented deviation as the writer's
-  * `partition_values` — the spec serializes single-value binary);
+  * across every live file in a manifest. Bounds are held as canonical
+  * STRING forms IN MEMORY; on storage they are the spec's Appendix D
+  * binary single-values — the writer serializes them
+  * ([[IcebergWriter]]) and the reader decodes both that layout and
+  * the string layout earlier rounds wrote ([[IcebergSingleValue]]).
   * `None` bounds mean "unknown here" and callers must keep the
   * manifest. Lets a reader skip an entire manifest — thousands of file
   * entries — without opening its avro, the second metadata tier of

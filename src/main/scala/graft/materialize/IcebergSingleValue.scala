@@ -124,6 +124,10 @@ object IcebergSingleValue {
         .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS"))
   }
 
+  /** Canonical timestamp string → micros since epoch (shared with the
+    * writer's typed r102 tuple emission). */
+  def micros(s: String): Option[Long] = parseMicros(s)
+
   private def parseMicros(s: String): Option[Long] = {
     val norm = s.trim.replace("T", " ")
     val ldt = scala.util.Try(java.time.LocalDateTime.parse(norm,

@@ -629,13 +629,13 @@ object IcebergWriter {
         var refs = effPrior
         dataFiles.foreach { files =>
           val m = new File(mdir, s"manifest-$snapId-$commitId-d.avro")
-          writeManifest(m, files, content = 0)
+          writeManifest(m, files, content = 0, spec, schema)
           refs :+= ManifestRef(m.getAbsolutePath, 0, seq,
             summariesOf(files, spec, schema))
         }
         tombFiles.foreach { files =>
           val m = new File(mdir, s"manifest-$snapId-$commitId-t.avro")
-          writeManifest(m, files, content = 1)
+          writeManifest(m, files, content = 1, spec, schema)
           refs :+= ManifestRef(m.getAbsolutePath, 1, seq)
         }
         eqFiles.foreach { files =>
@@ -643,11 +643,12 @@ object IcebergWriter {
           // this writer's ids are top-level-first positional
           val ids = eqDelete.get._2.map(k => schema.fieldIndex(k) + 1)
           val m = new File(mdir, s"manifest-$snapId-$commitId-e.avro")
-          writeManifest(m, files, content = 2, equalityIds = ids)
+          writeManifest(m, files, content = 2, spec, schema,
+            equalityIds = ids)
           refs :+= ManifestRef(m.getAbsolutePath, 1, seq)
         }
         val mlist = new File(mdir, s"snap-$snapId-$commitId.avro")
-        writeManifestList(mlist, refs)
+        writeManifestList(mlist, refs, spec, schema)
         val tsMs = math.max(System.currentTimeMillis(),
           effParent.map(_.timestampMs + 1).getOrElse(0L))
         val jm = new ObjectMapper()
@@ -728,12 +729,104 @@ object IcebergWriter {
         .map(_.group(1).toInt))
       .foldLeft(0)(math.max)
 
-  // -- avro structures ---------------------------------------------- //
+  // -- avro structures (the SPEC's layouts) -------------------------- //
+  //
+  // Manifests and manifest lists are written in the layouts every real
+  // engine reads: the r102 typed `partition` struct, FIELD-ID-keyed
+  // stats maps (avro logical map = array of key/value records) whose
+  // values are Appendix D binary single-values, and binary
+  // field-summary bounds with a real partition_spec_id. The string-form
+  // deviation earlier rounds documented is GONE on the write side; the
+  // reader keeps its `partition_values` branch for tables written
+  // before this round.
 
-  // `partitions` is the spec's manifest-list field 507 (one
-  // field_summary per partition-spec field, in spec order); bounds are
-  // canonical STRING transform values — same documented deviation from
-  // the spec's single-value binary as partition_values below
+  /** Transform VALUE DOMAIN of one spec field: identity and truncate
+    * carry source-typed values, bucket / year / month / day / hour are
+    * spec `int`s. (The writer-side twin of the reader's
+    * [[IcebergTable.summaryTypes]], positional instead of id-resolved.) */
+  private def tupleDomain(pf: IcebergPartField,
+      schema: StructType): DataType =
+    if (pf.transform == "identity" || pf.transform.startsWith("truncate["))
+      schema.fields(pf.sourceId - 1).dataType
+    else IntegerType
+
+  /** Avro type JSON for a tuple slot, with the spec's logical types. */
+  private def avroTypeJson(dt: DataType): String = dt match {
+    case BooleanType => "\"boolean\""
+    case IntegerType | ShortType | ByteType => "\"int\""
+    case LongType => "\"long\""
+    case FloatType => "\"float\""
+    case DoubleType => "\"double\""
+    case DateType => """{"type":"int","logicalType":"date"}"""
+    case TimestampType =>
+      """{"type":"long","logicalType":"timestamp-micros"}"""
+    case TimestampNTZType =>
+      """{"type":"long","logicalType":"local-timestamp-micros"}"""
+    case StringType => "\"string\""
+    case d: DecimalType =>
+      s"""{"type":"bytes","logicalType":"decimal","precision":${d.precision},"scale":${d.scale}}"""
+    case other => sys.error(s"unpartitionable tuple domain $other")
+  }
+
+  /** The canonical-string tuple value (hive dir name) as the typed
+    * avro value the r102 struct stores; null for the null sentinel.
+    * The writer's own dir renderings MUST parse — a failure here is a
+    * bug, never a silent null (null means the NULL partition). */
+  private def typedTupleValue(dt: DataType, s: String): AnyRef =
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case BooleanType => Boolean.box(s.toBoolean)
+      case IntegerType | ShortType | ByteType => Int.box(s.toInt)
+      case LongType => Long.box(s.toLong)
+      case FloatType => Float.box(s.toFloat)
+      case DoubleType => Double.box(s.toDouble)
+      case DateType =>
+        Int.box(java.time.LocalDate.parse(s.take(10)).toEpochDay.toInt)
+      case TimestampType | TimestampNTZType =>
+        Long.box(IcebergSingleValue.micros(s).getOrElse(
+          sys.error(s"unparseable timestamp tuple '$s'")))
+      case StringType => s
+      case d: DecimalType => java.nio.ByteBuffer.wrap(
+        new java.math.BigDecimal(s).setScale(d.scale)
+          .unscaledValue().toByteArray)
+      case other => sys.error(s"unpartitionable tuple value type $other")
+    }
+
+  private def manifestSchemaFor(spec: Seq[IcebergPartField],
+      schema: StructType): Schema = {
+    val r102Fields = spec.map { pf =>
+      s"""{"name":"${pf.name}","type":["null",${avroTypeJson(
+        tupleDomain(pf, schema))}],"default":null}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int"},
+         |{"name":"snapshot_id","type":["null","long"],"default":null},
+         |{"name":"sequence_number","type":["null","long"],"default":null},
+         |{"name":"file_sequence_number","type":["null","long"],"default":null},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |{"name":"content","type":"int"},
+         |{"name":"file_path","type":"string"},
+         |{"name":"file_format","type":"string"},
+         |{"name":"partition","type":["null",
+         |{"type":"record","name":"r102","fields":[$r102Fields]}],
+         |"default":null},
+         |{"name":"record_count","type":"long"},
+         |{"name":"file_size_in_bytes","type":"long"},
+         |{"name":"lower_bounds","type":["null",{"type":"array","items":
+         |{"type":"record","name":"k126_v127","fields":[
+         |{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+         |"default":null},
+         |{"name":"upper_bounds","type":["null",{"type":"array",
+         |"items":"k126_v127"}],"default":null},
+         |{"name":"null_value_counts","type":["null",{"type":"array","items":
+         |{"type":"record","name":"k121_v122","fields":[
+         |{"name":"key","type":"int"},{"name":"value","type":"long"}]}}],
+         |"default":null},
+         |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+         |"default":null}]}}]}""".stripMargin)
+  }
+
   private val manifestListSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"},
@@ -746,44 +839,25 @@ object IcebergWriter {
       |{"name":"partitions","type":["null",{"type":"array","items":
       |{"type":"record","name":"field_summary","fields":[
       |{"name":"contains_null","type":"boolean"},
-      |{"name":"lower_bound","type":["null","string"],"default":null},
-      |{"name":"upper_bound","type":["null","string"],"default":null}
+      |{"name":"lower_bound","type":["null","bytes"],"default":null},
+      |{"name":"upper_bound","type":["null","bytes"],"default":null}
       |]}}],"default":null}]}""".stripMargin)
-
-  // partition_values / *_bounds / null_value_counts deviate from the
-  // spec's typed layouts (r102 struct; field-id -> single-value-
-  // serialized binary maps): tuples and bounds are stored as STRING
-  // forms keyed by COLUMN NAME (this offline writer/reader pair is the
-  // consumer; the reader re-types values against the table schema —
-  // IcebergTable.partitionTuple also accepts the spec's r102 struct
-  // from foreign manifests)
-  private val manifestSchema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int"},
-      |{"name":"snapshot_id","type":["null","long"],"default":null},
-      |{"name":"sequence_number","type":["null","long"],"default":null},
-      |{"name":"file_sequence_number","type":["null","long"],"default":null},
-      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-      |{"name":"content","type":"int"},
-      |{"name":"file_path","type":"string"},
-      |{"name":"file_format","type":"string"},
-      |{"name":"record_count","type":"long"},
-      |{"name":"file_size_in_bytes","type":"long"},
-      |{"name":"partition_values","type":["null",{"type":"map","values":"string"}],
-      |"default":null},
-      |{"name":"lower_bounds","type":["null",{"type":"map","values":"string"}],
-      |"default":null},
-      |{"name":"upper_bounds","type":["null",{"type":"map","values":"string"}],
-      |"default":null},
-      |{"name":"null_value_counts","type":["null",{"type":"map","values":"long"}],
-      |"default":null},
-      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
-      |"default":null}]}}]}""".stripMargin)
 
   private def writeManifest(path: File,
       files: Seq[(String, Map[String, String])], content: Int,
+      spec: Seq[IcebergPartField], schema: StructType,
       equalityIds: Seq[Int] = Nil): Unit = {
+    val manifestSchema = manifestSchemaFor(spec, schema)
     val dfSchema = manifestSchema.getField("data_file").schema()
+    val r102Schema = dfSchema.getField("partition").schema().getTypes.get(1)
+    val kvB = dfSchema.getField("lower_bounds").schema()
+      .getTypes.get(1).getElementType
+    val kvL = dfSchema.getField("null_value_counts").schema()
+      .getTypes.get(1).getElementType
+    def kv(item: Schema, id: Int, v: AnyRef): GenericRecord = {
+      val g = new GenericData.Record(item)
+      g.put("key", id); g.put("value", v); g
+    }
     val rows = files.map { case (f, pv) =>
       val d = new GenericData.Record(dfSchema)
       val stats = parquetStats(f, withBounds = content == 0)
@@ -797,17 +871,38 @@ object IcebergWriter {
       d.put("file_format", "PARQUET")
       d.put("record_count", stats.rows)
       d.put("file_size_in_bytes", new File(f).length())
-      def toJMap[V](m: Map[String, V]): java.util.Map[String, V] = {
-        val jm = new java.util.HashMap[String, V]()
-        m.foreach { case (k, v) => jm.put(k, v) }
-        jm
+      if (content == 0 && spec.nonEmpty && pv.nonEmpty) {
+        val pr = new GenericData.Record(r102Schema)
+        spec.foreach { pf =>
+          pv.get(pf.name).foreach(s =>
+            pr.put(pf.name, typedTupleValue(tupleDomain(pf, schema), s)))
+        }
+        d.put("partition", pr)
       }
-      if (pv.nonEmpty) d.put("partition_values", toJMap(pv))
-      if (stats.lower.nonEmpty) d.put("lower_bounds", toJMap(stats.lower))
-      if (stats.upper.nonEmpty) d.put("upper_bounds", toJMap(stats.upper))
-      if (stats.nullCounts.nonEmpty)
-        d.put("null_value_counts",
-          toJMap(stats.nullCounts.map { case (k, v) => k -> Long.box(v) }))
+      // field-id-keyed Appendix D binary stats (top-level columns;
+      // a value the codec can't serialize just drops that column —
+      // the reader keeps boundless columns)
+      def boundsArr(m: Map[String, String]): java.util.List[GenericRecord] = {
+        val a = new java.util.ArrayList[GenericRecord]()
+        m.toSeq.sortBy(_._1).foreach { case (name, s) =>
+          val idx = schema.fieldNames.indexOf(name)
+          if (idx >= 0)
+            IcebergSingleValue.encode(schema.fields(idx).dataType, s)
+              .foreach(b => a.add(
+                kv(kvB, idx + 1, java.nio.ByteBuffer.wrap(b))))
+        }
+        a
+      }
+      if (stats.lower.nonEmpty) d.put("lower_bounds", boundsArr(stats.lower))
+      if (stats.upper.nonEmpty) d.put("upper_bounds", boundsArr(stats.upper))
+      if (stats.nullCounts.nonEmpty) {
+        val a = new java.util.ArrayList[GenericRecord]()
+        stats.nullCounts.toSeq.sortBy(_._1).foreach { case (name, n) =>
+          val idx = schema.fieldNames.indexOf(name)
+          if (idx >= 0) a.add(kv(kvL, idx + 1, Long.box(n)))
+        }
+        d.put("null_value_counts", a)
+      }
       val r = new GenericData.Record(manifestSchema)
       r.put("status", 1) // ADDED; sequence_number null => inherited
       r.put("data_file", d)
@@ -816,8 +911,8 @@ object IcebergWriter {
     writeAvro(path, manifestSchema, rows)
   }
 
-  private def writeManifestList(path: File,
-      refs: Seq[ManifestRef]): Unit = {
+  private def writeManifestList(path: File, refs: Seq[ManifestRef],
+      spec: Seq[IcebergPartField], schema: StructType): Unit = {
     val rows = refs.map { ref =>
       val r = new GenericData.Record(manifestListSchema)
       r.put("manifest_path", ref.path)
@@ -831,11 +926,24 @@ object IcebergWriter {
         val itemSchema = manifestListSchema.getField("partitions")
           .schema().getTypes.get(1).getElementType
         val arr = new java.util.ArrayList[GenericRecord](ss.size)
-        ss.foreach { s =>
+        ss.zipWithIndex.foreach { case (s, i) =>
           val g = new GenericData.Record(itemSchema)
           g.put("contains_null", s.containsNull)
-          s.lower.foreach(g.put("lower_bound", _))
-          s.upper.foreach(g.put("upper_bound", _))
+          // bounds serialize per the field's transform value domain —
+          // day/year/month/hour/bucket summaries are int ordinals
+          val dt = spec.lift(i).map(tupleDomain(_, schema))
+            .getOrElse(org.apache.spark.sql.types.NullType)
+          val encDt = dt match {
+            case LongType => LongType
+            case _ if spec.lift(i).exists(pf =>
+              pf.transform == "identity" ||
+                pf.transform.startsWith("truncate[")) => dt
+            case _ => IntegerType
+          }
+          s.lower.foreach(v => IcebergSingleValue.encode(encDt, v)
+            .foreach(b => g.put("lower_bound", java.nio.ByteBuffer.wrap(b))))
+          s.upper.foreach(v => IcebergSingleValue.encode(encDt, v)
+            .foreach(b => g.put("upper_bound", java.nio.ByteBuffer.wrap(b))))
           arr.add(g)
         }
         r.put("partitions", arr)

@@ -697,6 +697,61 @@ class IcebergWriterSpec extends AnyFunSuite {
       .trim == "3")
   }
 
+  test("writer emits the SPEC metadata layouts: r102 tuples, id-keyed binary bounds") {
+    import spark.implicits._
+    val dirF = Files.createTempDirectory("graft_icespec").toFile
+    val dir = dirF.getPath
+    IcebergWriter.createPartitioned(spark, dir,
+      Seq((1L, java.sql.Date.valueOf("1995-01-05"), "a"),
+        (2L, java.sql.Date.valueOf("1998-06-10"), "b"))
+        .toDF("id", "ds", "name"),
+      Seq(("ds", "day")))
+    def avroRows(f: java.io.File) = {
+      val r = org.apache.avro.file.DataFileReader.openReader(f,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try { import scala.jdk.CollectionConverters._
+        r.iterator().asScala.toList } finally r.close()
+    }
+    val mdir = new java.io.File(dirF, "metadata")
+    val manifest = mdir.listFiles()
+      .find(_.getName.startsWith("manifest-")).get
+    val entry = avroRows(manifest).head
+    val df0 = entry.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    // r102 typed partition struct — a day ordinal INT, not a string map
+    val part = df0.get("partition")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    val days = Set("1995-01-05", "1998-06-10")
+      .map(d => java.time.LocalDate.parse(d).toEpochDay.toInt)
+    assert(days.contains(part.get("ds_day").asInstanceOf[Int]))
+    assert(df0.getSchema.getField("partition_values") == null)
+    // stats maps: arrays of (key int = FIELD ID, value bytes =
+    // Appendix D) — id 1 is the long `id` column, 8-byte LE
+    val lower = df0.get("lower_bounds")
+      .asInstanceOf[java.util.Collection[_]]
+    import scala.jdk.CollectionConverters._
+    val byId = lower.asScala.map { case g:
+        org.apache.avro.generic.GenericRecord =>
+      g.get("key").asInstanceOf[Int] ->
+        g.get("value").asInstanceOf[java.nio.ByteBuffer]
+    }.toMap
+    assert(byId.contains(1) && byId(1).remaining() == 8)
+    // manifest-list field summary bounds are BYTES with a real spec id
+    val list = avroRows(mdir.listFiles()
+      .find(_.getName.startsWith("snap-")).get).head
+    assert(list.get("partition_spec_id").asInstanceOf[Int] == 0)
+    val summaries = list.get("partitions")
+      .asInstanceOf[java.util.Collection[_]]
+    val s0 = summaries.asScala.head
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(s0.get("lower_bound").isInstanceOf[java.nio.ByteBuffer])
+    // and the reader consumes its own spec layout end-to-end
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("ds", ">=", "1998-01-01")))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("schema round-trips through iceberg JSON including nested types") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_icewrite2").toFile.getPath
