@@ -61,8 +61,48 @@ object Cli {
     case Seq("health", rest @ _*) => cmdHealth(session.get(), rest)
     case Seq("status", _*) => cmdStatus(session.get())
     case Seq("stats", _*) => cmdStats(session.get())
+    case Seq("catalog", uri, rest @ _*) => cmdCatalog(uri, rest)
     case Seq("version", _*) => cmdVersion
     case _ => cmdHelp
+  }
+
+  // ------------------------------------------------------------ catalog
+
+  /** `graft catalog <uri> [ns [table]]` — the reference's attach-time
+    * visibility (connections.py:1040-1049: "Connected to Iceberg
+    * catalog …" + "Available namespaces: …") plus table drill-down,
+    * over the REST protocol client. Auth mirrors the reference's
+    * credential fields: `GRAFT_ICEBERG_TOKEN` (bearer) or
+    * `GRAFT_ICEBERG_CREDENTIAL` (client_id:client_secret OAuth2
+    * exchange), `GRAFT_ICEBERG_WAREHOUSE`. Pure HTTP + JSON — no Spark
+    * session spins up for catalog browsing. */
+  def cmdCatalog(uri: String, rest: Seq[String]): String = {
+    val cat = new graft.materialize.IcebergRestCatalog(uri,
+      token = sys.env.get("GRAFT_ICEBERG_TOKEN"),
+      credential = sys.env.get("GRAFT_ICEBERG_CREDENTIAL"),
+      warehouse = sys.env.get("GRAFT_ICEBERG_WAREHOUSE"))
+    rest.toList match {
+      case Nil =>
+        val ns = cat.listNamespaces()
+        s"Connected to Iceberg catalog: $uri\n" +
+          s"Available namespaces: ${ns.map(_.mkString(".")).mkString(", ")}"
+      case ns :: Nil =>
+        val ts = cat.listTables(ns.split('.').toSeq)
+        s"$ns: ${ts.size} table(s)\n" + ts.map("  " + _).mkString("\n")
+      case ns :: table :: _ =>
+        val (md, dir) = cat.loadTable(ns.split('.').toSeq, table)
+        val parts =
+          if (md.partitionFields.isEmpty) "(unpartitioned)"
+          else md.partitionFields.map { case (n, t) => s"$n($t)" }
+            .mkString(", ")
+        s"""$ns.$table
+           |  location:  $dir
+           |  format:    v${md.formatVersion}
+           |  schema:    ${md.schema.simpleString}
+           |  partition: $parts
+           |  snapshots: ${md.snapshots.size} (current ${
+          md.currentSnapshot.map(_.snapshotId).getOrElse(-1L)})""".stripMargin
+    }
   }
 
   // ------------------------------------------------------------ explain
@@ -249,5 +289,6 @@ object Cli {
       |  health [probe_table]          health checks
       |  status                        engine + connection status
       |  stats                         system + execution statistics
+      |  catalog <uri> [ns [table]]    browse an Iceberg REST catalog
       |  version                       version info""".stripMargin
 }

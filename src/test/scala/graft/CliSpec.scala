@@ -85,4 +85,51 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.run(Seq("version"), None, root).contains("graft 0.2.0"))
     assert(Cli.run(Seq("bogus"), None, root).contains("Usage"))
   }
+
+  test("catalog command browses a REST catalog without a Spark session") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.nio.charset.StandardCharsets
+    // a real table's CURRENT metadata served as LoadTableResult
+    val dir = Files.createTempDirectory("graft_clicat").toString
+    import spark.implicits._
+    graft.materialize.IcebergWriter.create(spark, dir,
+      Seq((1L, "a")).toDF("id", "name"), partitionBy = Seq("name"))
+    val hint = java.nio.file.Files.readString(
+      java.nio.file.Path.of(dir, "metadata/version-hint.text")).trim
+    val mdPath = s"$dir/metadata/v$hint.metadata.json"
+    def respond(ex: HttpExchange, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    }
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/config", (ex: HttpExchange) =>
+      respond(ex, """{"overrides":{"prefix":""}}"""))
+    server.createContext("/v1/namespaces", (ex: HttpExchange) =>
+      ex.getRequestURI.getPath match {
+        case "/v1/namespaces" =>
+          respond(ex, """{"namespaces":[["db"]]}""")
+        case "/v1/namespaces/db/tables" =>
+          respond(ex, """{"identifiers":[{"namespace":["db"],"name":"t1"}]}""")
+        case "/v1/namespaces/db/tables/t1" =>
+          respond(ex, s"""{"metadata-location":"$mdPath"}""")
+        case _ => respond(ex, "{}")
+      })
+    server.start()
+    try {
+      val uri = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // session = None everywhere: catalog browsing is HTTP + JSON only
+      val top = Cli.run(Seq("catalog", uri), None, "/tmp/none")
+      assert(top.contains("Connected to Iceberg catalog"))
+      assert(top.contains("Available namespaces: db"))
+      val ls = Cli.run(Seq("catalog", uri, "db"), None, "/tmp/none")
+      assert(ls.contains("1 table(s)") && ls.contains("t1"))
+      val tbl = Cli.run(Seq("catalog", uri, "db", "t1"), None, "/tmp/none")
+      assert(tbl.contains("format:    v2"))
+      assert(tbl.contains("name(identity)"))
+      assert(tbl.contains("snapshots: 1"))
+      assert(Cli.cmdHelp.contains("catalog <uri>"))
+    } finally server.stop(0)
+  }
 }
