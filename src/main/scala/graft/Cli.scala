@@ -76,6 +76,13 @@ object Cli {
     * `GRAFT_ICEBERG_CREDENTIAL` (client_id:client_secret OAuth2
     * exchange), `GRAFT_ICEBERG_WAREHOUSE`. Pure HTTP + JSON — no Spark
     * session spins up for catalog browsing. */
+  /** Namespace levels from the CLI argument: levels separate on `.`,
+    * and a level name that itself contains a dot writes it as `\.`
+    * (shell-quoted), e.g. `prod.team\.data` → ["prod", "team.data"].
+    * The REST layer addresses levels losslessly (0x1F separator). */
+  private[graft] def nsLevels(ns: String): Seq[String] =
+    ns.split("(?<!\\\\)\\.", -1).toSeq.map(_.replace("\\.", "."))
+
   def cmdCatalog(uri: String, rest: Seq[String]): String = {
     val cat = new graft.materialize.IcebergRestCatalog(uri,
       token = sys.env.get("GRAFT_ICEBERG_TOKEN"),
@@ -87,10 +94,10 @@ object Cli {
         s"Connected to Iceberg catalog: $uri\n" +
           s"Available namespaces: ${ns.map(_.mkString(".")).mkString(", ")}"
       case ns :: Nil =>
-        val ts = cat.listTables(ns.split('.').toSeq)
+        val ts = cat.listTables(nsLevels(ns))
         s"$ns: ${ts.size} table(s)\n" + ts.map("  " + _).mkString("\n")
       case ns :: table :: _ =>
-        val (md, dir) = cat.loadTable(ns.split('.').toSeq, table)
+        val (md, dir) = cat.loadTable(nsLevels(ns), table)
         val parts =
           if (md.partitionFields.isEmpty) "(unpartitioned)"
           else md.partitionFields.map { case (n, t) => s"$n($t)" }

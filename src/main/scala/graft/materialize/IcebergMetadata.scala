@@ -45,9 +45,18 @@ final case class IcebergPartField(name: String, transform: String,
   * `None` bounds mean "unknown here" and callers must keep the
   * manifest. Lets a reader skip an entire manifest — thousands of file
   * entries — without opening its avro, the second metadata tier of
-  * Iceberg scan planning at 100 TB. */
+  * Iceberg scan planning at 100 TB.
+  *
+  * `containsNan` mirrors the spec's optional field 518 `contains_nan`:
+  * float/double bounds EXCLUDE NaN by spec, and under Spark SQL
+  * ordering NaN is LARGER than every number, so an upper-bound-driven
+  * skip (`>`, `>=`, the `!=` point interval) on a float/double
+  * partition field is sound only when NaN is proven absent —
+  * `Some(false)`. `None` (field absent — older writers) and
+  * `Some(true)` both keep the manifest for those ops. */
 final case class IcebergFieldSummary(containsNull: Boolean,
-    lower: Option[String], upper: Option[String])
+    lower: Option[String], upper: Option[String],
+    containsNan: Option[Boolean] = None)
 
 final case class IcebergMetadata(
     formatVersion: Int,
@@ -62,7 +71,8 @@ final case class IcebergMetadata(
     fieldIds: Map[Int, Map[Int, String]], // schema-id -> field-id -> name
     defaultSpecId: Int,
     specFields: Seq[IcebergPartField],
-    properties: Map[String, String] = Map.empty) {
+    properties: Map[String, String] = Map.empty,
+    specCount: Int = 1) {
 
   /** (name, transform) view of the default spec — the shape most
     * callers key pruning decisions on. */
@@ -185,7 +195,11 @@ object IcebergMetadata {
       specFields = specFields,
       properties = Option(root.get("properties")).map(p =>
         p.fields().asScala.map(e =>
-          e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
+          e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+      // how many partition specs the document carries (evolved-away
+      // specs included) — the writer's rewrite-safety guard refuses
+      // tables with more than the single spec it regenerates
+      specCount = math.max(1, root.path("partition-specs").size()))
   }
 
   private def structOf(node: JsonNode): StructType =

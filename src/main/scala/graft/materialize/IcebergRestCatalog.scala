@@ -68,8 +68,14 @@ final class IcebergRestCatalog(baseUri: String,
       require(resp.statusCode() / 100 == 2,
         s"iceberg rest: token exchange failed ${resp.statusCode()}: " +
           resp.body().take(500))
-      mapper.readTree(resp.body()).path("access_token").asText("")
-    }.filter(_.nonEmpty)
+      val tok = mapper.readTree(resp.body()).path("access_token").asText("")
+      // a 2xx exchange with no token is a broken/misconfigured server:
+      // proceeding unauthenticated would turn an auth failure into
+      // confusing downstream 401s (or silent anonymous access) — raise
+      require(tok.nonEmpty, "iceberg rest: token exchange returned 2xx " +
+        "but no access_token — refusing to continue unauthenticated")
+      tok
+    }
   }
 
   private def get(path: String): JsonNode = {

@@ -255,7 +255,22 @@ object IcebergTable {
     // value ops can never match a NULL row: an all-null file skips
     if (f.recordCount > 0L &&
       f.nullCounts.get(p.column).contains(f.recordCount)) return false
-    val boundsOk = (f.lowerBounds.get(p.column),
+    // NaN blindness guard: float/double bounds EXCLUDE NaN (spec
+    // "Metrics" — writers record NaN rows in `nan_value_counts`
+    // instead), while Spark SQL orders NaN ABOVE every number. So a
+    // NaN row satisfies `> v` / `>= v` for every finite v, and `!= v`
+    // always — the three ops whose bound-driven skip would silently
+    // drop those rows. They may only prune when the file is PROVEN
+    // NaN-free (`nan_value_counts` entry of 0); an absent entry keeps
+    // the file. `<`, `<=`, `=`, `in` stay prunable: NaN satisfies none
+    // of them against a parseable (finite) literal.
+    val nanBlind = {
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
+      (dt == FloatType || dt == DoubleType) &&
+        Set(">", ">=", "!=")(p.op) &&
+        !f.nanCounts.get(p.column).contains(0L)
+    }
+    val boundsOk = nanBlind || ((f.lowerBounds.get(p.column),
         f.upperBounds.get(p.column)) match {
       case (Some(lo), Some(hi)) =>
         (cmpTyped(dt, p.value, lo), cmpTyped(dt, p.value, hi)) match {
@@ -272,7 +287,7 @@ object IcebergTable {
           case _ => true
         }
       case _ => true
-    }
+    })
     val partOk = md.specFields.forall { sf =>
       md.partitionSource(sf) match {
         case Some(src) if src == p.column =>
@@ -494,38 +509,119 @@ object IcebergTable {
         .select(md.schema.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
     else applyDeletes(spark, md, tableDir, files, posDeletes, eqDeletes)
 
+  /** Process-wide cache of parquet footer top-level fields
+    * (name, field-id). Iceberg data files are immutable — a path never
+    * changes contents — so resolutions are cached forever (cleared
+    * only by a crude size cap against pathological churn). */
+  private val footerFieldsCache = new java.util.concurrent
+    .ConcurrentHashMap[String, Seq[(String, Option[Int])]]()
+
+  /** Top-level (name, field-id) pairs of one parquet data file's
+    * footer schema — driver-side metadata work, a few KB per file,
+    * parallelized across a batch and cached by path. */
+  private def footerFields(path: String): Seq[(String, Option[Int])] = {
+    val cached = footerFieldsCache.get(path)
+    if (cached != null) return cached
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val fields = try {
+      r.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
+        .map(t => t.getName -> Option(t.getId).map(_.intValue))
+    } finally r.close()
+    if (footerFieldsCache.size > 262144) footerFieldsCache.clear()
+    footerFieldsCache.put(path, fields)
+    fields
+  }
+
+  /** Per-file projection of the CURRENT schema onto a data file's
+    * physical columns — the spec's column-resolution rule ("Column
+    * Projection"): when the file stamps parquet FIELD IDs (what real
+    * engines write), each current column resolves strictly by its id,
+    * so a column RENAMED after the file was written still resolves to
+    * its old physical name instead of silently reading NULL (the
+    * wrong-answer edge the name-imposed read had); a current id absent
+    * from the file means the column was ADDED later and correctly
+    * reads as typed NULL. Files without ids (this repo's writer,
+    * migrated Hive data) resolve by name — there a missing name is
+    * indistinguishable from an added column, matching engines'
+    * name-mapping fallback. Returns current column name -> physical
+    * name; absent key = typed NULL. */
+  private def projectionOf(md: IcebergMetadata,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      fields: Seq[(String, Option[Int])]): Seq[(String, Option[String])] = {
+    val byId = fields.collect { case (n, Some(i)) => i -> n }.toMap
+    val byName = fields.map(_._1).toSet
+    val nameToId = md.fieldIds.getOrElse(md.currentSchemaId, Map.empty)
+      .map(_.swap)
+    dataSchema.fields.toSeq.map { f =>
+      val resolved =
+        if (byId.nonEmpty) nameToId.get(f.name).flatMap(byId.get)
+        else if (byName(f.name)) Some(f.name)
+        else None
+      f.name -> resolved
+    }
+  }
+
   /** Distributed read of a set of data files with manifest-recorded
     * partition values injected as typed literal columns (partitioned
     * files physically lack their partition columns — the hive layout).
-    * `withCoords = true` additionally attaches the raw `_metadata`
-    * struct for (file, row-ordinal) coordinate derivation; callers
-    * compute their own relative-path column from it. */
+    * Columns resolve per file against the parquet footer (field-id
+    * projection, [[projectionOf]]); files grouped by (partition tuple,
+    * projection) become one multi-path scan each. `withCoords = true`
+    * additionally attaches the raw `_metadata` struct for (file,
+    * row-ordinal) coordinate derivation; callers compute their own
+    * relative-path column from it.
+    *
+    * Scale note: footer resolution is O(files) driver metadata work
+    * (the same class as manifest parsing), parallelized and cached;
+    * engines with a native Iceberg scan do the identical id-projection
+    * executor-side per file. */
   private[materialize] def readData(spark: SparkSession,
       md: IcebergMetadata, files: Seq[FileEntry],
       withCoords: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
-    files.groupBy(_.partitionValues).map { case (pv, fs) =>
-      val dataSchema = org.apache.spark.sql.types.StructType(
-        md.schema.filterNot(f => pv.contains(f.name)))
-      var d = spark.read.schema(dataSchema).parquet(fs.map(_.path): _*)
-      if (withCoords)
-        d = d.withColumn("__graft_meta", col("_metadata"))
-      // only IDENTITY tuple keys are schema columns that were
-      // partitioned out of the files; derived transform values
-      // (`x_bucket`, `ts_day`, …) exist only in the manifests — their
-      // SOURCE columns are still physically present in the data files
-      pv.filter { case (k, _) => md.schema.fieldNames.contains(k) }
-        .foreach { case (k, v) =>
-          val typed =
-            if (v == "__HIVE_DEFAULT_PARTITION__")
-              lit(null).cast(md.schema(k).dataType)
-            else lit(v).cast(md.schema(k).dataType)
-          d = d.withColumn(k, typed)
-        }
-      val cols = md.schema.fieldNames.map(col(_)) ++
-        (if (withCoords) Seq(col("__graft_meta")) else Nil)
-      d.select(cols: _*)
-    }.reduce(_ unionByName _)
+    // resolve all footers up front (parallel for big batches)
+    val uncached = files.map(_.path).distinct
+      .filterNot(footerFieldsCache.containsKey)
+    if (uncached.size > 8)
+      uncached.asJava.parallelStream().forEach(p => footerFields(p))
+    files.groupBy(f => (f.partitionValues,
+        projectionOf(md, org.apache.spark.sql.types.StructType(
+          md.schema.filterNot(c => f.partitionValues.contains(c.name))),
+          footerFields(f.path))))
+      .map { case ((pv, proj), fs) =>
+        val present = proj.collect { case (cur, Some(phys)) => cur -> phys }
+        val readSchema = org.apache.spark.sql.types.StructType(
+          present.map { case (cur, phys) =>
+            md.schema(cur).copy(name = phys) })
+        var d = spark.read.schema(readSchema).parquet(fs.map(_.path): _*)
+        if (withCoords)
+          d = d.withColumn("__graft_meta", col("_metadata"))
+        // physical -> current names; unresolvable columns (added after
+        // the file was written) read as typed NULL per the spec
+        val projected = proj.map {
+          case (cur, Some(phys)) => col(phys).as(cur)
+          case (cur, None) => lit(null).cast(md.schema(cur).dataType).as(cur)
+        } ++ (if (withCoords) Seq(col("__graft_meta")) else Nil)
+        d = d.select(projected: _*)
+        // only IDENTITY tuple keys are schema columns that were
+        // partitioned out of the files; derived transform values
+        // (`x_bucket`, `ts_day`, …) exist only in the manifests — their
+        // SOURCE columns are still physically present in the data files
+        pv.filter { case (k, _) => md.schema.fieldNames.contains(k) }
+          .foreach { case (k, v) =>
+            val typed =
+              if (v == "__HIVE_DEFAULT_PARTITION__")
+                lit(null).cast(md.schema(k).dataType)
+              else lit(v).cast(md.schema(k).dataType)
+            d = d.withColumn(k, typed)
+          }
+        val cols = md.schema.fieldNames.map(col(_)) ++
+          (if (withCoords) Seq(col("__graft_meta")) else Nil)
+        d.select(cols: _*)
+      }.reduce(_ unionByName _)
   }
 
   /** v2 row-level deletes, applied the way every engine reading
@@ -667,7 +763,8 @@ object IcebergTable {
       lowerBounds: Map[String, String] = Map.empty,
       upperBounds: Map[String, String] = Map.empty,
       nullCounts: Map[String, Long] = Map.empty,
-      recordCount: Long = 0L)
+      recordCount: Long = 0L,
+      nanCounts: Map[String, Long] = Map.empty)
 
   /** One manifest-list row: path, sequence number, content kind
     * (0=data, 1=deletes; absent reads as 0), the row's
@@ -748,9 +845,14 @@ object IcebergTable {
                 case other => IcebergSingleValue.bytesOf(other)
                   .flatMap(IcebergSingleValue.decode(dt, _))
               }
+            val nan =
+              if (g.getSchema.getField("contains_nan") == null) None
+              else Option(g.get("contains_nan"))
+                .map(_.toString.toBoolean)
             Some(IcebergFieldSummary(
               Option(g.get("contains_null")).exists(_.toString.toBoolean),
-              strOf("lower_bound"), strOf("upper_bound")))
+              strOf("lower_bound"), strOf("upper_bound"),
+              containsNan = nan))
           case _ => None
         }
         if (parsed.forall(_.isDefined)) Some(parsed.map(_.get)) else None
@@ -778,12 +880,23 @@ object IcebergTable {
             md.specFields.zip(ss).forall { case (sf, s) =>
               md.partitionSource(sf) match {
                 case Some(src) if src == p.column =>
-                  def rangeKeeps(pp: ScanPred): Boolean =
-                    (s.lower, s.upper) match {
+                  // the file-tier NaN guard, one tier up: float/double
+                  // summary bounds exclude NaN, so `>`/`>=`/`!=` may
+                  // skip a manifest only when `contains_nan` is
+                  // RECORDED false (absent field — older writers —
+                  // keeps)
+                  val nanBlind = {
+                    import org.apache.spark.sql.types.{DoubleType, FloatType}
+                    (dt == FloatType || dt == DoubleType) &&
+                      Set(">", ">=", "!=")(p.op) &&
+                      !s.containsNan.contains(false)
+                  }
+                  def rangeKeeps(pp: ScanPred): Boolean = nanBlind ||
+                    ((s.lower, s.upper) match {
                       case (Some(lo), Some(hi)) =>
                         transformRangeKeeps(sf.transform, dt, lo, hi, pp)
                       case _ => true
-                    }
+                    })
                   p.op match {
                     // a null-free partition field proves a null-free
                     // source column across the whole manifest — on a
@@ -934,27 +1047,32 @@ object IcebergTable {
           // Appendix D ([[IcebergSingleValue]]) against the schema
           // column's type. An unresolvable id (nested/dropped) or an
           // undecodable value drops just that column: a lost bound is a
-          // kept file, never a wrong prune.
+          // kept file, never a wrong prune. The id interpretation
+          // applies ONLY to the spec's array-of-kv layout (its keys ARE
+          // field ids); a legacy java.util.Map key is a column NAME
+          // unconditionally, even an all-digit one like "2024" — id-
+          // remapping it could read another column's bounds.
           val ids = md.fieldIds.getOrElse(md.currentSchemaId, Map.empty)
-          def colOf(k: String): Option[String] =
-            if (k.nonEmpty && k.forall(_.isDigit))
-              scala.util.Try(k.toInt).toOption.flatMap(ids.get)
-            else Some(k)
-          def kvPairs(field: String): Seq[(String, Any)] =
+          def kvPairs(field: String): Seq[(String, Any, Boolean)] =
             if (df.getSchema.getField(field) == null) Nil
             else Option(df.get(field)).toSeq.flatMap {
               case m: java.util.Map[_, _] =>
-                m.asScala.toSeq.map { case (k, v) => k.toString -> (v: Any) }
+                m.asScala.toSeq.map { case (k, v) =>
+                  (k.toString, v: Any, false)
+                }
               case c: java.util.Collection[_] => c.asScala.toSeq.collect {
                 case g: GenericRecord if g.getSchema.getField("key") != null =>
-                  g.get("key").toString -> g.get("value")
+                  (g.get("key").toString, g.get("value"): Any, true)
               }
               case _ => Nil
             }
+          def colOf(k: String, idKeyed: Boolean): Option[String] =
+            if (idKeyed) scala.util.Try(k.toInt).toOption.flatMap(ids.get)
+            else Some(k)
           def boundMap(field: String): Map[String, String] =
-            kvPairs(field).flatMap { case (k, v) =>
+            kvPairs(field).flatMap { case (k, v, idKeyed) =>
               for {
-                name <- colOf(k)
+                name <- colOf(k, idKeyed)
                 dt <- md.schema.find(_.name == name).map(_.dataType)
                 s <- v match {
                   case cs: CharSequence => Some(cs.toString)
@@ -964,9 +1082,9 @@ object IcebergTable {
               } yield name -> s
             }.toMap
           def countMap(field: String): Map[String, Long] =
-            kvPairs(field).flatMap { case (k, v) =>
+            kvPairs(field).flatMap { case (k, v, idKeyed) =>
               for {
-                name <- colOf(k)
+                name <- colOf(k, idKeyed)
                 n <- scala.util.Try(v.toString.toLong).toOption
               } yield name -> n
             }.toMap
@@ -977,7 +1095,8 @@ object IcebergTable {
             recordCount =
               if (df.getSchema.getField("record_count") == null) 0L
               else Option(df.get("record_count"))
-                .map(_.toString.toLong).getOrElse(0L))
+                .map(_.toString.toLong).getOrElse(0L),
+            nanCounts = countMap("nan_value_counts"))
         }
       }
     }

@@ -509,6 +509,57 @@ object IcebergWriter {
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Test-only commit-race hook: (sleep millis, marker file) written +
+    * slept between computing a metadata version and claiming it.
+    * Settable only in-process (the forked test worker arms it from its
+    * own env); never read from the environment here. */
+  @volatile private[graft] var testClaimHook: Option[(Long, String)] = None
+
+  /** Commit REGENERATES table metadata from scratch: one spec-id-0
+    * partition spec, positionally renumbered field ids
+    * ([[schemaJson]]), carried-forward manifests stamped
+    * partition_spec_id=0, equality_ids computed as fieldIndex+1. On a
+    * table this writer maintains those are invariants; on a FOREIGN
+    * table with non-positional field ids or evolved partition specs,
+    * ONE local commit would silently re-key every id-addressed
+    * structure — stats maps, equality_ids, summary spec gating —
+    * turning correct pruning into wrong pruning (the round-15
+    * advisor's medium). Read-only access to such tables stays fully
+    * supported; writing them belongs to their native engine — refuse
+    * loudly before any distributed work. */
+  private def requireRewriteSafe(m: IcebergMetadata, base: String): Unit = {
+    require(m.defaultSpecId == 0, s"iceberg: refusing to commit onto " +
+      s"$base — its default partition spec id is ${m.defaultSpecId}, " +
+      "but this writer regenerates metadata with a single spec-id-0 " +
+      "spec; a local commit would re-key the table's spec-addressed " +
+      "metadata (foreign table — write it with its native engine)")
+    require(m.specCount <= 1, s"iceberg: refusing to commit onto " +
+      s"$base — it carries ${m.specCount} partition specs (evolved " +
+      "layout); this writer regenerates a single spec and would make " +
+      "old-spec manifests pass the reader's default-spec summary gate " +
+      "(foreign table — write it with its native engine)")
+    val ids = m.fieldIds.getOrElse(m.currentSchemaId, Map.empty)
+    val om = new ObjectMapper()
+    val (node, _) = schemaJson(om, m.schema, m.currentSchemaId)
+    def idsOf(n: com.fasterxml.jackson.databind.JsonNode,
+        prefix: String): Seq[(Int, String)] =
+      n.path("fields").elements().asScala.toSeq.flatMap { f =>
+        val name = prefix + f.path("name").asText()
+        val t = f.path("type")
+        Seq(f.path("id").asInt(-1) -> name) ++
+          (if (t.isObject && t.path("type").asText() == "struct")
+            idsOf(t, name + ".")
+          else Nil)
+      }
+    val expected = idsOf(node, "").toMap
+    require(ids == expected, s"iceberg: refusing to commit onto $base " +
+      s"— its field-id table ${ids.toSeq.sortBy(_._1)} is not the " +
+      s"positional assignment this writer regenerates " +
+      s"(${expected.toSeq.sortBy(_._1)}); a local commit would re-key " +
+      "id-addressed stats and equality_ids (foreign table — write it " +
+      "with its native engine)")
+  }
+
   private def commit(spark: SparkSession, dir: File, schema: StructType,
       prior: Seq[ManifestRef], parent: Option[IcebergSnapshot],
       newData: Option[DataFrame], tombstones: Option[DataFrame],
@@ -526,6 +577,7 @@ object IcebergWriter {
     val spec = md0.map(_.specFields).getOrElse(partitionSpec)
     val commitId = UUID.randomUUID().toString.take(8)
     val base = dir.getAbsolutePath
+    md0.foreach(requireRewriteSafe(_, base))
     val mdir = new File(dir, "metadata"); mdir.mkdirs()
 
     def leaves(f: File): Seq[File] =
@@ -676,14 +728,15 @@ object IcebergWriter {
         val vfile = new File(mdir, s"v$version.metadata.json")
         // test-only chaos hook: signal + pause between computing the
         // version and claiming it, so the cross-process conflict spec
-        // can interleave a competing commit deterministically
+        // can interleave a competing commit deterministically. Armed
+        // only via the package-private var (set by the fork-worker
+        // test main from ITS env) — a stray env var in a deployment
+        // never reaches this path
         if (attempts == 0)
-          sys.env.get("GRAFT_ICEBERG_TEST_CLAIM_DELAY_MS").foreach { ms =>
-            sys.env.get("GRAFT_ICEBERG_TEST_CLAIM_MARKER").foreach { mk =>
-              java.nio.file.Files.writeString(new File(mk).toPath,
-                version.toString)
-            }
-            Thread.sleep(ms.toLong)
+          testClaimHook.foreach { case (ms, mk) =>
+            java.nio.file.Files.writeString(new File(mk).toPath,
+              version.toString)
+            Thread.sleep(ms)
           }
         try {
           // ATOMIC claim: createFile fails if the version exists — a
@@ -823,6 +876,10 @@ object IcebergWriter {
          |{"type":"record","name":"k121_v122","fields":[
          |{"name":"key","type":"int"},{"name":"value","type":"long"}]}}],
          |"default":null},
+         |{"name":"nan_value_counts","type":["null",{"type":"array","items":
+         |{"type":"record","name":"k138_v139","fields":[
+         |{"name":"key","type":"int"},{"name":"value","type":"long"}]}}],
+         |"default":null},
          |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
          |"default":null}]}}]}""".stripMargin)
   }
@@ -839,6 +896,7 @@ object IcebergWriter {
       |{"name":"partitions","type":["null",{"type":"array","items":
       |{"type":"record","name":"field_summary","fields":[
       |{"name":"contains_null","type":"boolean"},
+      |{"name":"contains_nan","type":["null","boolean"],"default":null},
       |{"name":"lower_bound","type":["null","bytes"],"default":null},
       |{"name":"upper_bound","type":["null","bytes"],"default":null}
       |]}}],"default":null}]}""".stripMargin)
@@ -903,6 +961,16 @@ object IcebergWriter {
         }
         d.put("null_value_counts", a)
       }
+      if (stats.nanCounts.nonEmpty) {
+        val kvN = dfSchema.getField("nan_value_counts").schema()
+          .getTypes.get(1).getElementType
+        val a = new java.util.ArrayList[GenericRecord]()
+        stats.nanCounts.toSeq.sortBy(_._1).foreach { case (name, n) =>
+          val idx = schema.fieldNames.indexOf(name)
+          if (idx >= 0) a.add(kv(kvN, idx + 1, Long.box(n)))
+        }
+        d.put("nan_value_counts", a)
+      }
       val r = new GenericData.Record(manifestSchema)
       r.put("status", 1) // ADDED; sequence_number null => inherited
       r.put("data_file", d)
@@ -929,6 +997,7 @@ object IcebergWriter {
         ss.zipWithIndex.foreach { case (s, i) =>
           val g = new GenericData.Record(itemSchema)
           g.put("contains_null", s.containsNull)
+          s.containsNan.foreach(b => g.put("contains_nan", Boolean.box(b)))
           // bounds serialize per the field's transform value domain —
           // day/year/month/hour/bucket summaries are int ordinals
           val dt = spec.lift(i).map(tupleDomain(_, schema))
@@ -985,13 +1054,25 @@ object IcebergWriter {
               case None => None
             }
         }.flatten
-      IcebergFieldSummary(containsNull, pick(_ < 0), pick(_ > 0))
+      // contains_nan: only an identity transform on a float/double
+      // source can carry NaN tuple values ("NaN" in canonical string
+      // form — bucket/truncate/temporal transforms don't apply to
+      // floats); recorded definitively so the reader's NaN guard can
+      // keep pruning `>`/`>=`/`!=` on these fields
+      val floatingSource = sf.transform == "identity" &&
+        (schema.fields(sf.sourceId - 1).dataType == FloatType ||
+          schema.fields(sf.sourceId - 1).dataType == DoubleType)
+      val containsNan =
+        if (floatingSource) Some(present.contains("NaN")) else Some(false)
+      IcebergFieldSummary(containsNull, pick(_ < 0), pick(_ > 0),
+        containsNan = containsNan)
     })
   }
 
   private final case class FileStats(rows: Long,
       lower: Map[String, String], upper: Map[String, String],
-      nullCounts: Map[String, Long])
+      nullCounts: Map[String, Long],
+      nanCounts: Map[String, Long] = Map.empty)
 
   /** Footer-only stats (the spec's data-file stats: `record_count`,
     * per-column `lower_bounds`/`upper_bounds`/`null_value_counts`) — a
@@ -1018,6 +1099,7 @@ object IcebergWriter {
       val lower = scala.collection.mutable.Map[String, String]()
       val upper = scala.collection.mutable.Map[String, String]()
       val nulls = scala.collection.mutable.Map[String, Long]()
+      val nans = scala.collection.mutable.Map[String, Long]()
       // merge row-group statistics per top-level primitive column; a
       // column's bounds only stand if EVERY row group carried stats
       // (a gap means uncovered rows — pruning on partial bounds would
@@ -1096,13 +1178,27 @@ object IcebergWriter {
             }
             case _ => None
           }
+          val isFloating = pt.getPrimitiveTypeName == FLOAT ||
+            pt.getPrimitiveTypeName == DOUBLE
           for {
             lo <- render(st.genericGetMin())
             hi <- render(st.genericGetMax())
-          } { lower(name) = lo; upper(name) = hi }
+            // a NaN min/max (an old parquet writer's poisoned stats) is
+            // not an orderable bound — drop it, and never claim the
+            // column NaN-free
+            if !(isFloating && (lo == "NaN" || hi == "NaN"))
+          } {
+            lower(name) = lo; upper(name) = hi
+            // parquet-mr (PARQUET-1246 lineage; verified on 1.16)
+            // DROPS float/double min/max for any row group holding a
+            // NaN, so bounds present in EVERY row group prove the file
+            // NaN-free — the exact `nan_value_counts = 0` evidence the
+            // reader's NaN guard needs to keep pruning these columns
+            if (isFloating) nans(name) = 0L
+          }
         }
       }
-      FileStats(rows, lower.toMap, upper.toMap, nulls.toMap)
+      FileStats(rows, lower.toMap, upper.toMap, nulls.toMap, nans.toMap)
     } finally r.close()
   }
 

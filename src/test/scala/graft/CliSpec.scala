@@ -132,4 +132,15 @@ class CliSpec extends AnyFunSuite {
       assert(Cli.cmdHelp.contains("catalog <uri>"))
     } finally server.stop(0)
   }
+
+  test("catalog namespace levels: dots split, backslash-dot escapes") {
+    assert(Cli.nsLevels("db") == Seq("db"))
+    assert(Cli.nsLevels("prod.analytics") == Seq("prod", "analytics"))
+    // a level whose NAME contains a dot is addressable via \.
+    assert(Cli.nsLevels("prod.team\\.data") == Seq("prod", "team.data"))
+    assert(Cli.nsLevels("a\\.b\\.c") == Seq("a.b.c"))
+    // trailing empty levels are preserved (malformed input is the
+    // server's to reject, not silently reshaped)
+    assert(Cli.nsLevels("a.") == Seq("a", ""))
+  }
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.materialize.{IcebergMetadata, IcebergSingleValue, IcebergTable}
+import graft.materialize.{IcebergMetadata, IcebergSingleValue, IcebergTable, IcebergWriter}
 
 /** FOREIGN-written Iceberg tables: manifests and manifest lists laid
   * out exactly as real engines (Spark+Iceberg, Flink, Trino) write
@@ -494,5 +494,293 @@ class IcebergForeignSpec extends AnyFunSuite {
     assert(md.fieldName(1) == "id")
     val e = intercept[RuntimeException] { md.fieldName(3) }
     assert(e.getMessage.contains("NESTED"))
+  }
+
+  // ---------------------------------------------------------------- //
+  //  NaN-aware float/double pruning (r15 verdict wrong-answer edge #1)
+  // ---------------------------------------------------------------- //
+
+  private val nanManifestSchema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_entry","fields":[
+       |{"name":"status","type":"int"},
+       |{"name":"sequence_number","type":["null","long"],"default":null},
+       |{"name":"data_file","type":{"type":"record","name":"df","fields":[
+       |{"name":"content","type":"int"},
+       |{"name":"file_path","type":"string"},
+       |{"name":"record_count","type":"long"},
+       |{"name":"lower_bounds","type":["null",$kvBytes],"default":null},
+       |{"name":"upper_bounds","type":["null",$kvBytes],"default":null},
+       |{"name":"null_value_counts","type":["null",$kvLong],"default":null},
+       |{"name":"nan_value_counts","type":["null",$kvLong],"default":null}
+       |]}}]}""".stripMargin)
+
+  /** Unpartitioned foreign table of (id long #1, v double #2): three
+    * files whose spec-conformant bounds EXCLUDE NaN (the spec's
+    * "Metrics" rule) — f1 holds a NaN row with nan_value_counts=1, f2
+    * is recorded NaN-free (nan=0), f3 carries bounds but NO nan entry
+    * (an older writer). */
+  private def buildNanForeign(): String = {
+    val dir = Files.createTempDirectory("graft_icenan").toFile
+    val loc = dir.getPath
+    import spark.implicits._
+    onePart(dir, Seq((1L, 1.0), (2L, Double.NaN)).toDF("id", "v"),
+      "data/f1.parquet")
+    onePart(dir, Seq((3L, 5.0), (4L, 7.0)).toDF("id", "v"),
+      "data/f2.parquet")
+    onePart(dir, Seq((5L, 9.0), (6L, 11.0)).toDF("id", "v"),
+      "data/f3.parquet")
+    val dfS = nanManifestSchema.getField("data_file").schema()
+    val itemB = dfS.getField("lower_bounds").schema()
+      .getTypes.get(1).getElementType
+    val itemL = dfS.getField("null_value_counts").schema()
+      .getTypes.get(1).getElementType
+    def row(path: String, rows: Long, idLo: String, idHi: String,
+        vLo: String, vHi: String, nan: Option[Long]): GenericRecord = {
+      def bounds(id: String, v: String) = {
+        val a = new java.util.ArrayList[GenericRecord]()
+        a.add(kvRow(itemB, 1, bb(LongType, id)))
+        a.add(kvRow(itemB, 2, bb(DoubleType, v)))
+        a
+      }
+      val df = new GenericData.Record(dfS)
+      df.put("content", 0)
+      df.put("file_path", path)
+      df.put("record_count", rows)
+      df.put("lower_bounds", bounds(idLo, vLo))
+      df.put("upper_bounds", bounds(idHi, vHi))
+      nan.foreach { n =>
+        val a = new java.util.ArrayList[GenericRecord]()
+        a.add(kvRow(itemL, 2, Long.box(n)))
+        df.put("nan_value_counts", a)
+      }
+      val r = new GenericData.Record(nanManifestSchema)
+      r.put("status", 1)
+      r.put("data_file", df)
+      r
+    }
+    writeAvro(new File(dir, "metadata/m1.avro"), nanManifestSchema, Seq(
+      // f1's non-NaN values are all 1.0: bounds [1.0, 1.0], one NaN row
+      row(s"$loc/data/f1.parquet", 2, "1", "2", "1.0", "1.0", Some(1L)),
+      row(s"$loc/data/f2.parquet", 2, "3", "4", "5.0", "7.0", Some(0L)),
+      row(s"$loc/data/f3.parquet", 2, "5", "6", "9.0", "11.0", None)))
+    val lr = new GenericData.Record(foreignListSchema)
+    lr.put("manifest_path", s"$loc/metadata/m1.avro")
+    lr.put("content", 0)
+    lr.put("sequence_number", 1L)
+    lr.put("partition_spec_id", 0)
+    writeAvro(new File(dir, "metadata/ml1.avro"), foreignListSchema, Seq(lr))
+    java.nio.file.Files.writeString(
+      new File(dir, "metadata/00001-nan.metadata.json").toPath,
+      s"""{
+         |  "format-version": 2, "table-uuid": "0000-nan",
+         |  "location": "$loc", "last-updated-ms": 1000,
+         |  "current-snapshot-id": 100, "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 1, "name": "id", "required": true, "type": "long"},
+         |    {"id": 2, "name": "v", "required": false, "type": "double"}
+         |  ]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "snapshots": [
+         |    {"snapshot-id": 100, "timestamp-ms": 1000,
+         |     "manifest-list": "$loc/metadata/ml1.avro",
+         |     "summary": {"operation": "append"}}]
+         |}""".stripMargin)
+    dir.getPath
+  }
+
+  test("NaN rows survive upper-bound pruning on float/double (Spark orders NaN largest)") {
+    val dir = buildNanForeign()
+    val md = IcebergTable.loadMetadata(dir)
+    val entries = IcebergTable.snapshotFiles(md,
+      md.currentSnapshot.get, dir).filter(_.content == 0)
+    assert(entries.size == 3)
+    assert(entries.find(_.path.endsWith("f1.parquet"))
+      .exists(_.nanCounts.get("v").contains(1L)))
+    def names(preds: Seq[IcebergTable.ScanPred]): Seq[String] =
+      IcebergTable.pruneEntries(md, entries, preds)
+        .map(e => new File(e.path).getName).sorted
+    // v > 100: every file's upper bound is < 100, but f1 holds a NaN
+    // row (NaN > 100 under Spark SQL ordering) and f3's NaN state is
+    // unknown — only f2 (proven nan=0) may skip
+    assert(names(Seq(IcebergTable.ScanPred("v", ">", "100.0"))) ==
+      Seq("f1.parquet", "f3.parquet"))
+    assert(names(Seq(IcebergTable.ScanPred("v", ">=", "100.0"))) ==
+      Seq("f1.parquet", "f3.parquet"))
+    // != 1.0 with f1's point interval [1.0, 1.0]: the NaN row satisfies
+    // != — f1 must be KEPT despite the point bounds
+    assert(names(Seq(IcebergTable.ScanPred("v", "!=", "1.0")))
+      .contains("f1.parquet"))
+    // NaN-insensitive ops still prune: < 2.0 skips f2/f3 via lower
+    // bounds (a NaN row never satisfies <), = 5.0 touches only f2
+    assert(names(Seq(IcebergTable.ScanPred("v", "<", "2.0"))) ==
+      Seq("f1.parquet"))
+    assert(names(Seq(IcebergTable.ScanPred("v", "=", "5.0"))) ==
+      Seq("f2.parquet"))
+    // end-to-end exactness: the NaN row comes back from a pruned scan
+    val got = IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("v", ">", "100.0")))
+      .select("id", "v").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(got.head.getDouble(1).isNaN)
+  }
+
+  test("manifest summaries: contains_nan gates float/double range pruning") {
+    val md = IcebergMetadata.parse(
+      """{"format-version": 2, "table-uuid": "x", "location": "",
+        |"last-updated-ms": 0, "current-snapshot-id": null,
+        |"current-schema-id": 0,
+        |"schemas": [{"schema-id": 0, "type": "struct", "fields": [
+        |  {"id": 1, "name": "v", "required": false, "type": "double"}]}],
+        |"default-spec-id": 0,
+        |"partition-specs": [{"spec-id": 0, "fields": [
+        |  {"name": "v", "transform": "identity", "source-id": 1,
+        |   "field-id": 1000}]}],
+        |"snapshots": []}""".stripMargin)
+    def row(nan: Option[Boolean]) = IcebergTable.ManifestListRow(
+      "m.avro", 1L, 0, 0, Some(Seq(graft.materialize.IcebergFieldSummary(
+        containsNull = false, Some("1.0"), Some("2.0"),
+        containsNan = nan))))
+    val gt = Seq(IcebergTable.ScanPred("v", ">", "100.0"))
+    // recorded NaN-free: the [1.0, 2.0] summary proves no row > 100
+    assert(!IcebergTable.manifestMayMatch(md, row(Some(false)), gt))
+    // NaN present or unknown: a NaN row would satisfy > 100 — keep
+    assert(IcebergTable.manifestMayMatch(md, row(Some(true)), gt))
+    assert(IcebergTable.manifestMayMatch(md, row(None), gt))
+    // NaN-insensitive ops prune regardless of contains_nan
+    val lt = Seq(IcebergTable.ScanPred("v", "<", "0.5"))
+    assert(!IcebergTable.manifestMayMatch(md, row(None), lt))
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Field-id column resolution (r15 verdict wrong-answer edge #2)
+  // ---------------------------------------------------------------- //
+
+  private def withId(f: StructField, id: Long): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putLong("parquet.field.id", id).build())
+
+  /** Foreign table whose column #2 was RENAMED `val_old` → `val_new`
+    * after file f1 was written: f1's parquet carries field ids (what
+    * real engines stamp) under the OLD name; f2 was written post-rename
+    * without ids (a writer that resolves by name). Current schema also
+    * carries a column #3 added after both files. */
+  private def buildRenamedForeign(): String = {
+    val dir = Files.createTempDirectory("graft_icerename").toFile
+    val loc = dir.getPath
+    import spark.implicits._
+    val oldDf = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "val_old")
+    val oldSchema = StructType(Seq(
+      withId(StructField("id", LongType), 1),
+      withId(StructField("val_old", StringType), 2)))
+    onePart(dir, spark.createDataFrame(oldDf.rdd, oldSchema),
+      "data/f1.parquet")
+    onePart(dir, Seq((3L, "gamma")).toDF("id", "val_new"),
+      "data/f2.parquet")
+    val dfS = nanManifestSchema.getField("data_file").schema()
+    def row(path: String, rows: Long): GenericRecord = {
+      val df = new GenericData.Record(dfS)
+      df.put("content", 0)
+      df.put("file_path", path)
+      df.put("record_count", rows)
+      val r = new GenericData.Record(nanManifestSchema)
+      r.put("status", 1)
+      r.put("data_file", df)
+      r
+    }
+    writeAvro(new File(dir, "metadata/m1.avro"), nanManifestSchema, Seq(
+      row(s"$loc/data/f1.parquet", 2), row(s"$loc/data/f2.parquet", 1)))
+    val lr = new GenericData.Record(foreignListSchema)
+    lr.put("manifest_path", s"$loc/metadata/m1.avro")
+    lr.put("content", 0)
+    lr.put("sequence_number", 1L)
+    lr.put("partition_spec_id", 0)
+    writeAvro(new File(dir, "metadata/ml1.avro"), foreignListSchema, Seq(lr))
+    java.nio.file.Files.writeString(
+      new File(dir, "metadata/00002-rename.metadata.json").toPath,
+      s"""{
+         |  "format-version": 2, "table-uuid": "0000-rename",
+         |  "location": "$loc", "last-updated-ms": 2000,
+         |  "current-snapshot-id": 200, "current-schema-id": 1,
+         |  "schemas": [
+         |    {"schema-id": 0, "type": "struct", "fields": [
+         |      {"id": 1, "name": "id", "required": true, "type": "long"},
+         |      {"id": 2, "name": "val_old", "required": false,
+         |       "type": "string"}]},
+         |    {"schema-id": 1, "type": "struct", "fields": [
+         |      {"id": 1, "name": "id", "required": true, "type": "long"},
+         |      {"id": 2, "name": "val_new", "required": false,
+         |       "type": "string"},
+         |      {"id": 3, "name": "extra", "required": false,
+         |       "type": "long"}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "snapshots": [
+         |    {"snapshot-id": 200, "timestamp-ms": 2000,
+         |     "manifest-list": "$loc/metadata/ml1.avro",
+         |     "summary": {"operation": "append"}}]
+         |}""".stripMargin)
+    dir.getPath
+  }
+
+  test("renamed foreign column resolves by parquet field id, not silent NULLs") {
+    val dir = buildRenamedForeign()
+    val got = IcebergTable.read(spark, dir)
+      .select("id", "val_new", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // f1 (old name, field ids) resolves val_new -> val_old BY ID and
+    // reads the real values; f2 (new name, no ids) resolves by name;
+    // `extra` (added after both files) reads as NULL per the spec
+    assert(got == Seq((1L, "alpha", -1L), (2L, "beta", -1L),
+      (3L, "gamma", -1L)))
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Foreign write-after-read guard (advisor r15 medium)
+  // ---------------------------------------------------------------- //
+
+  /** Rewrite the NaN fixture's metadata with a regex substitution and
+    * bump the version so loadMetadata serves the mutated document. */
+  private def mutateMetadata(dir: String,
+      edit: String => String): Unit = {
+    val mdir = new File(dir, "metadata")
+    val src = new File(mdir, "00001-nan.metadata.json")
+    val doc = java.nio.file.Files.readString(src.toPath)
+    java.nio.file.Files.writeString(
+      new File(mdir, "00002-mut.metadata.json").toPath, edit(doc))
+  }
+
+  test("local commits onto foreign-layout tables are refused loudly") {
+    import spark.implicits._
+    def appendOne(dir: String): Unit =
+      IcebergWriter.append(spark, dir,
+        Seq((99L, 0.5)).toDF("id", "v"))
+    // non-positional field ids: commit would renumber 1..N and re-key
+    // every id-addressed stats map and equality_ids list
+    val d1 = buildNanForeign()
+    mutateMetadata(d1, _.replace("{\"id\": 2, \"name\": \"v\"",
+      "{\"id\": 5, \"name\": \"v\""))
+    val e1 = intercept[IllegalArgumentException](appendOne(d1))
+    assert(e1.getMessage.contains("field-id table"))
+    // evolved default spec id: carried-forward manifests would be
+    // stamped partition_spec_id=0 and pass the reader's spec gate
+    val d2 = buildNanForeign()
+    mutateMetadata(d2, _.replace("\"default-spec-id\": 0",
+      "\"default-spec-id\": 2")
+      .replace("{\"spec-id\": 0,", "{\"spec-id\": 2,"))
+    val e2 = intercept[IllegalArgumentException](appendOne(d2))
+    assert(e2.getMessage.contains("default partition spec"))
+    // multiple partition specs: same re-keying hazard
+    val d3 = buildNanForeign()
+    mutateMetadata(d3, _.replace(
+      "\"partition-specs\": [{\"spec-id\": 0, \"fields\": []}]",
+      "\"partition-specs\": [{\"spec-id\": 0, \"fields\": []}, " +
+        "{\"spec-id\": 1, \"fields\": []}]"))
+    val e3 = intercept[IllegalArgumentException](appendOne(d3))
+    assert(e3.getMessage.contains("partition specs"))
+    // the read path stays fully available on all three
+    assert(IcebergTable.read(spark, d1).count() == 6)
   }
 }

@@ -20,6 +20,13 @@ object IcebergForkWorker {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // arm the commit-race hook from THIS process's env — the
+    // production commit path only reads the in-process var, so env
+    // vars on a deployment can never reach it
+    for {
+      ms <- sys.env.get("GRAFT_ICEBERG_TEST_CLAIM_DELAY_MS")
+      mk <- sys.env.get("GRAFT_ICEBERG_TEST_CLAIM_MARKER")
+    } IcebergWriter.testClaimHook = Some((ms.toLong, mk))
     try {
       import spark.implicits._
       IcebergWriter.append(spark, args(0),

@@ -313,6 +313,44 @@ class IcebergWriterSpec extends AnyFunSuite {
       Seq(IcebergTable.ScanPred("id", ">", "99999"))).count() == 0)
   }
 
+  test("writer records nan_value_counts; float/double pruning stays NaN-safe") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_icenanw").toFile.getPath
+    // one commit holds a NaN — parquet-mr drops that file's double
+    // min/max, so the writer must emit NO bounds and NO nan claim for
+    // it; the clean commit's file gets bounds + nan=0
+    IcebergWriter.create(spark, dir,
+      Seq((1L, 1.0), (2L, Double.NaN)).toDF("id", "v").coalesce(1))
+    IcebergWriter.append(spark, dir,
+      Seq((3L, 5.0), (4L, 7.0)).toDF("id", "v").coalesce(1))
+    val md = IcebergTable.loadMetadata(dir)
+    val entries = IcebergTable.snapshotFiles(md,
+      md.currentSnapshot.get, dir).filter(_.content == 0)
+    assert(entries.size == 2)
+    val nanFile = entries.find(_.nanCounts.isEmpty).get
+    val cleanFile = entries.find(_.nanCounts.get("v").contains(0L)).get
+    // NaN file: no double bounds (parquet dropped them), id bounds kept
+    assert(!nanFile.lowerBounds.contains("v"))
+    assert(nanFile.lowerBounds.contains("id"))
+    // clean file: bounds + the NaN-free proof
+    assert(cleanFile.upperBounds.get("v").contains("7.0"))
+    // v > 100 keeps the NaN-unknown file (its NaN row matches under
+    // Spark ordering), prunes the proven-clean one
+    val kept = IcebergTable.pruneEntries(md, entries,
+      Seq(IcebergTable.ScanPred("v", ">", "100.0")))
+    assert(kept.map(_.path) == Seq(nanFile.path))
+    val got = IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("v", ">", "100.0"))).collect()
+    assert(got.length == 1 && got.head.getDouble(1).isNaN)
+    // nan=0 still lets the clean file prune on >, and < stays prunable
+    // via lower bounds regardless of NaN state
+    assert(IcebergTable.pruneEntries(md, entries,
+      Seq(IcebergTable.ScanPred("v", ">", "6.0")))
+      .exists(_.path == cleanFile.path))
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("v", "<", "0.5"))).count() == 0)
+  }
+
   test("concurrent appends all land: refresh-and-retry, no lost update") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_icerace").toFile.getPath
