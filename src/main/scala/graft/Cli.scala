@@ -62,6 +62,7 @@ object Cli {
     case Seq("status", _*) => cmdStatus(session.get())
     case Seq("stats", _*) => cmdStats(session.get())
     case Seq("catalog", uri, rest @ _*) => cmdCatalog(uri, rest)
+    case Seq("nessie", uri, rest @ _*) => cmdNessie(uri, rest)
     case Seq("version", _*) => cmdVersion
     case _ => cmdHelp
   }
@@ -103,6 +104,42 @@ object Cli {
           else md.partitionFields.map { case (n, t) => s"$n($t)" }
             .mkString(", ")
         s"""$ns.$table
+           |  location:  $dir
+           |  format:    v${md.formatVersion}
+           |  schema:    ${md.schema.simpleString}
+           |  partition: $parts
+           |  snapshots: ${md.snapshots.size} (current ${
+          md.currentSnapshot.map(_.snapshotId).getOrElse(-1L)})""".stripMargin
+    }
+  }
+
+  /** `graft nessie <uri> [ns [table]]` — the reference's
+    * `catalog_type: nessie` attach surface (connections.py:109,
+    * :990-1055) over the Nessie REST API v2 client. Auth:
+    * `GRAFT_NESSIE_TOKEN` (bearer); `GRAFT_NESSIE_REF` pins a branch
+    * or tag (default: the server's default branch). */
+  def cmdNessie(uri: String, rest: Seq[String]): String = {
+    val cat = new graft.materialize.NessieCatalog(uri,
+      token = sys.env.get("GRAFT_NESSIE_TOKEN"),
+      ref = sys.env.get("GRAFT_NESSIE_REF"))
+    rest.toList match {
+      case Nil =>
+        val refs = cat.listReferences()
+          .map { case (n, t) => s"$n($t)" }.mkString(", ")
+        val ns = cat.listNamespaces()
+        s"Connected to Nessie catalog: $uri (branch ${cat.branch})\n" +
+          s"References: $refs\n" +
+          s"Available namespaces: ${ns.map(_.mkString(".")).mkString(", ")}"
+      case ns :: Nil =>
+        val ts = cat.listTables(nsLevels(ns))
+        s"$ns: ${ts.size} table(s)\n" + ts.map("  " + _).mkString("\n")
+      case ns :: table :: _ =>
+        val (md, dir) = cat.loadTable(nsLevels(ns), table)
+        val parts =
+          if (md.partitionFields.isEmpty) "(unpartitioned)"
+          else md.partitionFields.map { case (n, t) => s"$n($t)" }
+            .mkString(", ")
+        s"""$ns.$table @ ${cat.branch}
            |  location:  $dir
            |  format:    v${md.formatVersion}
            |  schema:    ${md.schema.simpleString}
@@ -297,5 +334,6 @@ object Cli {
       |  status                        engine + connection status
       |  stats                         system + execution statistics
       |  catalog <uri> [ns [table]]    browse an Iceberg REST catalog
+      |  nessie <uri> [ns [table]]     browse a Nessie catalog (API v2)
       |  version                       version info""".stripMargin
 }

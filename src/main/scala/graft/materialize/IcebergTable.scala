@@ -156,9 +156,50 @@ object IcebergTable {
     val entries = snapshotFiles(md, snap, tableDir, branches)
     val kept = entries.filter(_.content == 0).filter(f =>
       branches.exists(b => b.forall(p => mayContain(md, f, p))))
-    val df = assemble(spark, md, tableDir, kept,
-      entries.filter(_.content == 1), entries.filter(_.content == 2))
+    val (posKept, eqKept) = pruneDeletes(md, kept,
+      entries.filter(_.content == 1), entries.filter(_.content == 2),
+      branches)
+    val df = assemble(spark, md, tableDir, kept, posKept, eqKept)
     df.filter(branches.map(b => predColumn(md, b)).reduce(_ || _))
+  }
+
+  /** Delete files a predicate-bounded read can SKIP without changing
+    * results (merge-on-read tables accumulate delete files; most can't
+    * touch a selective scan's kept set):
+    *
+    *  - a POSITIONAL delete file tombstones (file, pos) coordinates —
+    *    it is a no-op unless some KEPT data file is referenced, which
+    *    its partition tuple (deletes in partition P only name files in
+    *    P) or its file_path column bounds (raw strings; reserved field
+    *    id 2147483546) can disprove;
+    *  - an EQUALITY delete hides rows VALUE-matching its keys, so its
+    *    key-column bounds prune exactly like data-file bounds: if every
+    *    branch excludes the deleted-key range, any row it hides would
+    *    fail the row-level predicate anyway — skipping it only leaves
+    *    phantom rows the filter drops. [[mayContain]]'s NaN/null
+    *    gating applies unchanged.
+    *
+    * Uncertainty (no tuple, no bounds, unparseable) keeps the delete
+    * file — skipping is an optimization, never a semantics change. */
+  private[graft] def pruneDeletes(md: IcebergMetadata,
+      kept: Seq[FileEntry], posDeletes: Seq[FileEntry],
+      eqDeletes: Seq[FileEntry], branches: Seq[Seq[ScanPred]])
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    val keptTuples = kept.map(_.partitionValues).toSet
+    val keptRaw = kept.map(_.rawPath).filter(_.nonEmpty)
+    val pos = posDeletes.filter { d =>
+      val tupleTouches = d.partitionValues.isEmpty ||
+        keptTuples.contains(d.partitionValues)
+      val pathTouches = d.pathBounds match {
+        case Some((lo, hi)) if keptRaw.size == kept.size =>
+          keptRaw.exists(p => lo <= p && p <= hi)
+        case _ => true
+      }
+      tupleTouches && pathTouches
+    }
+    val eq = eqDeletes.filter(d =>
+      branches.exists(b => b.forall(p => mayContain(md, d, p))))
+    (pos, eq)
   }
 
   /** Row-level Column of one predicate conjunction. */
@@ -491,8 +532,12 @@ object IcebergTable {
         "prune, which would silently read the table as empty")
     val files = dataEntries
       .filter(f => prune.forall(_(f.partitionValues)))
+    // a partition-scoped positional delete only names files of its own
+    // partition — if the partition is pruned, the delete is a no-op
+    val posDeletes = entries.filter(_.content == 1).filter(d =>
+      d.partitionValues.isEmpty || prune.forall(_(d.partitionValues)))
     assemble(spark, md, tableDir, files,
-      entries.filter(_.content == 1), entries.filter(_.content == 2))
+      posDeletes, entries.filter(_.content == 2))
   }
 
   /** Materialize the live row set of a chosen file subset: plain
@@ -764,7 +809,15 @@ object IcebergTable {
       upperBounds: Map[String, String] = Map.empty,
       nullCounts: Map[String, Long] = Map.empty,
       recordCount: Long = 0L,
-      nanCounts: Map[String, Long] = Map.empty)
+      nanCounts: Map[String, Long] = Map.empty,
+      // the manifest's raw file_path string (before relocation
+      // re-anchoring) — what positional delete files' own file_path
+      // bounds compare against
+      rawPath: String = "",
+      // positional delete files only: [lo, hi] of the file_path column
+      // (reserved field id 2147483546) — raw writer strings; parquet
+      // truncation only WIDENS the interval, so exclusion stays sound
+      pathBounds: Option[(String, String)] = None)
 
   /** One manifest-list row: path, sequence number, content kind
     * (0=data, 1=deletes; absent reads as 0), the row's
@@ -1088,6 +1141,24 @@ object IcebergTable {
                 n <- scala.util.Try(v.toString.toLong).toOption
               } yield name -> n
             }.toMap
+          // positional delete files bound their file_path column under
+          // the spec's RESERVED field id 2147483546 (or by name in the
+          // legacy layout) — raw strings, decoded only for content=1
+          def pathBound(field: String): Option[String] =
+            kvPairs(field).collectFirst {
+              case ("2147483546", v, true) =>
+                IcebergSingleValue.bytesOf(v).flatMap(
+                  IcebergSingleValue.decode(
+                    org.apache.spark.sql.types.StringType, _))
+              case ("file_path", cs: CharSequence, false) =>
+                Some(cs.toString)
+            }.flatten
+          val pathBounds =
+            if (content != 1) None
+            else for {
+              lo <- pathBound("lower_bounds")
+              hi <- pathBound("upper_bounds")
+            } yield (lo, hi)
           out += FileEntry(path, content, seq, eqIds, pv,
             lowerBounds = boundMap("lower_bounds"),
             upperBounds = boundMap("upper_bounds"),
@@ -1096,7 +1167,9 @@ object IcebergTable {
               if (df.getSchema.getField("record_count") == null) 0L
               else Option(df.get("record_count"))
                 .map(_.toString.toLong).getOrElse(0L),
-            nanCounts = countMap("nan_value_counts"))
+            nanCounts = countMap("nan_value_counts"),
+            rawPath = df.get("file_path").toString,
+            pathBounds = pathBounds)
         }
       }
     }

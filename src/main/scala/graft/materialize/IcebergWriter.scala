@@ -916,9 +916,19 @@ object IcebergWriter {
       val g = new GenericData.Record(item)
       g.put("key", id); g.put("value", v); g
     }
-    val rows = files.map { case (f, pv) =>
+    val rows = files.flatMap { case (f, pv) =>
       val d = new GenericData.Record(dfSchema)
-      val stats = parquetStats(f, withBounds = content == 0)
+      // data AND delete files carry bounds: data-file bounds drive scan
+      // pruning; an equality delete's key-column bounds and a
+      // positional delete's file_path bounds let a predicate-bounded
+      // read skip delete files that cannot touch its kept set
+      // (IcebergTable.pruneDeletes)
+      val stats = parquetStats(f, withBounds = true)
+      // a zero-row delete file (an empty shuffle partition of the
+      // tombstone write) deletes nothing — drop it rather than carry a
+      // stats-free entry every future read must anti-join against
+      if (content != 0 && stats.rows == 0L) None
+      else Some {
       d.put("content", content)
       if (equalityIds.nonEmpty) {
         val l = new java.util.ArrayList[Integer](equalityIds.size)
@@ -948,6 +958,14 @@ object IcebergWriter {
             IcebergSingleValue.encode(schema.fields(idx).dataType, s)
               .foreach(b => a.add(
                 kv(kvB, idx + 1, java.nio.ByteBuffer.wrap(b))))
+          // positional deletes: the file_path column keys under the
+          // spec's RESERVED field id so readers can skip delete files
+          // whose referenced paths lie outside a scan's kept set
+          else if (content == 1 && name == "file_path")
+            IcebergSingleValue.encode(
+              org.apache.spark.sql.types.StringType, s)
+              .foreach(b => a.add(
+                kv(kvB, 2147483546, java.nio.ByteBuffer.wrap(b))))
         }
         a
       }
@@ -975,6 +993,7 @@ object IcebergWriter {
       r.put("status", 1) // ADDED; sequence_number null => inherited
       r.put("data_file", d)
       r
+      }
     }
     writeAvro(path, manifestSchema, rows)
   }

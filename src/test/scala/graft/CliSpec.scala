@@ -133,6 +133,41 @@ class CliSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("nessie command browses a Nessie catalog without a Spark session") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    def respond(ex: HttpExchange, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v2/config", (ex: HttpExchange) =>
+      respond(ex, """{"defaultBranch":"main"}"""))
+    server.createContext("/api/v2/trees", (ex: HttpExchange) =>
+      ex.getRequestURI.getPath match {
+        case "/api/v2/trees" => respond(ex,
+          """{"references":[{"name":"main","type":"BRANCH"}]}""")
+        case _ => respond(ex,
+          """{"entries":[{"name":{"elements":["db"]},"type":"NAMESPACE"},
+            |{"name":{"elements":["db","t1"]},
+            | "type":"ICEBERG_TABLE"}]}""".stripMargin)
+      })
+    server.start()
+    try {
+      val uri = s"http://127.0.0.1:${server.getAddress.getPort}/api/v2"
+      val out = Cli.run(Seq("nessie", uri), None, "/tmp/none")
+      assert(out.contains("branch main"))
+      assert(out.contains("main(BRANCH)"))
+      assert(out.contains("Available namespaces: db"))
+      val ts = Cli.run(Seq("nessie", uri, "db"), None, "/tmp/none")
+      assert(ts.contains("1 table(s)") && ts.contains("t1"))
+      assert(Cli.cmdHelp.contains("nessie <uri>"))
+    } finally server.stop(0)
+  }
+
   test("catalog namespace levels: dots split, backslash-dot escapes") {
     assert(Cli.nsLevels("db") == Seq("db"))
     assert(Cli.nsLevels("prod.analytics") == Seq("prod", "analytics"))

@@ -351,6 +351,59 @@ class IcebergWriterSpec extends AnyFunSuite {
       Seq(IcebergTable.ScanPred("v", "<", "0.5"))).count() == 0)
   }
 
+  test("delete files skip under predicate-bounded reads; results identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_icedelprune").toFile.getPath
+    // two range-disjoint data files, then one positional delete
+    // touching only the LOW file and one equality delete whose keys
+    // live only in the HIGH file
+    IcebergWriter.create(spark, dir, spark.range(0, 500)
+      .select(col("id"), (col("id") * 10).as("v")).coalesce(1))
+    IcebergWriter.append(spark, dir, spark.range(500, 1000)
+      .select(col("id"), (col("id") * 10).as("v")).coalesce(1))
+    assert(IcebergWriter.deleteWhere(spark, dir, col("id") < 10) == 10)
+    IcebergWriter.deleteWhereKeys(spark, dir,
+      Seq(500L, 501L, 502L, 503L, 504L).toDF("id"), Seq("id"))
+    val md = IcebergTable.loadMetadata(dir)
+    val entries = IcebergTable.snapshotFiles(md, md.currentSnapshot.get, dir)
+    val data = entries.filter(_.content == 0)
+    val pos = entries.filter(_.content == 1)
+    val eq = entries.filter(_.content == 2)
+    assert(data.size == 2 && pos.nonEmpty && eq.nonEmpty)
+    // the writer recorded the skip evidence: file_path bounds on the
+    // positional delete (reserved id), key bounds on the equality one
+    assert(pos.forall(_.pathBounds.isDefined))
+    assert(eq.forall(e => e.lowerBounds.get("id").contains("500") &&
+      e.upperBounds.get("id").contains("504")))
+    // a high-range scan: the positional delete references only the low
+    // file (path bounds exclude the kept file) and the equality keys
+    // [500, 504] fall outside the predicate — BOTH delete files skip
+    val predHi = Seq(IcebergTable.ScanPred("id", ">=", "900"))
+    val keptHi = IcebergTable.pruneEntries(md, data, predHi)
+    assert(keptHi.size == 1)
+    val (posHi, eqHi) = IcebergTable.pruneDeletes(md, keptHi, pos, eq,
+      Seq(predHi))
+    assert(posHi.isEmpty && eqHi.isEmpty)
+    // a low-range scan keeps the positional delete, skips the equality
+    val predLo = Seq(IcebergTable.ScanPred("id", "<", "100"))
+    val keptLo = IcebergTable.pruneEntries(md, data, predLo)
+    val (posLo, eqLo) = IcebergTable.pruneDeletes(md, keptLo, pos, eq,
+      Seq(predLo))
+    assert(posLo == pos && eqLo.isEmpty)
+    // a scan over the deleted keys keeps the equality delete
+    val predEq = IcebergTable.between("id", "500", "504")
+    val keptEq = IcebergTable.pruneEntries(md, data, predEq)
+    val (_, eqEq) = IcebergTable.pruneDeletes(md, keptEq, pos, eq,
+      Seq(predEq))
+    assert(eqEq == eq)
+    // results identical to the unpruned truth in all three regions
+    assert(IcebergTable.readPruned(spark, dir, predHi).count() == 100)
+    assert(IcebergTable.readPruned(spark, dir, predLo).count() == 90)
+    assert(IcebergTable.readPruned(spark, dir, predEq).count() == 0)
+    assert(IcebergTable.read(spark, dir).count() == 985)
+  }
+
   test("concurrent appends all land: refresh-and-retry, no lost update") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_icerace").toFile.getPath
