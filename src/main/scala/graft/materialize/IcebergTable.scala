@@ -623,6 +623,14 @@ object IcebergTable {
     * (the same class as manifest parsing), parallelized and cached;
     * engines with a native Iceberg scan do the identical id-projection
     * executor-side per file. */
+  /** Above this many distinct partition tuples within one projection
+    * group, partition values attach via a broadcast path→tuple map
+    * over ONE multi-path scan instead of one scan per tuple — the
+    * union-of-scans plan grows linearly in tuple count (driver-side
+    * analysis cost, measured super-linear past a few hundred), while
+    * the single-scan shape is O(1) plan nodes at any partition count. */
+  private val LiteralInjectionMaxTuples = 32
+
   private[materialize] def readData(spark: SparkSession,
       md: IcebergMetadata, files: Seq[FileEntry],
       withCoords: Boolean): DataFrame = {
@@ -632,40 +640,93 @@ object IcebergTable {
       .filterNot(footerFieldsCache.containsKey)
     if (uncached.size > 8)
       uncached.asJava.parallelStream().forEach(p => footerFields(p))
-    files.groupBy(f => (f.partitionValues,
+    val outCols = md.schema.fieldNames.map(col(_)) ++
+      (if (withCoords) Seq(col("__graft_meta")) else Nil)
+    // only IDENTITY tuple keys are schema columns that were
+    // partitioned out of the files; derived transform values
+    // (`x_bucket`, `ts_day`, …) exist only in the manifests — their
+    // SOURCE columns are still physically present in the data files
+    def injected(pv: Map[String, String]): Seq[(String, String)] =
+      pv.filter { case (k, _) => md.schema.fieldNames.contains(k) }.toSeq
+    def scanGroup(proj: Seq[(String, Option[String])],
+        fs: Seq[FileEntry], needUri: Boolean): DataFrame = {
+      val present = proj.collect { case (cur, Some(phys)) => cur -> phys }
+      val readSchema = org.apache.spark.sql.types.StructType(
+        present.map { case (cur, phys) =>
+          md.schema(cur).copy(name = phys) })
+      var d = spark.read.schema(readSchema).parquet(fs.map(_.path): _*)
+      if (withCoords)
+        d = d.withColumn("__graft_meta", col("_metadata"))
+      if (needUri)
+        d = d.withColumn("__graft_pvuri", col("_metadata.file_path"))
+      // physical -> current names; unresolvable columns (added after
+      // the file was written) read as typed NULL per the spec
+      val projected = proj.map {
+        case (cur, Some(phys)) => col(phys).as(cur)
+        case (cur, None) => lit(null).cast(md.schema(cur).dataType).as(cur)
+      } ++ (if (withCoords) Seq(col("__graft_meta")) else Nil) ++
+        (if (needUri) Seq(col("__graft_pvuri")) else Nil)
+      d.select(projected: _*)
+    }
+    files.groupBy(f => (f.partitionValues.keySet,
         projectionOf(md, org.apache.spark.sql.types.StructType(
           md.schema.filterNot(c => f.partitionValues.contains(c.name))),
           footerFields(f.path))))
-      .map { case ((pv, proj), fs) =>
-        val present = proj.collect { case (cur, Some(phys)) => cur -> phys }
-        val readSchema = org.apache.spark.sql.types.StructType(
-          present.map { case (cur, phys) =>
-            md.schema(cur).copy(name = phys) })
-        var d = spark.read.schema(readSchema).parquet(fs.map(_.path): _*)
-        if (withCoords)
-          d = d.withColumn("__graft_meta", col("_metadata"))
-        // physical -> current names; unresolvable columns (added after
-        // the file was written) read as typed NULL per the spec
-        val projected = proj.map {
-          case (cur, Some(phys)) => col(phys).as(cur)
-          case (cur, None) => lit(null).cast(md.schema(cur).dataType).as(cur)
-        } ++ (if (withCoords) Seq(col("__graft_meta")) else Nil)
-        d = d.select(projected: _*)
-        // only IDENTITY tuple keys are schema columns that were
-        // partitioned out of the files; derived transform values
-        // (`x_bucket`, `ts_day`, …) exist only in the manifests — their
-        // SOURCE columns are still physically present in the data files
-        pv.filter { case (k, _) => md.schema.fieldNames.contains(k) }
-          .foreach { case (k, v) =>
-            val typed =
-              if (v == "__HIVE_DEFAULT_PARTITION__")
-                lit(null).cast(md.schema(k).dataType)
-              else lit(v).cast(md.schema(k).dataType)
-            d = d.withColumn(k, typed)
+      .map { case ((_, proj), fs) =>
+        val tuples = fs.map(_.partitionValues).distinct
+        if (tuples.size <= LiteralInjectionMaxTuples) {
+          // literal injection: one scan per tuple, values as constants
+          // (filters on partition columns constant-fold per scan)
+          fs.groupBy(_.partitionValues).map { case (pv, fs2) =>
+            var d = scanGroup(proj, fs2, needUri = false)
+            injected(pv).foreach { case (k, v) =>
+              val typed =
+                if (v == "__HIVE_DEFAULT_PARTITION__")
+                  lit(null).cast(md.schema(k).dataType)
+                else lit(v).cast(md.schema(k).dataType)
+              d = d.withColumn(k, typed)
+            }
+            d.select(outCols: _*)
+          }.reduce(_ unionByName _)
+        } else {
+          // scale path: ONE scan over every file, per-file partition
+          // values joined in from a broadcast (path → tuple) map keyed
+          // on the exact `_metadata.file_path` rendering — plan size
+          // stays constant at any partition count. The marker column
+          // guards against a rendering drift the way attachFileInfo
+          // does: every row must resolve its tuple or raise loudly.
+          val keys = injected(fs.head.partitionValues).map(_._1)
+          val rows = fs.map { f =>
+            val m = f.partitionValues
+            org.apache.spark.sql.Row.fromSeq(
+              metaPathOf(f.path) +: true +: keys.map { k =>
+                val v = m.getOrElse(k, "__HIVE_DEFAULT_PARTITION__")
+                if (v == "__HIVE_DEFAULT_PARTITION__") null else v
+              })
           }
-        val cols = md.schema.fieldNames.map(col(_)) ++
-          (if (withCoords) Seq(col("__graft_meta")) else Nil)
-        d.select(cols: _*)
+          val mapSchema = org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("__graft_pvuri",
+              org.apache.spark.sql.types.StringType) +:
+            org.apache.spark.sql.types.StructField("__graft_pvok",
+              org.apache.spark.sql.types.BooleanType) +:
+            keys.map(k => org.apache.spark.sql.types.StructField(
+              s"__graft_pv_$k", org.apache.spark.sql.types.StringType)))
+          val pmap = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), mapSchema)
+          var d = scanGroup(proj, fs, needUri = true)
+            .join(broadcast(pmap), Seq("__graft_pvuri"), "left")
+            .withColumn("__graft_pvok", coalesce(col("__graft_pvok"),
+              raise_error(concat(lit("iceberg: data file not in the " +
+                "partition-tuple map (path rendering drift): "),
+                col("__graft_pvuri")))))
+          keys.foreach { k =>
+            // the guard rides the value expression so column pruning
+            // can never drop it
+            d = d.withColumn(k, when(col("__graft_pvok"),
+              col(s"__graft_pv_$k").cast(md.schema(k).dataType)))
+          }
+          d.select(outCols: _*)
+        }
       }.reduce(_ unionByName _)
   }
 
