@@ -783,10 +783,14 @@ object IcebergTable {
       prefixes.foldLeft(p.replaceFirst("^file:/+", "/"))(
         (acc, pre) => acc.stripPrefix(pre + "/"))
     // exact-rendering map: _metadata.file_path form -> (relative raw
-    // path, data sequence number); metadata-scale, always broadcast
+    // path, data sequence number, canonical partition-tuple key);
+    // metadata-scale, always broadcast
+    def tupleKey(pv: Map[String, String]): String =
+      pv.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
     val pathMap = spark.createDataFrame(
-      files.map(f => (metaPathOf(f.path), relStr(f.path), f.seq)))
-      .toDF("__graft_uri", "__graft_file", "__graft_seq")
+      files.map(f => (metaPathOf(f.path), relStr(f.path), f.seq,
+        tupleKey(f.partitionValues))))
+      .toDF("__graft_uri", "__graft_file", "__graft_seq", "__graft_pt")
     var data = attachFileInfo(
       readData(spark, md, files, withCoords = true)
         .withColumn("__graft_uri", col("__graft_meta.file_path"))
@@ -807,22 +811,32 @@ object IcebergTable {
           "left_anti")
         .drop("__graft_pos")
     }
-    eqDeletes.groupBy(_.equalityIds).foreach { case (ids, dfiles) =>
-      require(ids.nonEmpty, "equality delete file without equality_ids")
-      val names = ids.map(md.fieldName)
-      val dels = dfiles.map { f =>
-        spark.read.parquet(f.path)
-          .select(names.map(n => col(n).as(s"__graft_eq_$n")): _*)
-          .withColumn("__graft_dseq", lit(f.seq))
-      }.reduce(_ unionByName _)
-      val cond = names.map(n => data(n) <=> col(s"__graft_eq_$n"))
-        .reduce(_ && _) && col("__graft_dseq") > data("__graft_seq")
-      // null-safe equalities hash/merge-join with the sequence compare
-      // as residual; no broadcast hint — an upsert stream's accumulated
-      // equality-delete keys scale with the ingested batches
-      data = data.join(dels, cond, "left_anti")
-    }
-    data.drop("__graft_file", "__graft_row", "__graft_seq")
+    // spec scoping: an equality delete stored WITH a partition tuple
+    // applies only to rows of that partition (spec "Scoping" — a
+    // partition delete "applies to rows in that partition"); applying
+    // it table-wide would hide same-keyed LIVE rows in every other
+    // partition. An unpartitioned delete (this writer's layout, and
+    // any foreign global delete) applies table-wide. The tuple rides
+    // each delete group as a literal against the data row's
+    // broadcast-mapped `__graft_pt`.
+    eqDeletes.groupBy(f => (f.equalityIds, tupleKey(f.partitionValues)))
+      .foreach { case ((ids, pt), dfiles) =>
+        require(ids.nonEmpty, "equality delete file without equality_ids")
+        val names = ids.map(md.fieldName)
+        val dels = dfiles.map { f =>
+          spark.read.parquet(f.path)
+            .select(names.map(n => col(n).as(s"__graft_eq_$n")): _*)
+            .withColumn("__graft_dseq", lit(f.seq))
+        }.reduce(_ unionByName _)
+        val cond = names.map(n => data(n) <=> col(s"__graft_eq_$n"))
+          .reduce(_ && _) && col("__graft_dseq") > data("__graft_seq") &&
+          (if (pt.isEmpty) lit(true) else data("__graft_pt") === lit(pt))
+        // null-safe equalities hash/merge-join with the sequence compare
+        // as residual; no broadcast hint — an upsert stream's accumulated
+        // equality-delete keys scale with the ingested batches
+        data = data.join(dels, cond, "left_anti")
+      }
+    data.drop("__graft_file", "__graft_row", "__graft_seq", "__graft_pt")
   }
 
   /** The exact string Spark's `_metadata.file_path` carries for a local

@@ -738,6 +738,114 @@ class IcebergForeignSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  //  Partition-scoped equality deletes (spec scoping rule)
+  // ---------------------------------------------------------------- //
+
+  private val eqManifestSchema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_entry","fields":[
+       |{"name":"status","type":"int"},
+       |{"name":"sequence_number","type":["null","long"],"default":null},
+       |{"name":"data_file","type":{"type":"record","name":"df","fields":[
+       |{"name":"content","type":"int"},
+       |{"name":"file_path","type":"string"},
+       |{"name":"record_count","type":"long"},
+       |{"name":"partition","type":["null",
+       |{"type":"record","name":"r102","fields":[
+       |{"name":"k","type":["null","string"],"default":null}]}],
+       |"default":null},
+       |{"name":"equality_ids","type":["null",
+       |{"type":"array","items":"int"}],"default":null}
+       |]}}]}""".stripMargin)
+
+  /** Identity-partitioned (k ∈ A/B) foreign table where id=1 exists in
+    * BOTH partitions, plus one equality delete file keyed on id=1.
+    * `scoped=true` stores the delete WITH partition tuple k=A (the
+    * spec's partition-scoped form — it must hide only A's row);
+    * `scoped=false` stores it unpartitioned (global — hides both). */
+  private def buildEqScopedForeign(scoped: Boolean): String = {
+    val dir = Files.createTempDirectory("graft_iceeqscope").toFile
+    val loc = dir.getPath
+    import spark.implicits._
+    // identity-partitioned data files physically lack the k column
+    onePart(dir, Seq(1L, 2L).toDF("id"), "data/a.parquet")
+    onePart(dir, Seq(1L, 3L).toDF("id"), "data/b.parquet")
+    onePart(dir, Seq(1L).toDF("id"), "data/del1.parquet")
+    val dfS = eqManifestSchema.getField("data_file").schema()
+    val r102 = dfS.getField("partition").schema().getTypes.get(1)
+    def row(path: String, rows: Long, content: Int, k: Option[String],
+        eqIds: Seq[Int]): GenericRecord = {
+      val df = new GenericData.Record(dfS)
+      df.put("content", content)
+      df.put("file_path", path)
+      df.put("record_count", rows)
+      k.foreach { v =>
+        val pr = new GenericData.Record(r102)
+        pr.put("k", v)
+        df.put("partition", pr)
+      }
+      if (eqIds.nonEmpty) {
+        val l = new java.util.ArrayList[Integer]()
+        eqIds.foreach(i => l.add(Int.box(i)))
+        df.put("equality_ids", l)
+      }
+      val r = new GenericData.Record(eqManifestSchema)
+      r.put("status", 1)
+      r.put("data_file", df)
+      r
+    }
+    writeAvro(new File(dir, "metadata/m1.avro"), eqManifestSchema,
+      Seq(row(s"$loc/data/a.parquet", 2, 0, Some("A"), Nil)))
+    writeAvro(new File(dir, "metadata/m2.avro"), eqManifestSchema,
+      Seq(row(s"$loc/data/b.parquet", 2, 0, Some("B"), Nil)))
+    writeAvro(new File(dir, "metadata/m3.avro"), eqManifestSchema,
+      Seq(row(s"$loc/data/del1.parquet", 1, 2,
+        if (scoped) Some("A") else None, Seq(1))))
+    def lr(path: String, seq: Long, content: Int): GenericRecord = {
+      val r = new GenericData.Record(foreignListSchema)
+      r.put("manifest_path", path)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("partition_spec_id", 0)
+      r
+    }
+    writeAvro(new File(dir, "metadata/ml1.avro"), foreignListSchema, Seq(
+      lr(s"$loc/metadata/m1.avro", 1L, 0),
+      lr(s"$loc/metadata/m2.avro", 1L, 0),
+      lr(s"$loc/metadata/m3.avro", 2L, 1)))
+    java.nio.file.Files.writeString(
+      new File(dir, "metadata/00001-eqscope.metadata.json").toPath,
+      s"""{
+         |  "format-version": 2, "table-uuid": "0000-eqscope",
+         |  "location": "$loc", "last-updated-ms": 1000,
+         |  "current-snapshot-id": 100, "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 1, "name": "id", "required": true, "type": "long"},
+         |    {"id": 2, "name": "k", "required": false, "type": "string"}
+         |  ]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": [
+         |    {"name": "k", "transform": "identity",
+         |     "source-id": 2, "field-id": 1000}]}],
+         |  "snapshots": [
+         |    {"snapshot-id": 100, "timestamp-ms": 1000,
+         |     "manifest-list": "$loc/metadata/ml1.avro",
+         |     "summary": {"operation": "append"}}]
+         |}""".stripMargin)
+    dir.getPath
+  }
+
+  test("partition-scoped equality deletes hide only their own partition's rows") {
+    // scoped: the delete (k=A, id=1) must NOT touch partition B's id=1
+    val scoped = IcebergTable.read(spark, buildEqScopedForeign(true))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(scoped == Seq((1L, "B"), (2L, "A"), (3L, "B")))
+    // global (unpartitioned delete): id=1 disappears from BOTH
+    val global = IcebergTable.read(spark, buildEqScopedForeign(false))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(global == Seq((2L, "A"), (3L, "B")))
+  }
+
+  // ---------------------------------------------------------------- //
   //  Foreign write-after-read guard (advisor r15 medium)
   // ---------------------------------------------------------------- //
 
