@@ -816,26 +816,32 @@ object IcebergTable {
     // partition delete "applies to rows in that partition"); applying
     // it table-wide would hide same-keyed LIVE rows in every other
     // partition. An unpartitioned delete (this writer's layout, and
-    // any foreign global delete) applies table-wide. The tuple rides
-    // each delete group as a literal against the data row's
-    // broadcast-mapped `__graft_pt`.
-    eqDeletes.groupBy(f => (f.equalityIds, tupleKey(f.partitionValues)))
-      .foreach { case ((ids, pt), dfiles) =>
-        require(ids.nonEmpty, "equality delete file without equality_ids")
-        val names = ids.map(md.fieldName)
-        val dels = dfiles.map { f =>
-          spark.read.parquet(f.path)
-            .select(names.map(n => col(n).as(s"__graft_eq_$n")): _*)
-            .withColumn("__graft_dseq", lit(f.seq))
-        }.reduce(_ unionByName _)
-        val cond = names.map(n => data(n) <=> col(s"__graft_eq_$n"))
-          .reduce(_ && _) && col("__graft_dseq") > data("__graft_seq") &&
-          (if (pt.isEmpty) lit(true) else data("__graft_pt") === lit(pt))
-        // null-safe equalities hash/merge-join with the sequence compare
-        // as residual; no broadcast hint — an upsert stream's accumulated
-        // equality-delete keys scale with the ingested batches
-        data = data.join(dels, cond, "left_anti")
-      }
+    // any foreign global delete) applies table-wide. Each delete row
+    // carries its file's tuple key as a column, matched as a residual
+    // against the data row's broadcast-mapped `__graft_pt` — ONE
+    // anti-join per equality-id set regardless of how many partition
+    // tuples the delete history spans (a streaming CDC table
+    // accumulates thousands; per-tuple joins would re-create the plan
+    // growth readData just eliminated).
+    eqDeletes.groupBy(_.equalityIds).foreach { case (ids, dfiles) =>
+      require(ids.nonEmpty, "equality delete file without equality_ids")
+      val names = ids.map(md.fieldName)
+      val dels = dfiles.map { f =>
+        spark.read.parquet(f.path)
+          .select(names.map(n => col(n).as(s"__graft_eq_$n")): _*)
+          .withColumn("__graft_dseq", lit(f.seq))
+          .withColumn("__graft_dpt", lit(tupleKey(f.partitionValues)))
+      }.reduce(_ unionByName _)
+      val cond = names.map(n => data(n) <=> col(s"__graft_eq_$n"))
+        .reduce(_ && _) && col("__graft_dseq") > data("__graft_seq") &&
+        (col("__graft_dpt") === lit("") ||
+          col("__graft_dpt") === data("__graft_pt"))
+      // null-safe equalities hash/merge-join with the sequence and
+      // scope compares as residuals; no broadcast hint — an upsert
+      // stream's accumulated equality-delete keys scale with the
+      // ingested batches
+      data = data.join(dels, cond, "left_anti")
+    }
     data.drop("__graft_file", "__graft_row", "__graft_seq", "__graft_pt")
   }
 
