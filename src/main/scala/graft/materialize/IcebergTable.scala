@@ -147,10 +147,18 @@ object IcebergTable {
     * falling back to a full scan because the predicate isn't one
     * conjunction. */
   def readPrunedOr(spark: SparkSession, tableDir: String,
-      branches: Seq[Seq[ScanPred]]): DataFrame = {
+      branches: Seq[Seq[ScanPred]]): DataFrame =
+    readPrunedOrResolved(spark, loadMetadata(tableDir), tableDir, branches)
+
+  /** [[readPrunedOr]] for a table whose metadata a CATALOG resolved
+    * ([[IcebergRestCatalog.loadTable]] / [[NessieCatalog.loadTable]])
+    * — catalog resolution changes where the metadata document comes
+    * from, never what a pruned scan does, so catalog-attached tables
+    * get the same three metadata skip tiers as directory loads. */
+  def readPrunedOrResolved(spark: SparkSession, md: IcebergMetadata,
+      tableDir: String, branches: Seq[Seq[ScanPred]]): DataFrame = {
     require(branches.nonEmpty && branches.forall(_.nonEmpty),
       "readPrunedOr needs at least one non-empty branch")
-    val md = loadMetadata(tableDir)
     val snap = md.currentSnapshot.getOrElse(
       sys.error(s"$tableDir has no current snapshot"))
     val entries = snapshotFiles(md, snap, tableDir, branches)

@@ -132,6 +132,17 @@ final class NessieCatalog(baseUri: String,
     IcebergTable.readResolved(spark, md, dir)
   }
 
+  /** Catalog-resolved PRUNED read: the same three metadata skip tiers
+    * (manifest summaries, file bounds/tuples, delete-file stats) as a
+    * directory [[IcebergTable.readPruned]] — results exact, predicates
+    * re-applied row-level. */
+  def readTablePruned(spark: org.apache.spark.sql.SparkSession,
+      ns: Seq[String], table: String,
+      preds: Seq[IcebergTable.ScanPred]): org.apache.spark.sql.DataFrame = {
+    val (md, dir) = loadTable(ns, table)
+    IcebergTable.readPrunedOrResolved(spark, md, dir, Seq(preds))
+  }
+
   private def stripFileScheme(p: String): String =
     if (p.startsWith("file:"))
       new java.io.File(URI.create(

@@ -115,6 +115,11 @@ class IcebergRestCatalogSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
       assert(rows("t_loc") == expected)
       assert(rows("t_embedded") == expected)
+      // pruned catalog reads run the same metadata skip tiers
+      val pruned = cat.readTablePruned(spark, Seq("db"), "t_loc",
+        Seq(IcebergTable.ScanPred("id", ">=", "3"))).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(pruned == Seq((3L, "c"), (4L, "d")))
       // one token exchange serves every call (bearer cached)
       assert(tokenGrants.get == 1)
       // catalog errors are loud, never an empty lakehouse

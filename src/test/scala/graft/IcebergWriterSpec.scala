@@ -351,6 +351,38 @@ class IcebergWriterSpec extends AnyFunSuite {
       Seq(IcebergTable.ScanPred("v", "<", "0.5"))).count() == 0)
   }
 
+  test("above 32 partition tuples: one-scan map path, deletes and pruning intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_icemany").toFile.getPath
+    // 40 identity partitions — past the literal-injection threshold,
+    // so reads take the single-scan + broadcast tuple-map path
+    IcebergWriter.create(spark, dir,
+      spark.range(0, 80).select(col("id"), (col("id") % 40).as("k")),
+      partitionBy = Seq("k"))
+    val all = IcebergTable.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(all == (0L until 80L).map(i => (i, i % 40)))
+    // partition pruning still fires per tuple
+    assert(IcebergTable.readWhere(spark, dir, pv => pv.get("k").contains("5"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 45L))
+    // positional deletes apply through the map path (the per-row
+    // partition-tuple key and the delete anti-join share the scan)
+    assert(IcebergWriter.deleteWhere(spark, dir, col("id") < 4) == 4)
+    val after = IcebergTable.read(spark, dir)
+    assert(after.count() == 76)
+    assert(after.filter(col("k") === 2).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(42L))
+    // partition-scoped equality semantics hold here too: a global
+    // equality delete hides every partition's matching key
+    IcebergWriter.deleteWhereKeys(spark, dir,
+      Seq(44L, 45L).toDF("id"), Seq("id"))
+    assert(IcebergTable.read(spark, dir).count() == 74)
+    // bounds pruning composes with the map path
+    assert(IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("id", ">=", "70"))).count() == 10)
+  }
+
   test("delete files skip under predicate-bounded reads; results identical") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -97,6 +97,11 @@ class NessieCatalogSpec extends AnyFunSuite {
       val got = cat.readTable(spark, Seq("db"), "events").collect()
         .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
       assert(got == expected)
+      // pruned catalog reads run the same metadata skip tiers
+      val pruned = cat.readTablePruned(spark, Seq("db"), "events",
+        Seq(IcebergTable.ScanPred("id", ">=", "3"))).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(pruned == Seq((3L, "c"), (4L, "d")))
       // a non-table content raises by type, a missing key by status
       val e1 = intercept[IllegalArgumentException] {
         cat.loadTable(Seq("db", "sub"), "deep")
