@@ -205,8 +205,23 @@ object IcebergTable {
       }
       tupleTouches && pathTouches
     }
-    val eq = eqDeletes.filter(d =>
-      branches.exists(b => b.forall(p => mayContain(md, d, p))))
+    // An equality delete file's column STATS only testify about its
+    // key columns: matching ignores every other column (applyDeletes
+    // selects only the equality_ids columns), so a foreign full-row
+    // delete whose non-key columns are all-NULL or out-of-range must
+    // still be kept when its KEYS could match (spec "Equality Delete
+    // Files" — extra columns are ignored during matching). The
+    // partition-tuple tier stays valid for ALL columns: a
+    // partition-scoped delete only hides rows of that partition, so a
+    // tuple that excludes the predicate disproves any hidden match.
+    val eq = eqDeletes.filter { d =>
+      // unresolvable ids (nested/unknown): no stats pruning at all —
+      // the delete is kept and applyDeletes raises its loud error
+      val keyCols = scala.util.Try(
+        d.equalityIds.map(md.fieldName).toSet).getOrElse(Set.empty[String])
+      branches.exists(b => b.forall(p =>
+        mayContain(md, d, p, useStats = keyCols.contains(p.column))))
+    }
     (pos, eq)
   }
 
@@ -259,7 +274,7 @@ object IcebergTable {
     * no row satisfying `p`; any parse/compare uncertainty keeps the
     * file (pruning must never change results). */
   private def mayContain(md: IcebergMetadata, f: FileEntry,
-      p: ScanPred): Boolean = {
+      p: ScanPred, useStats: Boolean = true): Boolean = {
     val dtOpt = md.schema.find(_.name == p.column).map(_.dataType)
     if (dtOpt.isEmpty) return true
     val dt = dtOpt.get
@@ -268,12 +283,14 @@ object IcebergTable {
         // membership = disjunction of equalities: keep iff ANY value
         // could be present
         return p.values.exists(v =>
-          mayContain(md, f, p.copy(op = "=", value = v, values = Nil)))
+          mayContain(md, f, p.copy(op = "=", value = v, values = Nil),
+            useStats))
       case "is_null" =>
         // no-null proof from stats (null count 0) or from a non-null
         // identity/transform partition tuple (transforms map null to
         // null, so a non-null tuple means no null source rows)
-        if (f.nullCounts.get(p.column).contains(0L)) return false
+        if (useStats && f.nullCounts.get(p.column).contains(0L))
+          return false
         val tupleNonNull = md.specFields.exists { sf =>
           nullFaithful(sf.transform) &&
             md.partitionSource(sf).contains(p.column) &&
@@ -288,7 +305,7 @@ object IcebergTable {
         // and non-null to non-null, so a null tuple means every
         // source row is null — identity-partitioned columns leave the
         // data files entirely and carry no footer stats)
-        val statsAllNull = f.recordCount > 0L &&
+        val statsAllNull = useStats && f.recordCount > 0L &&
           f.nullCounts.get(p.column).contains(f.recordCount)
         // gated on NULL-FAITHFUL transforms: a `void` field's tuple is
         // null for every file while the source rows are not
@@ -302,7 +319,7 @@ object IcebergTable {
       case _ => ()
     }
     // value ops can never match a NULL row: an all-null file skips
-    if (f.recordCount > 0L &&
+    if (useStats && f.recordCount > 0L &&
       f.nullCounts.get(p.column).contains(f.recordCount)) return false
     // NaN blindness guard: float/double bounds EXCLUDE NaN (spec
     // "Metrics" — writers record NaN rows in `nan_value_counts`
@@ -319,7 +336,7 @@ object IcebergTable {
         Set(">", ">=", "!=")(p.op) &&
         !f.nanCounts.get(p.column).contains(0L)
     }
-    val boundsOk = nanBlind || ((f.lowerBounds.get(p.column),
+    val boundsOk = !useStats || nanBlind || ((f.lowerBounds.get(p.column),
         f.upperBounds.get(p.column)) match {
       case (Some(lo), Some(hi)) =>
         (cmpTyped(dt, p.value, lo), cmpTyped(dt, p.value, hi)) match {
@@ -600,19 +617,25 @@ object IcebergTable {
     * migrated Hive data) resolve by name — there a missing name is
     * indistinguishable from an added column, matching engines'
     * name-mapping fallback. Returns current column name -> physical
-    * name; absent key = typed NULL. */
+    * name; absent key = typed NULL.
+    *
+    * The name fallback is PER FIELD, not per file (the spec's
+    * name-mapping rule applies to each field without an id): in a
+    * mixed footer — some fields stamped, some not — a current column
+    * whose id is absent still resolves by name when the name-matched
+    * physical field itself carries NO id. A name-matched field that
+    * carries a DIFFERENT id stays unresolved (it is some other,
+    * renamed column — reading it by name would return foreign data). */
   private def projectionOf(md: IcebergMetadata,
       dataSchema: org.apache.spark.sql.types.StructType,
       fields: Seq[(String, Option[Int])]): Seq[(String, Option[String])] = {
     val byId = fields.collect { case (n, Some(i)) => i -> n }.toMap
-    val byName = fields.map(_._1).toSet
+    val unlabeled = fields.collect { case (n, None) => n }.toSet
     val nameToId = md.fieldIds.getOrElse(md.currentSchemaId, Map.empty)
       .map(_.swap)
     dataSchema.fields.toSeq.map { f =>
-      val resolved =
-        if (byId.nonEmpty) nameToId.get(f.name).flatMap(byId.get)
-        else if (byName(f.name)) Some(f.name)
-        else None
+      val resolved = nameToId.get(f.name).flatMap(byId.get)
+        .orElse(if (unlabeled(f.name)) Some(f.name) else None)
       f.name -> resolved
     }
   }
@@ -793,8 +816,17 @@ object IcebergTable {
     // exact-rendering map: _metadata.file_path form -> (relative raw
     // path, data sequence number, canonical partition-tuple key);
     // metadata-scale, always broadcast
+    // LENGTH-PREFIXED rendering: `k=v` pairs joined by `/` collide
+    // across distinct tuples when values contain those characters
+    // ({a:"1/b=2"} vs {a:"1",b:"2"}), and a tuple of empty keys/values
+    // could collide with the "" global-delete sentinel. Prefixing each
+    // key/value with its length makes extents self-delimiting, so no
+    // character content can forge a boundary; the empty (global) tuple
+    // alone renders "".
     def tupleKey(pv: Map[String, String]): String =
-      pv.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
+      pv.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${k.length}:$k=${v.length}:$v" }
+        .mkString("/")
     val pathMap = spark.createDataFrame(
       files.map(f => (metaPathOf(f.path), relStr(f.path), f.seq,
         tupleKey(f.partitionValues))))

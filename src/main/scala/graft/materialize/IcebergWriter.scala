@@ -953,25 +953,35 @@ object IcebergWriter {
       def boundsArr(m: Map[String, String]): java.util.List[GenericRecord] = {
         val a = new java.util.ArrayList[GenericRecord]()
         m.toSeq.sortBy(_._1).foreach { case (name, s) =>
-          val idx = schema.fieldNames.indexOf(name)
-          if (idx >= 0)
-            IcebergSingleValue.encode(schema.fields(idx).dataType, s)
-              .foreach(b => a.add(
-                kv(kvB, idx + 1, java.nio.ByteBuffer.wrap(b))))
-          // positional deletes: the file_path column keys under the
-          // spec's RESERVED field id so readers can skip delete files
-          // whose referenced paths lie outside a scan's kept set
-          else if (content == 1 && name == "file_path")
-            IcebergSingleValue.encode(
-              org.apache.spark.sql.types.StringType, s)
-              .foreach(b => a.add(
-                kv(kvB, 2147483546, java.nio.ByteBuffer.wrap(b))))
+          // positional delete files' physical columns resolve FIRST
+          // (before any table-schema name lookup — a table column
+          // coincidentally named `file_path` must not capture them):
+          // `file_path` keys under the spec's RESERVED field id
+          // 2147483546 so readers can skip delete files whose
+          // referenced paths lie outside a scan's kept set; `pos`
+          // bounds are not emitted.
+          if (content == 1) {
+            if (name == "file_path")
+              IcebergSingleValue.encode(
+                org.apache.spark.sql.types.StringType, s)
+                .foreach(b => a.add(
+                  kv(kvB, 2147483546, java.nio.ByteBuffer.wrap(b))))
+          } else {
+            val idx = schema.fieldNames.indexOf(name)
+            if (idx >= 0)
+              IcebergSingleValue.encode(schema.fields(idx).dataType, s)
+                .foreach(b => a.add(
+                  kv(kvB, idx + 1, java.nio.ByteBuffer.wrap(b))))
+          }
         }
         a
       }
       if (stats.lower.nonEmpty) d.put("lower_bounds", boundsArr(stats.lower))
       if (stats.upper.nonEmpty) d.put("upper_bounds", boundsArr(stats.upper))
-      if (stats.nullCounts.nonEmpty) {
+      // positional delete files' `file_path`/`pos` never take table
+      // field ids — their null/nan counts are skipped wholesale (the
+      // columns are physically non-null by construction)
+      if (stats.nullCounts.nonEmpty && content != 1) {
         val a = new java.util.ArrayList[GenericRecord]()
         stats.nullCounts.toSeq.sortBy(_._1).foreach { case (name, n) =>
           val idx = schema.fieldNames.indexOf(name)
@@ -979,7 +989,7 @@ object IcebergWriter {
         }
         d.put("null_value_counts", a)
       }
-      if (stats.nanCounts.nonEmpty) {
+      if (stats.nanCounts.nonEmpty && content != 1) {
         val kvN = dfSchema.getField("nan_value_counts").schema()
           .getTypes.get(1).getElementType
         val a = new java.util.ArrayList[GenericRecord]()

@@ -75,8 +75,10 @@ final class NessieCatalog(baseUri: String,
     * element containing a dot forces the v2 group-separator join
     * (0x1D) so levels stay unambiguous. */
   private def keyPath(elements: Seq[String]): String = {
+    // URLEncoder is form encoding — a space becomes '+', which in a
+    // URL PATH is a literal plus; rewrite to the RFC 3986 percent form
     def enc(s: String) = java.net.URLEncoder.encode(
-      s, java.nio.charset.StandardCharsets.UTF_8)
+      s, java.nio.charset.StandardCharsets.UTF_8).replace("+", "%20")
     if (elements.exists(_.contains(".")))
       elements.map(enc).mkString("%1D")
     else elements.map(enc).mkString(".")

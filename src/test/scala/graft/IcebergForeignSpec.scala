@@ -891,4 +891,219 @@ class IcebergForeignSpec extends AnyFunSuite {
     // the read path stays fully available on all three
     assert(IcebergTable.read(spark, d1).count() == 6)
   }
+
+  // ---------------------------------------------------------------- //
+  //  Eq-delete pruning: non-key stats are not evidence (advisor r16)
+  // ---------------------------------------------------------------- //
+
+  test("eq-delete pruning ignores stats on NON-KEY columns, keeps stats on keys") {
+    // a full-row CDC delete file keyed on id ONLY: its v column is
+    // all-NULL (bounds absent, null count = record count) — matching
+    // ignores v entirely, so v's stats must never skip the delete
+    val md = IcebergMetadata.parse(
+      """{"format-version": 2, "table-uuid": "x", "location": "",
+        |"last-updated-ms": 0, "current-snapshot-id": null,
+        |"current-schema-id": 0,
+        |"schemas": [{"schema-id": 0, "type": "struct", "fields": [
+        |  {"id": 1, "name": "id", "required": true, "type": "long"},
+        |  {"id": 2, "name": "v", "required": false, "type": "double"}]}],
+        |"default-spec-id": 0,
+        |"partition-specs": [{"spec-id": 0, "fields": []}],
+        |"snapshots": []}""".stripMargin)
+    val kept = Seq(IcebergTable.FileEntry("data/f.parquet", 0, 1L, Nil))
+    val del = IcebergTable.FileEntry("data/d.parquet", 2, 2L, Seq(1),
+      lowerBounds = Map("id" -> "10"), upperBounds = Map("id" -> "20"),
+      nullCounts = Map("v" -> 5L), recordCount = 5L)
+    def eqKept(p: IcebergTable.ScanPred) =
+      IcebergTable.pruneDeletes(md, kept, Nil, Seq(del), Seq(Seq(p)))._2
+    // predicates on NON-KEY v: the all-NULL v column proves nothing
+    // about the rows this delete HIDES — the delete must be KEPT
+    assert(eqKept(IcebergTable.ScanPred("v", "=", "5.0")).nonEmpty)
+    assert(eqKept(IcebergTable.ScanPred("v", "is_not_null", "")).nonEmpty)
+    // predicates on the KEY column still prune via the delete's bounds
+    assert(eqKept(IcebergTable.ScanPred("id", "=", "99")).isEmpty)
+    assert(eqKept(IcebergTable.ScanPred("id", "=", "15")).nonEmpty)
+  }
+
+  test("eq-delete pruning: partition tuple still disproves on NON-KEY columns") {
+    // partition-scoped deletes only hide rows OF that partition, so a
+    // tuple excluding the predicate is valid evidence for any column
+    val md = IcebergMetadata.parse(
+      """{"format-version": 2, "table-uuid": "x", "location": "",
+        |"last-updated-ms": 0, "current-snapshot-id": null,
+        |"current-schema-id": 0,
+        |"schemas": [{"schema-id": 0, "type": "struct", "fields": [
+        |  {"id": 1, "name": "id", "required": true, "type": "long"},
+        |  {"id": 2, "name": "k", "required": false, "type": "string"}]}],
+        |"default-spec-id": 0,
+        |"partition-specs": [{"spec-id": 0, "fields": [
+        |  {"name": "k", "transform": "identity", "source-id": 2,
+        |   "field-id": 1000}]}],
+        |"snapshots": []}""".stripMargin)
+    val kept = Seq(IcebergTable.FileEntry("data/f.parquet", 0, 1L, Nil,
+      partitionValues = Map("k" -> "A")))
+    val del = IcebergTable.FileEntry("data/d.parquet", 2, 2L, Seq(1),
+      partitionValues = Map("k" -> "B"), recordCount = 5L)
+    def eqKept(p: IcebergTable.ScanPred) =
+      IcebergTable.pruneDeletes(md, kept, Nil, Seq(del), Seq(Seq(p)))._2
+    // k is NOT a key column, but the delete is scoped to partition B:
+    // a k="A" scan can't lose rows by skipping it
+    assert(eqKept(IcebergTable.ScanPred("k", "=", "A")).isEmpty)
+    assert(eqKept(IcebergTable.ScanPred("k", "=", "B")).nonEmpty)
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Partition tuple-key rendering is injective (advisor r16 medium)
+  // ---------------------------------------------------------------- //
+
+  private val eq2ManifestSchema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_entry","fields":[
+       |{"name":"status","type":"int"},
+       |{"name":"sequence_number","type":["null","long"],"default":null},
+       |{"name":"data_file","type":{"type":"record","name":"df","fields":[
+       |{"name":"content","type":"int"},
+       |{"name":"file_path","type":"string"},
+       |{"name":"record_count","type":"long"},
+       |{"name":"partition","type":["null",
+       |{"type":"record","name":"r102","fields":[
+       |{"name":"a","type":["null","string"],"default":null},
+       |{"name":"b","type":["null","string"],"default":null}]}],
+       |"default":null},
+       |{"name":"equality_ids","type":["null",
+       |{"type":"array","items":"int"}],"default":null}
+       |]}}]}""".stripMargin)
+
+  test("partition tuple keys with '/' and '=' in values never collide across partitions") {
+    // under a k=v-joined rendering, tuples {a:"1/b=2", b:"3"} and
+    // {a:"1", b:"2/b=3"} both print "a=1/b=2/b=3": a delete scoped to
+    // the SECOND partition would also hide the first partition's rows
+    val dir = Files.createTempDirectory("graft_icetuplekey").toFile
+    val loc = dir.getPath
+    import spark.implicits._
+    onePart(dir, Seq(1L).toDF("id"), "data/f1.parquet")
+    onePart(dir, Seq(1L).toDF("id"), "data/f2.parquet")
+    onePart(dir, Seq(1L).toDF("id"), "data/del1.parquet")
+    val dfS = eq2ManifestSchema.getField("data_file").schema()
+    val r102 = dfS.getField("partition").schema().getTypes.get(1)
+    def row(path: String, content: Int, a: String, b: String,
+        eqIds: Seq[Int]): GenericRecord = {
+      val df = new GenericData.Record(dfS)
+      df.put("content", content)
+      df.put("file_path", path)
+      df.put("record_count", 1L)
+      val pr = new GenericData.Record(r102)
+      pr.put("a", a)
+      pr.put("b", b)
+      df.put("partition", pr)
+      if (eqIds.nonEmpty) {
+        val l = new java.util.ArrayList[Integer]()
+        eqIds.foreach(i => l.add(Int.box(i)))
+        df.put("equality_ids", l)
+      }
+      val r = new GenericData.Record(eq2ManifestSchema)
+      r.put("status", 1)
+      r.put("data_file", df)
+      r
+    }
+    writeAvro(new File(dir, "metadata/m1.avro"), eq2ManifestSchema,
+      Seq(row(s"$loc/data/f1.parquet", 0, "1/b=2", "3", Nil)))
+    writeAvro(new File(dir, "metadata/m2.avro"), eq2ManifestSchema,
+      Seq(row(s"$loc/data/f2.parquet", 0, "1", "2/b=3", Nil)))
+    writeAvro(new File(dir, "metadata/m3.avro"), eq2ManifestSchema,
+      Seq(row(s"$loc/data/del1.parquet", 2, "1", "2/b=3", Seq(1))))
+    def lr(path: String, seq: Long, content: Int): GenericRecord = {
+      val r = new GenericData.Record(foreignListSchema)
+      r.put("manifest_path", path)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("partition_spec_id", 0)
+      r
+    }
+    writeAvro(new File(dir, "metadata/ml1.avro"), foreignListSchema, Seq(
+      lr(s"$loc/metadata/m1.avro", 1L, 0),
+      lr(s"$loc/metadata/m2.avro", 1L, 0),
+      lr(s"$loc/metadata/m3.avro", 2L, 1)))
+    java.nio.file.Files.writeString(
+      new File(dir, "metadata/00001-tk.metadata.json").toPath,
+      s"""{
+         |  "format-version": 2, "table-uuid": "0000-tk",
+         |  "location": "$loc", "last-updated-ms": 1000,
+         |  "current-snapshot-id": 100, "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 1, "name": "id", "required": true, "type": "long"},
+         |    {"id": 2, "name": "a", "required": false, "type": "string"},
+         |    {"id": 3, "name": "b", "required": false, "type": "string"}
+         |  ]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": [
+         |    {"name": "a", "transform": "identity",
+         |     "source-id": 2, "field-id": 1000},
+         |    {"name": "b", "transform": "identity",
+         |     "source-id": 3, "field-id": 1001}
+         |  ]}],
+         |  "snapshots": [
+         |    {"snapshot-id": 100, "timestamp-ms": 1000,
+         |     "manifest-list": "$loc/metadata/ml1.avro",
+         |     "summary": {"operation": "append"}}]
+         |}""".stripMargin)
+    val got = IcebergTable.read(spark, dir.getPath)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    // the delete (scoped to {a:"1", b:"2/b=3"}) hides ONLY f2's row;
+    // f1's row in the colliding-rendering partition stays live
+    assert(got == Seq((1L, "1/b=2", "3")))
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Mixed-id footers: per-FIELD name fallback (advisor r16 low)
+  // ---------------------------------------------------------------- //
+
+  test("a footer with SOME field ids still resolves unlabeled columns by name") {
+    val dir = Files.createTempDirectory("graft_icemixid").toFile
+    val loc = dir.getPath
+    import spark.implicits._
+    // id carries its field id; v is unlabeled (a writer that only
+    // stamps some columns) — v must resolve BY NAME, not read NULL
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val mixedSchema = StructType(Seq(
+      withId(StructField("id", LongType), 1),
+      StructField("v", DoubleType)))
+    onePart(dir, spark.createDataFrame(df.rdd, mixedSchema),
+      "data/f1.parquet")
+    val dfS = nanManifestSchema.getField("data_file").schema()
+    val d = new GenericData.Record(dfS)
+    d.put("content", 0)
+    d.put("file_path", s"$loc/data/f1.parquet")
+    d.put("record_count", 2L)
+    val me = new GenericData.Record(nanManifestSchema)
+    me.put("status", 1)
+    me.put("data_file", d)
+    writeAvro(new File(dir, "metadata/m1.avro"), nanManifestSchema, Seq(me))
+    val lr = new GenericData.Record(foreignListSchema)
+    lr.put("manifest_path", s"$loc/metadata/m1.avro")
+    lr.put("content", 0)
+    lr.put("sequence_number", 1L)
+    lr.put("partition_spec_id", 0)
+    writeAvro(new File(dir, "metadata/ml1.avro"), foreignListSchema, Seq(lr))
+    java.nio.file.Files.writeString(
+      new File(dir, "metadata/00001-mix.metadata.json").toPath,
+      s"""{
+         |  "format-version": 2, "table-uuid": "0000-mix",
+         |  "location": "$loc", "last-updated-ms": 1000,
+         |  "current-snapshot-id": 100, "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 1, "name": "id", "required": true, "type": "long"},
+         |    {"id": 2, "name": "v", "required": false, "type": "double"}
+         |  ]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "snapshots": [
+         |    {"snapshot-id": 100, "timestamp-ms": 1000,
+         |     "manifest-list": "$loc/metadata/ml1.avro",
+         |     "summary": {"operation": "append"}}]
+         |}""".stripMargin)
+    val got = IcebergTable.read(spark, dir.getPath)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(got == Seq((1L, 10.0), (2L, 20.0)))
+  }
 }

@@ -887,4 +887,33 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(back.count() == 1)
     assert(back.select("nested.*").columns.toSeq == Seq("_1", "_2"))
   }
+
+  test("a table column named file_path never captures positional-delete path stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the positional delete file's PHYSICAL file_path column must key
+    // under the reserved id 2147483546 even when the TABLE also has a
+    // column of that name — the table-id keying would both lose the
+    // path-bounds prune and poison the table column's stats
+    val dir = Files.createTempDirectory("graft_icefp").toFile.getPath
+    IcebergWriter.create(spark, dir,
+      Seq((1L, "u1"), (2L, "u2"), (3L, "u3")).toDF("id", "file_path")
+        .coalesce(1))
+    assert(IcebergWriter.deleteWhere(spark, dir, col("id") === 2L) == 1)
+    val md = IcebergTable.loadMetadata(dir)
+    val entries = IcebergTable.snapshotFiles(md, md.currentSnapshot.get, dir)
+    val pos = entries.filter(_.content == 1)
+    assert(pos.nonEmpty)
+    // reserved-id bounds present; no table-column contamination
+    assert(pos.forall(_.pathBounds.isDefined))
+    assert(pos.forall(e => e.lowerBounds.get("file_path").isEmpty &&
+      e.upperBounds.get("file_path").isEmpty &&
+      e.nullCounts.get("file_path").isEmpty))
+    // data-file stats on the table's file_path column are unaffected
+    val data = entries.filter(_.content == 0)
+    assert(data.forall(_.lowerBounds.get("file_path").contains("u1")))
+    assert(IcebergTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "u1"), (3L, "u3")))
+  }
 }

@@ -126,6 +126,12 @@ class NessieCatalogSpec extends AnyFunSuite {
         cat.loadTable(Seq("db.dotted"), "t")
       }
       assert(probe.get.endsWith("/contents/db.dotted%1Dt"))
+      // spaces percent-encode as %20 (a '+' in a URL PATH is a
+      // literal plus — form encoding would resolve the wrong key)
+      intercept[IllegalArgumentException] {
+        cat.loadTable(Seq("my ns"), "t")
+      }
+      assert(probe.get.endsWith("/contents/my%20ns.t"))
     } finally server.stop(0)
   }
 }
