@@ -7,6 +7,7 @@ import java.time.Duration
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
 
 /** Client for the PUBLIC Iceberg REST Catalog API
   * (<https://iceberg.apache.org/spec/> companion
@@ -30,7 +31,11 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *    metadata comes from, never what a scan does);
   *  - `POST /v1/oauth/tokens` client-credentials exchange for the
   *    reference's CREDENTIAL ("client_id:client_secret") auth mode;
-  *    TOKEN mode sends the bearer unchanged.
+  *    TOKEN mode sends the bearer unchanged;
+  *  - `POST /v1/{prefix}/namespaces/{ns}/tables/{t}` CommitTableRequest
+  *    ([[updateTable]]/[[commitAppend]]): optimistic requirements +
+  *    updates, so writes publish through the catalog protocol with
+  *    compare-and-swap semantics instead of bypassing the catalog.
   *
   * Transport is JDK `java.net.http` — no added dependency, works
   * against loopback/IP endpoints in the zero-egress sandbox (the spec
@@ -84,6 +89,18 @@ final class IcebergRestCatalog(baseUri: String,
     val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() / 100 == 2,
       s"iceberg rest: GET $path -> ${resp.statusCode()}: " +
+        resp.body().take(500))
+    mapper.readTree(resp.body())
+  }
+
+  private def post(path: String, body: String): JsonNode = {
+    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    bearer.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() / 100 == 2,
+      s"iceberg rest: POST $path -> ${resp.statusCode()}: " +
         resp.body().take(500))
     mapper.readTree(resp.body())
   }
@@ -165,6 +182,69 @@ final class IcebergRestCatalog(baseUri: String,
       preds: Seq[IcebergTable.ScanPred]): org.apache.spark.sql.DataFrame = {
     val (md, dir) = loadTable(ns, table)
     IcebergTable.readPrunedOrResolved(spark, md, dir, Seq(preds))
+  }
+
+  /** `POST /v1/{prefix}/namespaces/{ns}/tables/{t}` — the spec's
+    * CommitTableRequest: optimistic `requirements` the server checks
+    * against its current state (a stale assertion is a 409, surfaced
+    * as the require below) and `updates` it applies atomically.
+    * Returns the CommitTableResponse. */
+  def updateTable(ns: Seq[String], table: String,
+      requirements: Seq[JsonNode], updates: Seq[JsonNode]): JsonNode = {
+    val t = java.net.URLEncoder.encode(
+      table, java.nio.charset.StandardCharsets.UTF_8)
+    val root = mapper.createObjectNode()
+    val id = root.putObject("identifier")
+    val nsArr = id.putArray("namespace")
+    ns.foreach(nsArr.add)
+    id.put("name", table)
+    val reqArr = root.putArray("requirements")
+    requirements.foreach(reqArr.add)
+    val updArr = root.putArray("updates")
+    updates.foreach(updArr.add)
+    post(s"/v1$prefix/namespaces/${nsPath(ns)}/tables/$t",
+      mapper.writeValueAsString(root))
+  }
+
+  /** Append `df` to a catalog table THROUGH the protocol: the snapshot
+    * is written into the table's storage location with the
+    * layout-preserving local writer, then published to the catalog as
+    * an `add-snapshot` + `set-snapshot-ref main` commit guarded by an
+    * `assert-ref-snapshot-id` requirement on the snapshot this append
+    * was computed against — a concurrent catalog commit fails the
+    * assertion (HTTP 409) instead of silently losing an update. */
+  def commitAppend(spark: org.apache.spark.sql.SparkSession,
+      ns: Seq[String], table: String,
+      df: org.apache.spark.sql.DataFrame): JsonNode = {
+    val (md, dir) = loadTable(ns, table)
+    val parentId = md.currentSnapshotId
+    IcebergWriter.append(spark, dir, df)
+    val newMd = IcebergTable.loadMetadata(dir)
+    val snapId = newMd.currentSnapshotId.getOrElse(
+      sys.error("iceberg rest: append produced no snapshot"))
+    // the snapshot node VERBATIM from the committed document — the
+    // catalog must record exactly what storage holds
+    val doc = mapper.readTree(IcebergTable.currentMetadataDoc(dir))
+    val snapNode = doc.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-1L) == snapId)
+      .getOrElse(sys.error(s"iceberg rest: snapshot $snapId missing " +
+        "from the committed metadata document"))
+    val req = mapper.createObjectNode()
+    req.put("type", "assert-ref-snapshot-id")
+    req.put("ref", "main")
+    parentId match {
+      case Some(p) => req.put("snapshot-id", p)
+      case None => req.putNull("snapshot-id")
+    }
+    val addSnap = mapper.createObjectNode()
+    addSnap.put("action", "add-snapshot")
+    addSnap.set[ObjectNode]("snapshot", snapNode)
+    val setRef = mapper.createObjectNode()
+    setRef.put("action", "set-snapshot-ref")
+    setRef.put("ref-name", "main")
+    setRef.put("type", "branch")
+    setRef.put("snapshot-id", snapId)
+    updateTable(ns, table, Seq(req), Seq(addSnap, setRef))
   }
 
   private def stripFileScheme(p: String): String =

@@ -39,7 +39,15 @@ object IcebergTable {
     * >=10 versions "v9" sorts after "v10" as text and a lexicographic
     * maxBy silently serves a stale snapshot. Files with no parseable
     * version fall back to name order below every numbered one. */
-  def loadMetadata(tableDir: String): IcebergMetadata = {
+  def loadMetadata(tableDir: String): IcebergMetadata =
+    IcebergMetadata.parse(currentMetadataDoc(tableDir))
+
+  /** Raw text of the table's CURRENT metadata document — what a
+    * layout-preserving commit amends in place. */
+  private[materialize] def currentMetadataDoc(tableDir: String): String =
+    java.nio.file.Files.readString(currentMetadataFile(tableDir).toPath)
+
+  private def currentMetadataFile(tableDir: String): File = {
     val mdir = new File(localPath(tableDir), "metadata")
     require(mdir.isDirectory, s"no metadata dir under $tableDir")
     val hint = new File(mdir, "version-hint.text")
@@ -60,7 +68,7 @@ object IcebergTable {
           .maxBy(f => (versionNum.findFirstMatchIn(f.getName)
             .map(_.group(1).toLong).getOrElse(-1L), f.getName))
       }
-    IcebergMetadata.parse(java.nio.file.Files.readString(mfile.toPath))
+    mfile
   }
 
   /** Read the table at its current snapshot. */
@@ -581,28 +589,63 @@ object IcebergTable {
 
   /** Process-wide cache of parquet footer top-level fields
     * (name, field-id). Iceberg data files are immutable — a path never
-    * changes contents — so resolutions are cached forever (cleared
-    * only by a crude size cap against pathological churn). */
-  private val footerFieldsCache = new java.util.concurrent
-    .ConcurrentHashMap[String, Seq[(String, Option[Int])]]()
+    * changes contents — so resolutions are cached until LRU eviction
+    * (access-ordered; the old clear-all eviction dropped the whole
+    * working set on the cap boundary). */
+  private val FooterCacheCap = 262144
+  private val footerFieldsCache: java.util.Map[String, Seq[(String, Option[Int])]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[(String, Option[Int])]](
+          1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[(String, Option[Int])]])
+            : Boolean = size() > FooterCacheCap
+      })
 
-  /** Top-level (name, field-id) pairs of one parquet data file's
-    * footer schema — driver-side metadata work, a few KB per file,
-    * parallelized across a batch and cached by path. */
-  private def footerFields(path: String): Seq[(String, Option[Int])] = {
-    val cached = footerFieldsCache.get(path)
-    if (cached != null) return cached
+  /** One parquet footer's top-level (name, field-id) pairs — a few KB
+    * of metadata read, never data pages. Static so the distributed
+    * batch resolver can run it executor-side. */
+  private def readFooterFields(path: String): Seq[(String, Option[Int])] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(path),
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    val fields = try {
-      r.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
-        .map(t => t.getName -> Option(t.getId).map(_.intValue))
-    } finally r.close()
-    if (footerFieldsCache.size > 262144) footerFieldsCache.clear()
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
+      .map(t => t.getName -> Option(t.getId).map(_.intValue))
+    finally r.close()
+  }
+
+  /** Cached footer resolution for one path. */
+  private def footerFields(path: String): Seq[(String, Option[Int])] = {
+    val cached = footerFieldsCache.get(path)
+    if (cached != null) return cached
+    val fields = readFooterFields(path)
     footerFieldsCache.put(path, fields)
     fields
+  }
+
+  /** Footer batches past this size resolve as a SPARK JOB over the
+    * path list (collecting only (path, fields) — kilobytes per file)
+    * instead of driver-side threads: at native table scale (10⁵-10⁶
+    * files) per-file driver I/O is minutes of wall that a cluster
+    * does in seconds, the same work native Iceberg scans push to
+    * tasks. Below it the parallelStream path avoids job-launch
+    * overhead. */
+  private val FooterJobThreshold = 4096
+
+  /** Resolve a batch of footers into the cache, distributed when the
+    * batch is large. */
+  private def resolveFooters(spark: SparkSession,
+      paths: Seq[String]): Unit = {
+    val uncached = paths.distinct.filterNot(footerFieldsCache.containsKey)
+    if (uncached.size > FooterJobThreshold) {
+      val slices = math.max(32, math.min(uncached.size / 64,
+        spark.sparkContext.defaultParallelism * 4))
+      spark.sparkContext.parallelize(uncached, slices)
+        .map(p => p -> readFooterFields(p)).collect()
+        .foreach { case (p, f) => footerFieldsCache.put(p, f) }
+    } else if (uncached.size > 8)
+      uncached.asJava.parallelStream().forEach(p => footerFields(p))
   }
 
   /** Per-file projection of the CURRENT schema onto a data file's
@@ -666,11 +709,9 @@ object IcebergTable {
       md: IcebergMetadata, files: Seq[FileEntry],
       withCoords: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
-    // resolve all footers up front (parallel for big batches)
-    val uncached = files.map(_.path).distinct
-      .filterNot(footerFieldsCache.containsKey)
-    if (uncached.size > 8)
-      uncached.asJava.parallelStream().forEach(p => footerFields(p))
+    // resolve all footers up front (parallel threads for medium
+    // batches, a Spark job for native-scale file counts)
+    resolveFooters(spark, files.map(_.path))
     val outCols = md.schema.fieldNames.map(col(_)) ++
       (if (withCoords) Seq(col("__graft_meta")) else Nil)
     // only IDENTITY tuple keys are schema columns that were

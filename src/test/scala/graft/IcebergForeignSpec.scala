@@ -860,36 +860,86 @@ class IcebergForeignSpec extends AnyFunSuite {
       new File(mdir, "00002-mut.metadata.json").toPath, edit(doc))
   }
 
-  test("local commits onto foreign-layout tables are refused loudly") {
+  test("appends onto foreign-layout tables preserve the original metadata layout") {
     import spark.implicits._
     def appendOne(dir: String): Unit =
       IcebergWriter.append(spark, dir,
         Seq((99L, 0.5)).toDF("id", "v"))
-    // non-positional field ids: commit would renumber 1..N and re-key
-    // every id-addressed stats map and equality_ids list
+    // non-positional field ids (v carries id 5): the commit must key
+    // new stats under id 5 and amend the document without renumbering
     val d1 = buildNanForeign()
     mutateMetadata(d1, _.replace("{\"id\": 2, \"name\": \"v\"",
       "{\"id\": 5, \"name\": \"v\""))
-    val e1 = intercept[IllegalArgumentException](appendOne(d1))
-    assert(e1.getMessage.contains("field-id table"))
-    // evolved default spec id: carried-forward manifests would be
-    // stamped partition_spec_id=0 and pass the reader's spec gate
+    appendOne(d1)
+    assert(IcebergTable.read(spark, d1).count() == 7)
+    val md1 = IcebergTable.loadMetadata(d1)
+    assert(md1.fieldIds(md1.currentSchemaId).get(5).contains("v"))
+    assert(md1.fieldIds(md1.currentSchemaId).get(1).contains("id"))
+    // the NEW data manifest keys its stats under the ORIGINAL ids: a
+    // v-bounds prune must still see the appended file's bounds
+    val entries = IcebergTable.snapshotFiles(md1,
+      md1.currentSnapshot.get, d1).filter(_.content == 0)
+    val appended = entries.filter(_.path.contains("snap-"))
+    assert(appended.nonEmpty)
+    assert(appended.forall(e => e.lowerBounds.get("v").contains("0.5") &&
+      e.upperBounds.get("v").contains("0.5")))
+    // evolved default spec id: the new manifest is stamped with the
+    // table's ACTUAL default spec id, and the doc keeps it
     val d2 = buildNanForeign()
     mutateMetadata(d2, _.replace("\"default-spec-id\": 0",
       "\"default-spec-id\": 2")
       .replace("{\"spec-id\": 0,", "{\"spec-id\": 2,"))
-    val e2 = intercept[IllegalArgumentException](appendOne(d2))
-    assert(e2.getMessage.contains("default partition spec"))
-    // multiple partition specs: same re-keying hazard
+    appendOne(d2)
+    assert(IcebergTable.read(spark, d2).count() == 7)
+    assert(IcebergTable.loadMetadata(d2).defaultSpecId == 2)
+    // multiple partition specs survive the commit verbatim
     val d3 = buildNanForeign()
     mutateMetadata(d3, _.replace(
       "\"partition-specs\": [{\"spec-id\": 0, \"fields\": []}]",
       "\"partition-specs\": [{\"spec-id\": 0, \"fields\": []}, " +
         "{\"spec-id\": 1, \"fields\": []}]"))
-    val e3 = intercept[IllegalArgumentException](appendOne(d3))
-    assert(e3.getMessage.contains("partition specs"))
-    // the read path stays fully available on all three
-    assert(IcebergTable.read(spark, d1).count() == 6)
+    appendOne(d3)
+    assert(IcebergTable.read(spark, d3).count() == 7)
+    assert(IcebergTable.loadMetadata(d3).specCount == 2)
+    // still refused loudly: v1 tables (sequence-number semantics) and
+    // schema EVOLUTION onto a non-positional layout (the one commit
+    // kind that regenerates the document)
+    val d4 = buildNanForeign()
+    mutateMetadata(d4, _.replace("\"format-version\": 2",
+      "\"format-version\": 1"))
+    val e4 = intercept[IllegalArgumentException](appendOne(d4))
+    assert(e4.getMessage.contains("format-version"))
+    val e5 = intercept[RuntimeException] {
+      IcebergWriter.appendEvolved(spark, d1,
+        Seq((100L, 1.0, "x")).toDF("id", "v", "extra"))
+    }
+    assert(e5.getMessage.contains("field-id table"))
+  }
+
+  test("equality-delete upserts onto foreign layouts use the table's own field ids") {
+    import spark.implicits._
+    // v carries id 7: the upsert's equality_ids must say 1 (id) — the
+    // key column's REAL id — and the delete must still apply on read
+    val d = buildNanForeign()
+    mutateMetadata(d, _.replace("{\"id\": 2, \"name\": \"v\"",
+      "{\"id\": 7, \"name\": \"v\""))
+    IcebergWriter.upsertKeys(spark, d,
+      Seq((1L, 111.0)).toDF("id", "v"), Seq("id"))
+    val got = IcebergTable.read(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._1 == 1L)
+    assert(got.toSeq == Seq((1L, 111.0)))
+    val md = IcebergTable.loadMetadata(d)
+    val eqs = IcebergTable.snapshotFiles(md,
+      md.currentSnapshot.get, d).filter(_.content == 2)
+    assert(eqs.nonEmpty && eqs.forall(_.equalityIds == Seq(1)))
+    // a key on the remapped column resolves to ITS id
+    IcebergWriter.upsertKeys(spark, d,
+      Seq((50L, 5.5)).toDF("id", "v"), Seq("v"))
+    val md2 = IcebergTable.loadMetadata(d)
+    val eqs2 = IcebergTable.snapshotFiles(md2,
+      md2.currentSnapshot.get, d).filter(_.content == 2)
+    assert(eqs2.exists(_.equalityIds == Seq(7)))
   }
 
   // ---------------------------------------------------------------- //

@@ -5,6 +5,8 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
@@ -137,6 +139,80 @@ class IcebergRestCatalogSpec extends AnyFunSuite {
         bad.listNamespaces()
       }
       assert(e2.getMessage.contains("401"))
+    } finally server.stop(0)
+  }
+
+  test("REST catalog commit: add-snapshot lands through the protocol; " +
+      "stale assert-ref-snapshot-id is a 409") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_restcommit").toFile.getPath
+    IcebergWriter.create(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def currentMdFile(): File = {
+      val hint = Files.readString(
+        new File(dir, "metadata/version-hint.text").toPath).trim
+      new File(dir, s"metadata/v$hint.metadata.json")
+    }
+    // the catalog's OWN view of main — moved only by a protocol commit
+    val catSnap = new java.util.concurrent.atomic.AtomicLong(
+      IcebergTable.loadMetadata(dir).currentSnapshotId.get)
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lastUpdates = new java.util.concurrent.atomic
+      .AtomicReference[String]("")
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/config", (ex: HttpExchange) =>
+      respond(ex, 200, """{"defaults":{},"overrides":{}}"""))
+    server.createContext("/v1/namespaces/db/tables/t",
+      (ex: HttpExchange) => ex.getRequestMethod match {
+        case "GET" => respond(ex, 200,
+          s"""{"metadata-location":"${currentMdFile().getAbsolutePath}"}""")
+        case "POST" =>
+          val body = mapper.readTree(ex.getRequestBody.readAllBytes())
+          val req = body.path("requirements").get(0)
+          if (req.path("type").asText() != "assert-ref-snapshot-id" ||
+              req.path("ref").asText() != "main")
+            respond(ex, 400, """{"message":"unexpected requirement"}""")
+          else if (req.path("snapshot-id").asLong(-1L) != catSnap.get)
+            respond(ex, 409,
+              """{"message":"requirement failed: branch main has moved"}""")
+          else {
+            val updates = body.path("updates")
+            lastUpdates.set(updates.toString)
+            val newId = updates.elements().asScala
+              .find(_.path("action").asText() == "set-snapshot-ref")
+              .map(_.path("snapshot-id").asLong(-1L)).getOrElse(-1L)
+            catSnap.set(newId)
+            commits.incrementAndGet()
+            respond(ex, 200,
+              s"""{"metadata-location":"${currentMdFile().getAbsolutePath}"}""")
+          }
+      })
+    server.start()
+    try {
+      val uri = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val cat = new IcebergRestCatalog(uri)
+      cat.commitAppend(spark, Seq("db"), "t",
+        Seq((3L, "c")).toDF("id", "name"))
+      assert(commits.get == 1)
+      // the catalog's main now tracks storage's current snapshot, and
+      // the published updates carried the snapshot node verbatim
+      assert(catSnap.get ==
+        IcebergTable.loadMetadata(dir).currentSnapshotId.get)
+      assert(lastUpdates.get.contains("add-snapshot") &&
+        lastUpdates.get.contains("manifest-list"))
+      assert(cat.readTable(spark, Seq("db"), "t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // a concurrent catalog commit moved main: the NEXT commit's
+      // assertion (computed against the loaded snapshot) must 409
+      catSnap.set(999999L)
+      val e = intercept[IllegalArgumentException] {
+        cat.commitAppend(spark, Seq("db"), "t",
+          Seq((4L, "d")).toDF("id", "name"))
+      }
+      assert(e.getMessage.contains("409"))
+      assert(commits.get == 1)
     } finally server.stop(0)
   }
 }
