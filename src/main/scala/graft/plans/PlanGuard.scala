@@ -52,11 +52,15 @@ object PlanGuard {
       "t_tokenize_ids")
 
   /** Queries allowed to plan a sort whose input is a SINGLE partition
-    * of an unbounded relation — the one legitimate member is substring
-    * dedup's out-of-core suffix sort (documented in Dedup.scala as the
-    * inherent single-box remainder). Anything else is a scale-killer:
-    * all corpus rows through one task. */
-  val singlePartitionSortAllow: Set[String] = Set("d_dedup_substring")
+    * of an unbounded relation. EMPTY since round 17: substring dedup's
+    * suffix sort — the set's one historical member — was reshaped into
+    * the partitioned window-hash occurrence count (Dedup.repeatedSpans)
+    * and its plan now carries no single-partition stage at any measured
+    * scale (probed through the AQE final plan at sf0.1 and sf10).
+    * Anything that would re-enter this set is a scale-killer — all
+    * corpus rows through one task — and needs a re-argued boundedness
+    * case in PlanAuditSpec. */
+  val singlePartitionSortAllow: Set[String] = Set.empty
 
   /** Every node of the plan, descending THROUGH adaptive wrappers: a
     * vanilla `plan.collect` treats AdaptiveSparkPlanExec/QueryStageExec

@@ -376,8 +376,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // instead of WARNing.
     // The same sweep also enforces the sibling invariant: no SortExec
     // fed by a SINGLE partition of an unbounded stream outside
-    // PlanGuard.singlePartitionSortAllow (substring dedup's documented
-    // out-of-core suffix sort is the one legitimate member).
+    // PlanGuard.singlePartitionSortAllow (EMPTY since round 17 —
+    // substring dedup's reshaped plan retired the one member).
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       graft.plans.PlanGuard.scaleWarnings(name,
           SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
@@ -401,8 +401,10 @@ class PlanAuditSpec extends AnyFunSuite {
       .limit(100).coalesce(1).sortWithinPartitions("ts")
     assert(!PlanGuard.scaleWarnings("zzz_probe",
         ok.queryExecution.executedPlan).contains("single_partition_sort"))
-    // the allowlist silences it by name
-    assert(!PlanGuard.scaleWarnings("d_dedup_substring",
+    // the allowlist is EMPTY since round 17 (substring dedup's reshaped
+    // plan needs no exemption): the detector fires for every name,
+    // including the historical member
+    assert(PlanGuard.scaleWarnings("d_dedup_substring",
         bad.queryExecution.executedPlan).contains("single_partition_sort"))
   }
 
