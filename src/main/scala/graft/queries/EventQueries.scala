@@ -213,6 +213,25 @@ object EventQueries {
           (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("dt_us"))
     }),
 
+    // Time-bounded slice of the same range join: the first two days of
+    // the event stream. Semantically a partition-pruned run of
+    // e_range_join — the shape a production backfill actually executes
+    // (range joins over a month of events run day-at-a-time) — and the
+    // fifth-decade evidence path for the family where the FULL month's
+    // shuffle exceeds a single box's disk (SCALING.md r16).
+    "e_range_join_slice" -> ((s, dir) => {
+      val evs = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+      val a = evs.select(col("user_id"), col("event_id").as("id_a"),
+        col("ts").as("ts_a"))
+      val b = evs.select(col("user_id"), col("event_id").as("id_b"),
+        col("ts").as("ts_b"))
+      graft.ops.RangeJoin.within(a, b, Seq("user_id"), "ts_a", "ts_b", 60)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("user_id"), col("id_a"), col("id_b"),
+          (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("dt_us"))
+    }),
+
     // AS-OF join: for each purchase, the user's most recent click at or
     // before it — composed from a window with IGNORE NULLS (the
     // Spark-native expression of ASOF; no custom physical operator
@@ -454,6 +473,15 @@ object EventQueries {
       """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
         |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
         |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000""".stripMargin,
+
+    "e_range_join_slice" ->
+      """WITH ev AS (SELECT * FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-03')
+        |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM ev a JOIN ev b
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000""".stripMargin,
 
