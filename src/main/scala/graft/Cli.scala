@@ -63,6 +63,7 @@ object Cli {
     case Seq("stats", _*) => cmdStats(session.get())
     case Seq("catalog", uri, rest @ _*) => cmdCatalog(uri, rest)
     case Seq("nessie", uri, rest @ _*) => cmdNessie(uri, rest)
+    case Seq("glue", region, rest @ _*) => cmdGlue(region, rest)
     case Seq("version", _*) => cmdVersion
     case _ => cmdHelp
   }
@@ -140,6 +141,49 @@ object Cli {
           else md.partitionFields.map { case (n, t) => s"$n($t)" }
             .mkString(", ")
         s"""$ns.$table @ ${cat.branch}
+           |  location:  $dir
+           |  format:    v${md.formatVersion}
+           |  schema:    ${md.schema.simpleString}
+           |  partition: $parts
+           |  snapshots: ${md.snapshots.size} (current ${
+          md.currentSnapshot.map(_.snapshotId).getOrElse(-1L)})""".stripMargin
+    }
+  }
+
+  /** `graft glue <region> [db [table]]` — the reference's
+    * `catalog_type: glue` attach surface (connections.py:109,
+    * bridge.py:299-302) over the SigV4-signed Glue Data Catalog
+    * client. Auth mirrors the AWS credential convention:
+    * `AWS_ACCESS_KEY_ID` / `AWS_SECRET_ACCESS_KEY`
+    * (+ `AWS_SESSION_TOKEN`). The region argument accepts an inline
+    * endpoint override as `<region>=<endpoint>` (VPC endpoints,
+    * loopback testing); plain `<region>` targets the public service
+    * endpoint. */
+  def cmdGlue(regionArg: String, rest: Seq[String]): String = {
+    val (region, endpoint) = regionArg.split("=", 2) match {
+      case Array(r, e) => (r, Some(e))
+      case _ => (regionArg, None)
+    }
+    val cat = new graft.materialize.GlueCatalog(region,
+      accessKey = sys.env.getOrElse("AWS_ACCESS_KEY_ID", ""),
+      secretKey = sys.env.getOrElse("AWS_SECRET_ACCESS_KEY", ""),
+      sessionToken = sys.env.get("AWS_SESSION_TOKEN"),
+      endpoint = endpoint)
+    rest.toList match {
+      case Nil =>
+        val dbs = cat.listDatabases()
+        s"Connected to Glue catalog: $region\n" +
+          s"Available databases: ${dbs.mkString(", ")}"
+      case db :: Nil =>
+        val ts = cat.listTables(db)
+        s"$db: ${ts.size} table(s)\n" + ts.map("  " + _).mkString("\n")
+      case db :: table :: _ =>
+        val (md, dir) = cat.loadTable(db, table)
+        val parts =
+          if (md.partitionFields.isEmpty) "(unpartitioned)"
+          else md.partitionFields.map { case (n, t) => s"$n($t)" }
+            .mkString(", ")
+        s"""$db.$table
            |  location:  $dir
            |  format:    v${md.formatVersion}
            |  schema:    ${md.schema.simpleString}
@@ -335,5 +379,6 @@ object Cli {
       |  stats                         system + execution statistics
       |  catalog <uri> [ns [table]]    browse an Iceberg REST catalog
       |  nessie <uri> [ns [table]]     browse a Nessie catalog (API v2)
+      |  glue <region> [db [table]]    browse an AWS Glue Data Catalog
       |  version                       version info""".stripMargin
 }

@@ -168,6 +168,40 @@ class CliSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("glue command browses a Glue catalog without a Spark session") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    def respond(ex: HttpExchange, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    // auth-agnostic loopback (signature conformance is GlueCatalogSpec's
+    // job); routes on X-Amz-Target like the real JSON 1.1 service
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      Option(ex.getRequestHeaders.getFirst("X-Amz-Target")) match {
+        case Some("AWSGlue.GetDatabases") =>
+          respond(ex, """{"DatabaseList":[{"Name":"lake"}]}""")
+        case Some("AWSGlue.GetTables") =>
+          respond(ex, """{"TableList":[{"Name":"orders"}]}""")
+        case _ => respond(ex, "{}")
+      }
+    })
+    server.start()
+    try {
+      val arg = s"us-east-1=http://127.0.0.1:${server.getAddress.getPort}"
+      val out = Cli.run(Seq("glue", arg), None, "/tmp/none")
+      assert(out.contains("Available databases: lake"))
+      val ts = Cli.run(Seq("glue", arg, "lake"), None, "/tmp/none")
+      assert(ts.contains("1 table(s)") && ts.contains("orders"))
+      assert(Cli.cmdHelp.contains("glue <region>"))
+    } finally server.stop(0)
+  }
+
   test("catalog namespace levels: dots split, backslash-dot escapes") {
     assert(Cli.nsLevels("db") == Seq("db"))
     assert(Cli.nsLevels("prod.analytics") == Seq("prod", "analytics"))
