@@ -209,6 +209,27 @@ final class GlueCatalog(region: String, accessKey: String,
     ()
   }
 
+  /** `CreateTable` — register an EXISTING metadata document as a new
+    * Glue catalog entry (the reference's `register_table` hook,
+    * `bridge.py:308-331` — a no-op stub there; real registration
+    * here): `TableType=EXTERNAL_TABLE` with the Glue-Iceberg parameter
+    * convention (`table_type=ICEBERG` + `metadata_location`). A
+    * name-conflict is the service's `AlreadyExistsException`,
+    * surfaced loudly. */
+  def registerTable(db: String, table: String,
+      metadataLocation: String): Unit = {
+    val req = mapper.createObjectNode()
+    req.put("DatabaseName", db)
+    val input = req.putObject("TableInput")
+    input.put("Name", table)
+    input.put("TableType", "EXTERNAL_TABLE")
+    val params = input.putObject("Parameters")
+    params.put("table_type", "ICEBERG")
+    params.put("metadata_location", metadataLocation)
+    call("CreateTable", mapper.writeValueAsString(req))
+    ()
+  }
+
   private def stripFileScheme(p: String): String =
     if (p.startsWith("file:"))
       new java.io.File(URI.create(

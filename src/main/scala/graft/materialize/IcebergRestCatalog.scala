@@ -247,6 +247,21 @@ final class IcebergRestCatalog(baseUri: String,
     updateTable(ns, table, Seq(req), Seq(addSnap, setRef))
   }
 
+  /** `POST /v1/{prefix}/namespaces/{ns}/register` — the spec's
+    * RegisterTableRequest: adopt an EXISTING metadata document into the
+    * catalog by location, without rewriting it (the reference's
+    * `register_table` hook, `bridge.py:308-331` — a no-op stub there;
+    * real registration here). Returns the LoadTableResult; a
+    * name-conflict is the server's 409, surfaced loudly. */
+  def registerTable(ns: Seq[String], table: String,
+      metadataLocation: String): JsonNode = {
+    val root = mapper.createObjectNode()
+    root.put("name", table)
+    root.put("metadata-location", metadataLocation)
+    post(s"/v1$prefix/namespaces/${nsPath(ns)}/register",
+      mapper.writeValueAsString(root))
+  }
+
   private def stripFileScheme(p: String): String =
     if (p.startsWith("file:"))
       new java.io.File(URI.create(

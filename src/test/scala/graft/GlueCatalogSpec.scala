@@ -176,6 +176,19 @@ class GlueCatalogSpec extends AnyFunSuite {
                   """{"__type":"EntityNotFoundException",
                     |"Message":"not found"}""".stripMargin)
               }
+            case "AWSGlue.CreateTable" =>
+              val name = req.path("TableInput").path("Name").asText("")
+              if (tables.contains(name))
+                respond(ex, 400,
+                  """{"__type":"AlreadyExistsException",
+                    |"Message":"table exists"}""".stripMargin)
+              else {
+                val newParams = req.path("TableInput").path("Parameters")
+                  .fields().asScala
+                  .map(e => e.getKey -> e.getValue.asText()).toMap
+                tables(name) = (newParams, "1")
+                respond(ex, 200, "{}")
+              }
             case "AWSGlue.UpdateTable" =>
               val name = req.path("TableInput").path("Name").asText("")
               val (_, cur) = tables(name)
@@ -267,6 +280,30 @@ class GlueCatalogSpec extends AnyFunSuite {
           Seq((9L, "z")).toDF("id", "name"))
       }
       assert(err.getMessage.contains("ConcurrentModificationException"))
+    }
+  }
+
+  test("glue: registerTable adopts an existing metadata document; " +
+      "name conflict refused") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_glue_reg").toFile.getPath
+    IcebergWriter.create(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val hint = Files.readString(
+      new File(dir, "metadata/version-hint.text").toPath).trim
+    val mdFile = new File(dir, s"metadata/v$hint.metadata.json")
+
+    val tables = collection.mutable.Map(
+      "taken" -> (Map("table_type" -> "ICEBERG"), "1"))
+    withGlue(tables) { (cat, _, _) =>
+      cat.registerTable("lake", "adopted", mdFile.getAbsolutePath)
+      val rows = cat.readTable(spark, "lake", "adopted")
+        .orderBy("id").as[(Long, String)].collect().toSeq
+      assert(rows === Seq((1L, "a"), (2L, "b")))
+      val err = intercept[RuntimeException] {
+        cat.registerTable("lake", "taken", mdFile.getAbsolutePath)
+      }
+      assert(err.getMessage.contains("AlreadyExistsException"))
     }
   }
 

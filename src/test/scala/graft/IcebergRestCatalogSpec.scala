@@ -215,4 +215,51 @@ class IcebergRestCatalogSpec extends AnyFunSuite {
       assert(commits.get == 1)
     } finally server.stop(0)
   }
+
+  test("REST catalog register: an existing metadata document is adopted " +
+      "by location; a name conflict is a 409") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_restreg").toFile.getPath
+    IcebergWriter.create(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val hint = Files.readString(
+      new File(dir, "metadata/version-hint.text").toPath).trim
+    val mdFile = new File(dir, s"metadata/v$hint.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val registered = new java.util.concurrent.atomic
+      .AtomicReference[String]("")
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/config", (ex: HttpExchange) =>
+      respond(ex, 200, """{"defaults":{},"overrides":{}}"""))
+    server.createContext("/v1/namespaces/db/register",
+      (ex: HttpExchange) => {
+        val body = mapper.readTree(ex.getRequestBody.readAllBytes())
+        val name = body.path("name").asText("")
+        val loc = body.path("metadata-location").asText("")
+        if (name == "taken")
+          respond(ex, 409, """{"message":"table exists"}""")
+        else {
+          registered.set(s"$name@$loc")
+          respond(ex, 200, s"""{"metadata-location":"$loc"}""")
+        }
+      })
+    server.createContext("/v1/namespaces/db/tables/adopted",
+      (ex: HttpExchange) => respond(ex, 200,
+        s"""{"metadata-location":"${registered.get.split("@")(1)}"}"""))
+    server.start()
+    try {
+      val uri = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val cat = new IcebergRestCatalog(uri)
+      cat.registerTable(Seq("db"), "adopted", mdFile.getAbsolutePath)
+      assert(registered.get == s"adopted@${mdFile.getAbsolutePath}")
+      // the registered location resolves to a full read
+      assert(cat.readTable(spark, Seq("db"), "adopted").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+      val e = intercept[IllegalArgumentException] {
+        cat.registerTable(Seq("db"), "taken", mdFile.getAbsolutePath)
+      }
+      assert(e.getMessage.contains("409"))
+    } finally server.stop(0)
+  }
 }
