@@ -129,13 +129,14 @@ object IcebergWriter {
 
   /** Schema evolution by column addition: append a batch whose schema
     * extends the table's with NEW trailing nullable columns. The
-    * metadata document gains the evolved schema under the next
-    * schema-id; existing column ids stay stable (columns are only ever
-    * appended, so positional id assignment never re-numbers an old
-    * field — the spec's id-stability rule). Pre-evolution data files
-    * simply lack the new columns and read as NULL, including through
-    * time travel — which is Iceberg's semantics: history is re-read
-    * under the current schema. */
+    * metadata document is amended in place — the evolved schema node
+    * copies the current one verbatim (original field ids preserved,
+    * foreign layouts included) and appends the new columns under ids
+    * allocated past every id the document ever used (the spec's
+    * never-reuse rule). Pre-evolution data files simply lack the new
+    * columns and read as NULL, including through time travel — which
+    * is Iceberg's semantics: history is re-read under the current
+    * schema. */
   def appendEvolved(spark: SparkSession, tableDir: String,
       df: DataFrame): Unit = {
     val (md, prior) = state(tableDir)
@@ -144,6 +145,10 @@ object IcebergWriter {
     require(neu.take(old.size) == old,
       s"evolved schema must extend the table's by trailing columns: " +
         s"table ${md.schema.simpleString}, batch ${df.schema.simpleString}")
+    val dupes = df.schema.fieldNames.drop(old.size)
+      .filter(md.schema.fieldNames.contains)
+    require(dupes.isEmpty, s"evolved columns ${dupes.mkString(", ")} " +
+      "already exist in the table schema")
     // added columns are recorded nullable regardless of the batch's
     // encoder-derived nullability: every pre-evolution file reads them
     // as NULL, so required would be a lie the first old-file scan breaks
@@ -579,49 +584,64 @@ object IcebergWriter {
     * own env); never read from the environment here. */
   @volatile private[graft] var testClaimHook: Option[(Long, String)] = None
 
-  /** Commit REGENERATES table metadata from scratch: one spec-id-0
-    * partition spec, positionally renumbered field ids
-    * ([[schemaJson]]), carried-forward manifests stamped
-    * partition_spec_id=0, equality_ids computed as fieldIndex+1. On a
-    * table this writer maintains those are invariants; on a FOREIGN
-    * table with non-positional field ids or evolved partition specs,
-    * ONE local commit would silently re-key every id-addressed
-    * structure — stats maps, equality_ids, summary spec gating —
-    * turning correct pruning into wrong pruning (the round-15
-    * advisor's medium). Read-only access to such tables stays fully
-    * supported; writing them belongs to their native engine — refuse
-    * loudly before any distributed work. */
-  private def requireRewriteSafe(m: IcebergMetadata, base: String): Unit = {
-    require(m.defaultSpecId == 0, s"iceberg: refusing to commit onto " +
-      s"$base — its default partition spec id is ${m.defaultSpecId}, " +
-      "but this writer regenerates metadata with a single spec-id-0 " +
-      "spec; a local commit would re-key the table's spec-addressed " +
-      "metadata (foreign table — write it with its native engine)")
-    require(m.specCount <= 1, s"iceberg: refusing to commit onto " +
-      s"$base — it carries ${m.specCount} partition specs (evolved " +
-      "layout); this writer regenerates a single spec and would make " +
-      "old-spec manifests pass the reader's default-spec summary gate " +
-      "(foreign table — write it with its native engine)")
-    val ids = m.fieldIds.getOrElse(m.currentSchemaId, Map.empty)
+  /** Layout-preserving schema-EVOLUTION pieces for a commit onto an
+    * existing table: the evolved schema NODE (a deep copy of the
+    * table's current raw schema node — original ids, identifier
+    * fields, docs all verbatim — with the new trailing columns
+    * appended under freshly allocated ids), the new schema id
+    * (max existing + 1: a foreign multi-schema chain may be sparse,
+    * so current+1 could collide), the new `last-column-id`, and the
+    * extended [[IdLayout]] manifests key stats against. New ids are
+    * allocated past EVERY id any schema in the document ever used
+    * (the spec's never-reuse rule — `last-column-id` alone can be
+    * stale in foreign documents). */
+  private def evolutionPieces(m: IcebergMetadata, dir: File,
+      evolved: StructType): (ObjectNode, Int, Int, IdLayout) = {
+    val tableSchema = m.schema
     val om = new ObjectMapper()
-    val (node, _) = schemaJson(om, m.schema, m.currentSchemaId)
-    def idsOf(n: com.fasterxml.jackson.databind.JsonNode,
-        prefix: String): Seq[(Int, String)] =
-      n.path("fields").elements().asScala.toSeq.flatMap { f =>
-        val name = prefix + f.path("name").asText()
-        val t = f.path("type")
-        Seq(f.path("id").asInt(-1) -> name) ++
-          (if (t.isObject && t.path("type").asText() == "struct")
-            idsOf(t, name + ".")
-          else Nil)
-      }
-    val expected = idsOf(node, "").toMap
-    require(ids == expected, s"iceberg: refusing to commit onto $base " +
-      s"— its field-id table ${ids.toSeq.sortBy(_._1)} is not the " +
-      s"positional assignment this writer regenerates " +
-      s"(${expected.toSeq.sortBy(_._1)}); a local commit would re-key " +
-      "id-addressed stats and equality_ids (foreign table — write it " +
-      "with its native engine)")
+    val root = om.readTree(IcebergTable.currentMetadataDoc(dir.getPath))
+    val schemas = Option(root.get("schemas"))
+      .collect { case a: ArrayNode if a.size() > 0 => a }
+      .getOrElse(sys.error(s"iceberg: ${dir.getPath} metadata carries " +
+        "no schemas array — cannot evolve"))
+    val currentId = root.path("current-schema-id").asInt(0)
+    val currentNode = schemas.elements().asScala
+      .find(_.path("schema-id").asInt(-1) == currentId)
+      .getOrElse(sys.error(s"iceberg: current-schema-id $currentId " +
+        s"missing from the schemas array of ${dir.getPath}"))
+    def allIds(n: com.fasterxml.jackson.databind.JsonNode): Iterator[Int] =
+      if (n.isObject)
+        n.fields().asScala.flatMap { e =>
+          val here = e.getKey match {
+            case "id" | "element-id" | "key-id" | "value-id"
+              if e.getValue.isInt => Iterator.single(e.getValue.asInt())
+            case _ => Iterator.empty
+          }
+          here ++ allIds(e.getValue)
+        }
+      else if (n.isArray) n.elements().asScala.flatMap(allIds)
+      else Iterator.empty
+    val lastAssigned = (allIds(schemas).toSeq :+
+      root.path("last-column-id").asInt(0)).max
+    val newSchemaId = schemas.elements().asScala
+      .map(_.path("schema-id").asInt(0)).max + 1
+    val node = currentNode.deepCopy[ObjectNode]()
+    node.put("schema-id", newSchemaId)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(lastAssigned)
+    val fields = node.withArray[ArrayNode]("fields")
+    val added = evolved.fields.drop(tableSchema.fields.length).map { f =>
+      val id = counter.incrementAndGet()
+      val fn = om.createObjectNode()
+      fn.put("id", id)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      putType(om, fn, "type", f.dataType, counter)
+      fields.add(fn)
+      f.name -> id
+    }
+    // existing columns keep the table's own ids; new ones extend them
+    val layout = IdLayout(layoutOf(m).idByName ++ added)
+    (node, newSchemaId, counter.get(), layout)
   }
 
   private def commit(spark: SparkSession, dir: File, schema: StructType,
@@ -645,19 +665,25 @@ object IcebergWriter {
     // are keyed with the table's own field ids and the metadata
     // document is amended in place (schemas, specs, ids, sort orders,
     // refs all carried verbatim), so foreign-written tables stay
-    // readable by their native engines. Only schema-EVOLUTION commits
-    // regenerate the document — those still require this writer's own
-    // positional layout.
+    // readable by their native engines. Schema-EVOLUTION commits amend
+    // too: the evolved schema node copies the current one verbatim and
+    // appends the new columns under ids allocated past every id the
+    // document ever used.
     md0.foreach { m =>
       require(m.formatVersion == 2, s"iceberg: refusing to commit " +
         s"onto $base — format-version ${m.formatVersion} (v2 manifests" +
         " and sequence numbers would corrupt a v1 table)")
-      if (schemaId >= 0) requireRewriteSafe(m, base)
     }
+    // evolution pieces are stable pre-lock: evolution commits are
+    // non-retryable, so a moved document raises instead of refreshing
+    val evolution: Option[(ObjectNode, Int, Int, IdLayout)] =
+      md0.filter(_ => schemaId >= 0)
+        .map(m => evolutionPieces(m, dir, schema))
     // the layout the PARTITION DERIVATION resolves source ids against
     // (stable pre-lock: specs never change after create)
-    val wlayout = md0 match {
-      case Some(m) if schemaId < 0 => layoutOf(m)
+    val wlayout = (md0, evolution) match {
+      case (_, Some((_, _, _, l))) => l
+      case (Some(m), None) if schemaId < 0 => layoutOf(m)
       case _ => positionalLayout(schema)
     }
     val mdir = new File(dir, "metadata"); mdir.mkdirs()
@@ -773,10 +799,9 @@ object IcebergWriter {
         val snapId = Iterator.iterate(seq)(_ + 1)
           .dropWhile(takenIds).next()
         // the layout MANIFEST KEYING uses: the refreshed table's own
-        // field-id table (schema evolution regenerates positionally)
-        val layout =
-          if (schemaId >= 0) positionalLayout(schema)
-          else mdNow.map(layoutOf).getOrElse(positionalLayout(schema))
+        // field-id table (schema evolution extends it with the new ids)
+        val layout = evolution.map(_._4).getOrElse(
+          mdNow.map(layoutOf).getOrElse(positionalLayout(schema)))
         val defSpecId = mdNow.map(_.defaultSpecId).getOrElse(0)
         var refs = effPrior
         dataFiles.foreach { files =>
@@ -815,22 +840,24 @@ object IcebergWriter {
         sn.put("timestamp-ms", tsMs)
         sn.put("manifest-list", mlist.getAbsolutePath)
         sn.putObject("summary").put("operation", operation)
-        val sid =
-          if (schemaId >= 0) schemaId
-          else mdNow.map(_.currentSchemaId).getOrElse(0)
+        val sid = evolution.map(_._2).getOrElse(
+          mdNow.map(_.currentSchemaId).getOrElse(0))
         sn.put("schema-id", sid)
         // a RELOCATED table keeps its original `location` — prior
         // snapshots' absolute manifest paths re-anchor through it
         // (IcebergTable.resolve); new files written under `base` are
         // absolute and resolve as themselves
         val doc =
-          if (mdNow.isDefined && schemaId < 0)
+          if (mdNow.isDefined)
             // layout-preserving commit: amend the CURRENT raw document
             // in place — schemas, field ids, specs, sort orders, refs
-            // and foreign snapshot summaries all survive verbatim
+            // and foreign snapshot summaries all survive verbatim; an
+            // evolution additionally appends its new schema node
             amendMetadataJson(
               IcebergTable.currentMetadataDoc(dir.getPath),
-              seq, snapId, tsMs, sn, newProps)
+              seq, snapId, tsMs, sn, newProps,
+              evolve = evolution.map { case (n, id, last, _) =>
+                (n, id, last) })
           else {
             val allSnaps = mdNow.map(_.snapshots).getOrElse(Nil)
               .map(snapshotJson(jm, _)) :+ sn
@@ -1415,12 +1442,20 @@ object IcebergWriter {
     * onto foreign-written tables safe (VERDICT r16 missing #1). */
   private def amendMetadataJson(raw: String, seq: Long, snapId: Long,
       tsMs: Long, sn: ObjectNode,
-      newProps: Map[String, String]): String = {
+      newProps: Map[String, String],
+      evolve: Option[(ObjectNode, Int, Int)] = None): String = {
     val m = new ObjectMapper()
     val root = m.readTree(raw) match {
       case o: ObjectNode => o
       case other => sys.error(s"iceberg: metadata document is not a " +
         s"JSON object (${other.getNodeType})")
+    }
+    // schema evolution: append the new schema node (old nodes stay for
+    // snapshots that reference them), adopt it, advance last-column-id
+    evolve.foreach { case (schemaNode, newSchemaId, lastColumnId) =>
+      root.withArray[ArrayNode]("schemas").add(schemaNode)
+      root.put("current-schema-id", newSchemaId)
+      root.put("last-column-id", lastColumnId)
     }
     val prevCurrent = Option(root.get("current-snapshot-id"))
       .filterNot(_.isNull).map(_.asLong()).filter(_ != -1L)

@@ -901,19 +901,47 @@ class IcebergForeignSpec extends AnyFunSuite {
     appendOne(d3)
     assert(IcebergTable.read(spark, d3).count() == 7)
     assert(IcebergTable.loadMetadata(d3).specCount == 2)
-    // still refused loudly: v1 tables (sequence-number semantics) and
-    // schema EVOLUTION onto a non-positional layout (the one commit
-    // kind that regenerates the document)
+    // still refused loudly: v1 tables (sequence-number semantics)
     val d4 = buildNanForeign()
     mutateMetadata(d4, _.replace("\"format-version\": 2",
       "\"format-version\": 1"))
     val e4 = intercept[IllegalArgumentException](appendOne(d4))
     assert(e4.getMessage.contains("format-version"))
-    val e5 = intercept[RuntimeException] {
-      IcebergWriter.appendEvolved(spark, d1,
-        Seq((100L, 1.0, "x")).toDF("id", "v", "extra"))
-    }
-    assert(e5.getMessage.contains("field-id table"))
+  }
+
+  test("schema evolution onto a foreign layout keeps original ids and " +
+      "allocates past every id the document ever used") {
+    import spark.implicits._
+    // v carries id 5 (non-positional, and HIGHER than last-column-id
+    // would suggest): the evolved schema must keep id=1/v=5 verbatim
+    // and give the new column an id past 5, never 3
+    val d = buildNanForeign()
+    mutateMetadata(d, _.replace("{\"id\": 2, \"name\": \"v\"",
+      "{\"id\": 5, \"name\": \"v\""))
+    IcebergWriter.appendEvolved(spark, d,
+      Seq((100L, 1.0, "x")).toDF("id", "v", "extra"))
+    val md = IcebergTable.loadMetadata(d)
+    val ids = md.fieldIds(md.currentSchemaId)
+    assert(ids.get(1).contains("id") && ids.get(5).contains("v"))
+    val extraId = ids.collectFirst { case (i, "extra") => i }.get
+    assert(extraId == 6, s"new column must take id 6 (past 5), got $extraId")
+    // pre-evolution rows read the new column as NULL; the appended row
+    // carries its value — and the OLD schema node survives in the doc
+    val rows = IcebergTable.read(spark, d)
+      .collect().map(r => (r.getLong(0), r.isNullAt(2))).toSeq
+    assert(rows.count(!_._2) == 1 && rows.size == 7)
+    val hint = java.nio.file.Files.readString(
+      new File(d, "metadata/version-hint.text").toPath).trim
+    val doc = java.nio.file.Files.readString(
+      new File(d, s"metadata/v$hint.metadata.json").toPath)
+    assert(doc.replaceAll("\\s", "").contains("\"schema-id\":0"))
+    // the appended file's stats key the new column under ITS id: a
+    // bounds prune on `extra` sees exactly the new file
+    val entries = IcebergTable.snapshotFiles(md,
+      md.currentSnapshot.get, d).filter(_.content == 0)
+    val withExtra = entries.filter(_.lowerBounds.contains("extra"))
+    assert(withExtra.size == 1 &&
+      withExtra.head.lowerBounds("extra") == "x")
   }
 
   test("equality-delete upserts onto foreign layouts use the table's own field ids") {
