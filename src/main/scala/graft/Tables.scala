@@ -45,9 +45,17 @@ object Tables {
 
   /** Register every table as a temp view named after the table, so SQL-text
     * entry points (`spark.sql`) resolve the same names the DuckDB oracle
-    * sees. */
+    * sees. Tables absent from `dir` are skipped — the reference registers
+    * one view per cached parquet file that EXISTS (`source_cache.py:389-426`),
+    * and a partial warehouse (e.g. a scale run that materializes only the
+    * tables it can hold) must not fail queries that never touch the
+    * missing ones; a query that does reference one still fails loudly at
+    * analysis (TABLE_OR_VIEW_NOT_FOUND). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      if (new java.io.File(s"$dir/$n.parquet").exists())
+        load(spark, dir, n).createOrReplaceTempView(n)
+    }
 
   /** SHUFFLE_HASH hint, gated on `graft.join.shuffleHash` (default on).
     *
