@@ -369,6 +369,130 @@ object IcebergWriter {
 
   private val StreamBatchProp = "graft.stream.last-batch-id"
 
+  /** Metadata-ONLY commit: re-read the current document, transform it,
+    * claim the next version atomically (createFile, like [[commit]]'s
+    * claim). The transform re-applies on a fresh document if another
+    * process claims the version first — metadata-only changes carry no
+    * snapshot-dependent work, so the retry is always safe. */
+  private def commitMetadataOnly(dir: File)
+      (transform: String => String): Unit = {
+    val mdir = new File(dir, "metadata")
+    val lock = commitLocks.computeIfAbsent(dir.getCanonicalPath,
+      _ => new Object)
+    lock.synchronized {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        val doc = transform(IcebergTable.currentMetadataDoc(dir.getPath))
+        val version = currentVersion(mdir) + 1
+        val vfile = new File(mdir, s"v$version.metadata.json")
+        try {
+          java.nio.file.Files.createFile(vfile.toPath)
+          java.nio.file.Files.writeString(vfile.toPath, doc)
+          java.nio.file.Files.writeString(
+            new File(mdir, "version-hint.text").toPath, version.toString)
+          done = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            attempts += 1
+            require(attempts < 20, s"iceberg: gave up claiming a " +
+              s"metadata version on $dir after $attempts conflicts")
+            Thread.sleep(25L * attempts)
+        }
+      }
+    }
+  }
+
+  /** The raw document's schemas array, its current node, and the next
+    * (max+1) schema id — the shared plumbing of every layout-preserving
+    * schema change. */
+  private def currentSchemaNode(root: ObjectNode)
+      : (ArrayNode, ObjectNode, Int) = {
+    val schemas = Option(root.get("schemas"))
+      .collect { case a: ArrayNode if a.size() > 0 => a }
+      .getOrElse(sys.error("iceberg: metadata carries no schemas array"))
+    val currentId = root.path("current-schema-id").asInt(0)
+    val current = schemas.elements().asScala
+      .collectFirst { case o: ObjectNode
+        if o.path("schema-id").asInt(-1) == currentId => o }
+      .getOrElse(sys.error(s"iceberg: current-schema-id $currentId " +
+        "missing from the schemas array"))
+    val nextId = schemas.elements().asScala
+      .map(_.path("schema-id").asInt(0)).max + 1
+    (schemas, current, nextId)
+  }
+
+  /** RENAME a top-level column — a metadata-only evolution commit: the
+    * new schema node copies the current one with the field's NAME
+    * changed and its id (the identity every data file, stats map and
+    * equality list keys on) untouched, so no data rewrite happens and
+    * id-stamped files keep resolving (the reader's field-id projection
+    * follows renames; only id-less legacy files fall back to names).
+    * Layout-preserving on foreign documents like every other commit. */
+  def renameColumn(tableDir: String, from: String, to: String): Unit =
+    commitMetadataOnly(new File(tableDir)) { raw =>
+      val om = new ObjectMapper()
+      val root = om.readTree(raw).asInstanceOf[ObjectNode]
+      val (schemas, current, nextId) = currentSchemaNode(root)
+      val node = current.deepCopy[ObjectNode]()
+      node.put("schema-id", nextId)
+      val fields = node.withArray[ArrayNode]("fields")
+      val names = fields.elements().asScala.map(_.path("name").asText()).toSeq
+      require(names.contains(from), s"iceberg: no column '$from' to rename")
+      require(!names.contains(to),
+        s"iceberg: rename target '$to' already exists")
+      fields.elements().asScala
+        .collectFirst { case f: ObjectNode
+          if f.path("name").asText() == from => f }
+        .foreach(_.put("name", to))
+      schemas.add(node)
+      root.put("current-schema-id", nextId)
+      om.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+    }
+
+  /** DROP a top-level column — a metadata-only evolution commit: the
+    * new schema node omits the field; data files keep the column bytes
+    * (projection simply stops selecting them) and the id is NEVER
+    * reused — a later [[appendEvolved]] re-adding the same NAME
+    * allocates a fresh id, so the dropped column's old values do not
+    * resurface (the spec's id-addressed drop semantics). Refused when
+    * the column sources a partition field or is an identifier field —
+    * those ids are load-bearing outside the schema. */
+  def dropColumn(tableDir: String, name: String): Unit =
+    commitMetadataOnly(new File(tableDir)) { raw =>
+      val om = new ObjectMapper()
+      val root = om.readTree(raw).asInstanceOf[ObjectNode]
+      val (schemas, current, nextId) = currentSchemaNode(root)
+      val node = current.deepCopy[ObjectNode]()
+      node.put("schema-id", nextId)
+      val fields = node.withArray[ArrayNode]("fields")
+      val dropped = fields.elements().asScala
+        .collectFirst { case f: ObjectNode
+          if f.path("name").asText() == name => f }
+        .getOrElse(sys.error(s"iceberg: no column '$name' to drop"))
+      require(fields.size() > 1,
+        s"iceberg: cannot drop the only column '$name'")
+      val droppedId = dropped.path("id").asInt(-1)
+      root.path("partition-specs").elements().asScala
+        .flatMap(_.path("fields").elements().asScala).foreach { pf =>
+          require(pf.path("source-id").asInt(-1) != droppedId,
+            s"iceberg: column '$name' (id $droppedId) sources partition " +
+              s"field '${pf.path("name").asText()}' — drop refused")
+        }
+      current.path("identifier-field-ids").elements().asScala.foreach { i =>
+        require(i.asInt(-1) != droppedId, s"iceberg: column '$name' " +
+          s"(id $droppedId) is an identifier field — drop refused")
+      }
+      var idx = -1
+      fields.elements().asScala.zipWithIndex.foreach { case (f, i) =>
+        if (f.path("name").asText() == name) idx = i
+      }
+      fields.remove(idx)
+      schemas.add(node)
+      root.put("current-schema-id", nextId)
+      om.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+    }
+
   /** Snapshot expiry: keep the most recent `keepLast` snapshots (the
     * current one always survives), rewrite the metadata document, and
     * delete every data file, manifest, and manifest list no kept
@@ -700,6 +824,27 @@ object IcebergWriter {
           val Array(k, v) = seg.split("=", 2)
           k -> java.net.URLDecoder.decode(v, "UTF-8")
         }.toMap
+    // stamp Iceberg field ids into the parquet footers (Spark writes a
+    // StructField's `parquet.field.id` metadata as the footer id): the
+    // spec's files carry ids, which is what lets a RENAME stay
+    // metadata-only — the reader's per-file projection follows the id
+    // while the physical name keeps the old spelling — and lets native
+    // engines project our files by id. Pre-stamping legacy files keep
+    // working through the per-field name fallback.
+    def stampIds(df0: DataFrame, idOf: String => Option[Int]): DataFrame = {
+      df0.sparkSession.conf.set(
+        "spark.sql.parquet.fieldId.write.enabled", "true")
+      df0.select(df0.schema.fields.map { f =>
+        idOf(f.name) match {
+          case Some(id) =>
+            val meta = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("parquet.field.id", id.toLong).build()
+            col(f.name).as(f.name, meta)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+    }
     def writeFiles(df0: DataFrame, sub: String,
         parts: Seq[IcebergPartField]): Seq[(String, Map[String, String])] = {
       // derive non-identity partition columns; Spark's partitionBy
@@ -738,10 +883,12 @@ object IcebergWriter {
     // the heavy DISTRIBUTED work happens outside the commit critical
     // section — data/tombstone parquet is keyed by commitId, so a
     // refreshed sequence number never invalidates the written bytes
-    val dataFiles = newData.map(writeFiles(_, "snap", spec))
+    val dataFiles = newData.map(d =>
+      writeFiles(stampIds(d, wlayout.idOf), "snap", spec))
     // equality-delete files carry only the key columns, unpartitioned
     // (they apply table-wide by value)
-    val eqFiles = eqDelete.map { case (k, _) => writeFiles(k, "eqd", Nil) }
+    val eqFiles = eqDelete.map { case (k, _) =>
+      writeFiles(stampIds(k, wlayout.idOf), "eqd", Nil) }
     val tombFiles = tombstones.map { t =>
       // tombstone paths are table-relative strings; store them
       // re-anchored at the table location like every writer does
@@ -749,7 +896,9 @@ object IcebergWriter {
       val abs = t.select(
         concat(lit(base + "/"), col("file_path")).as("file_path"),
         col("pos"))
-      writeFiles(abs, "del", Nil)
+      // positional-delete physical columns carry the spec's RESERVED ids
+      writeFiles(stampIds(abs, Map("file_path" -> 2147483546,
+        "pos" -> 2147483545).get), "del", Nil)
     }
     // append-only commits can REFRESH onto a concurrent commit and
     // retry (their inputs don't depend on the parent snapshot's

@@ -27,6 +27,17 @@ object Incremental {
       evolveSchema: Boolean = false): DataFrame =
     target.unionByName(staging, allowMissingColumns = evolveSchema)
 
+  /** dbt `on_schema_change='sync_all_columns'`, the removal half:
+    * project the target down to the columns the staging batch still
+    * carries (the add half is `allowMissingColumns` on the union, same
+    * as append_new_columns). Callers compose:
+    * `syncColumns(target, staging)` then union with evolve. */
+  def syncColumns(target: DataFrame, staging: DataFrame): DataFrame = {
+    val stagingCols = staging.columns.toSet
+    target.select(
+      target.columns.filter(stagingCols.contains).map(col).toIndexedSeq: _*)
+  }
+
   /** `delete+insert` / `merge` on unique keys. The reference implements
     * BOTH as delete-matching-then-insert (merge is "implemented as
     * DELETE+INSERT" — incremental.sql:161-190): rows in the target whose

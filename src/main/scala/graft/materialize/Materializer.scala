@@ -89,14 +89,17 @@ final class Materializer(wh: Warehouse, targetSchema: String = "main") {
           wh.createTableAs(df, schema, n.name, n.config.partitionBy.toSeq)
         else n.config.incrementalStrategy match {
           case "append" =>
-            val evolve = n.config.onSchemaChange == "append_new_columns"
+            val evolve = evolvesSchema(n)
+            failOnDrift(n, wh.read(schema, n.name).schema, df.schema)
             if (evolve)
-              rewrite(Incremental.append(wh.read(schema, n.name), df,
+              rewrite(Incremental.append(
+                syncTarget(n, wh.read(schema, n.name), df), df,
                 evolveSchema = true), schema, n.name, n.config.partitionBy.toSeq)
             else wh.append(df, schema, n.name)
           case "delete+insert" | "merge" =>
-            val evolve = n.config.onSchemaChange == "append_new_columns"
-            val target = wh.read(schema, n.name)
+            val evolve = evolvesSchema(n)
+            failOnDrift(n, wh.read(schema, n.name).schema, df.schema)
+            val target = syncTarget(n, wh.read(schema, n.name), df)
             val merged = n.config.partitionBy match {
               case Some(p) if n.config.uniqueKey.isEmpty =>
                 Incremental.deleteInsertByPartition(target, df, p, evolve)
@@ -136,6 +139,34 @@ final class Materializer(wh: Warehouse, targetSchema: String = "main") {
     wh.read(schema, n.name)
   }
 
+  /** dbt's `on_schema_change` lattice (incremental.sql:25 reads the
+    * config; the reference never acts on it — completed here with
+    * dbt's documented semantics): `ignore` (default) appends
+    * like-for-like and errors on drift via the engine's schema checks;
+    * `fail` raises a dedicated error on ANY name/type drift;
+    * `append_new_columns` widens the table, old rows null-filled;
+    * `sync_all_columns` additionally removes target columns the batch
+    * no longer carries. */
+  private def evolvesSchema(n: ModelNode): Boolean =
+    n.config.onSchemaChange == "append_new_columns" ||
+      n.config.onSchemaChange == "sync_all_columns"
+
+  private def failOnDrift(n: ModelNode,
+      target: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType): Unit =
+    if (n.config.onSchemaChange == "fail")
+      require(target.map(f => (f.name, f.dataType)) ==
+        batch.map(f => (f.name, f.dataType)),
+        s"${n.name}: on_schema_change=fail and the batch schema " +
+          s"(${batch.simpleString}) differs from the target " +
+          s"(${target.simpleString})")
+
+  private def syncTarget(n: ModelNode, target: DataFrame,
+      batch: DataFrame): DataFrame =
+    if (n.config.onSchemaChange == "sync_all_columns")
+      Incremental.syncColumns(target, batch)
+    else target
+
   /** The iceberg-format materializations (`tableFormat: "iceberg"`):
     * the model's output commits to an Iceberg v2 table at the model's
     * warehouse path — `table` re-runs are replace snapshots,
@@ -162,7 +193,23 @@ final class Materializer(wh: Warehouse, targetSchema: String = "main") {
         if (!exists) IcebergWriter.create(spark, path, df, parts)
         else n.config.incrementalStrategy match {
           case "append" =>
-            if (n.config.onSchemaChange == "append_new_columns" &&
+            failOnDrift(n, IcebergTable.loadMetadata(path).schema, df.schema)
+            if (n.config.onSchemaChange == "sync_all_columns") {
+              // removal half first — metadata-only drops — then the
+              // batch reordered to (kept table order) ++ (new columns)
+              // so the add half is a plain trailing evolution
+              val batchCols = df.schema.fieldNames.toSet
+              IcebergTable.loadMetadata(path).schema.fieldNames
+                .filterNot(batchCols.contains)
+                .foreach(IcebergWriter.dropColumn(path, _))
+              val kept = IcebergTable.loadMetadata(path).schema.fieldNames
+              val ordered = df.select((kept ++
+                df.schema.fieldNames.filterNot(kept.contains))
+                .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+              if (ordered.schema.size > kept.length)
+                IcebergWriter.appendEvolved(spark, path, ordered)
+              else IcebergWriter.append(spark, path, ordered)
+            } else if (n.config.onSchemaChange == "append_new_columns" &&
               df.schema.size > IcebergTable.loadMetadata(path).schema.size)
               IcebergWriter.appendEvolved(spark, path, df)
             else IcebergWriter.append(spark, path, df)

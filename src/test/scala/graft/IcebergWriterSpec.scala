@@ -190,6 +190,64 @@ class IcebergWriterSpec extends AnyFunSuite {
       spark, dir, Seq((4L, 1.0)).toDF("id", "score")))
   }
 
+  test("renameColumn is metadata-only: id-stamped files follow the rename") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_icern").toFile.getPath
+    IcebergWriter.create(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    IcebergWriter.renameColumn(dir, "name", "label")
+    val t = IcebergTable.read(spark, dir)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "label"))
+    // pre-rename files resolve through the FIELD ID, not the name
+    assert(t.orderBy("id").select("label").collect().map(_.getString(0))
+      .toSeq == Seq("a", "b"))
+    // the id is untouched; only the name moved
+    val md = IcebergTable.loadMetadata(dir)
+    assert(md.fieldIds(md.currentSchemaId).get(2).contains("label"))
+    // appends under the new name land under the same id
+    IcebergWriter.append(spark, dir, Seq((3L, "c")).toDF("id", "label"))
+    assert(IcebergTable.read(spark, dir).count() == 3)
+    // no snapshot was created by the rename itself
+    assert(md.snapshots.size == 1)
+    intercept[RuntimeException](
+      IcebergWriter.renameColumn(dir, "ghost", "x"))
+    intercept[IllegalArgumentException](
+      IcebergWriter.renameColumn(dir, "id", "label"))
+  }
+
+  test("dropColumn never reuses the id: a re-added name reads NULL for old rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_icedrop").toFile.getPath
+    IcebergWriter.create(spark, dir,
+      Seq((1L, "a", 0.5), (2L, "b", 0.7)).toDF("id", "name", "score"))
+    IcebergWriter.dropColumn(dir, "score")
+    val t = IcebergTable.read(spark, dir)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "name"))
+    // re-add the SAME name: fresh id, so the old 0.5/0.7 must NOT
+    // resurface (the spec's id-addressed drop semantics)
+    IcebergWriter.appendEvolved(spark, dir,
+      Seq((3L, "c", 9.9)).toDF("id", "name", "score"))
+    val t2 = IcebergTable.read(spark, dir)
+    assert(t2.filter(col("id") < 3L).select("score")
+      .collect().forall(_.isNullAt(0)))
+    assert(t2.filter(col("id") === 3L).select("score")
+      .collect().head.getDouble(0) == 9.9)
+    val md = IcebergTable.loadMetadata(dir)
+    val scoreId = md.fieldIds(md.currentSchemaId)
+      .collectFirst { case (i, "score") => i }.get
+    assert(scoreId > 3, s"re-added score must take a fresh id, got $scoreId")
+    // load-bearing columns are refused
+    val pdir = Files.createTempDirectory("graft_icedrop2").toFile.getPath
+    IcebergWriter.createPartitioned(spark, pdir,
+      Seq((1L, "us", 0.1)).toDF("id", "region", "v"),
+      Seq(("region", "identity")))
+    val e = intercept[IllegalArgumentException](
+      IcebergWriter.dropColumn(pdir, "region"))
+    assert(e.getMessage.contains("sources partition field"))
+  }
+
   test("iceberg bucket hashes match the spec's Appendix B vectors") {
     import graft.functions.IcebergTransforms._
     // https://iceberg.apache.org/spec/#appendix-b-32-bit-hash-requirements

@@ -440,4 +440,58 @@ class MaterializerSpec extends AnyFunSuite {
     assert(out.count() == 5)
     assert(out.filter(col("extra") === 42).count() == 5) // all replaced
   }
+
+  test("on_schema_change=sync_all_columns adds AND removes columns") {
+    val wh = freshWh()
+    val m = new Materializer(wh)
+    val node = ModelNode("inc_sync",
+      ModelConfig("incremental", incrementalStrategy = "append",
+        onSchemaChange = "sync_all_columns"), Nil)(
+      s => Tables.load(s, sf, "region"))
+    m.materialize(node)
+    // next batch drops r_comment and adds extra: the table follows
+    val changed = node.copy(build = s => Tables.load(s, sf, "region")
+      .drop("r_comment").withColumn("extra", lit(7)))
+    m.materialize(changed)
+    val out = wh.read("main", "inc_sync")
+    assert(!out.columns.contains("r_comment"))
+    assert(out.columns.contains("extra"))
+    assert(out.count() == 10) // first batch (null extra) + second
+    assert(out.filter(col("extra").isNull).count() == 5)
+  }
+
+  test("on_schema_change=fail raises on any schema drift") {
+    val wh = freshWh()
+    val m = new Materializer(wh)
+    val node = ModelNode("inc_fail",
+      ModelConfig("incremental", incrementalStrategy = "append",
+        onSchemaChange = "fail"), Nil)(
+      s => Tables.load(s, sf, "region"))
+    m.materialize(node)
+    m.materialize(node) // like-for-like still appends
+    assert(wh.read("main", "inc_fail").count() == 10)
+    val drifted = node.copy(build =
+      s => Tables.load(s, sf, "region").withColumn("extra", lit(1)))
+    val e = intercept[IllegalArgumentException](m.materialize(drifted))
+    assert(e.getMessage.contains("on_schema_change=fail"))
+  }
+
+  test("iceberg sync_all_columns: metadata-only drops + trailing evolution") {
+    val wh = freshWh()
+    val m = new Materializer(wh)
+    val node = ModelNode("ice_sync",
+      ModelConfig("incremental", incrementalStrategy = "append",
+        onSchemaChange = "sync_all_columns",
+        tableFormat = "iceberg"), Nil)(
+      s => Tables.load(s, sf, "region"))
+    m.materialize(node)
+    val changed = node.copy(build = s => Tables.load(s, sf, "region")
+      .drop("r_comment").withColumn("extra", lit(7L)))
+    val out = m.materialize(changed)
+    assert(out.columns.toSeq ==
+      Seq("r_regionkey", "r_name", "extra"))
+    assert(out.count() == 10)
+    assert(out.filter(col("extra").isNull).count() == 5)
+    assert(out.filter(col("extra") === 7L).count() == 5)
+  }
 }
