@@ -210,6 +210,12 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(IcebergTable.read(spark, dir).count() == 3)
     // no snapshot was created by the rename itself
     assert(md.snapshots.size == 1)
+    // stats pruning follows the rename: manifest stats are id-keyed,
+    // and the id→name mapping tracks the CURRENT schema
+    val pruned = IcebergTable.readPruned(spark, dir,
+      Seq(IcebergTable.ScanPred("label", "=", "c")))
+    assert(pruned.select("label").collect().map(_.getString(0)).toSeq
+      == Seq("c"))
     intercept[RuntimeException](
       IcebergWriter.renameColumn(dir, "ghost", "x"))
     intercept[IllegalArgumentException](
