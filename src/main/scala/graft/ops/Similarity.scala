@@ -369,6 +369,7 @@ object Similarity {
     val first = base.orderBy(col(relCol).desc, col(idCol)).limit(1)
       .select(col(idCol), col(relCol), col(vecCol),
         lit(1).as("mmr_rank"), col(relCol).as("mmr_score"))
+      .localCheckpoint(false)
     val picked = (2 to k).foldLeft(first) { (sel, rank) =>
       val selSlim = sel.select(col(vecCol).as("__sv"))
       val maxSim = base
@@ -385,7 +386,14 @@ object Similarity {
         .orderBy(col("__mmr").desc, col(idCol)).limit(1)
         .select(col(idCol), col(relCol), col(vecCol),
           lit(rank).as("mmr_rank"), col("__mmr").as("mmr_score"))
-      sel.unionByName(pick)
+      // each greedy step references `sel` THREE times (anti-join,
+      // broadcast of the selected vectors, union): without truncation
+      // the plan tree grows ~3^k and Catalyst re-plans the whole
+      // history every round (measured: a 256 KB physical plan at k=5,
+      // ~1.7 s wall on a 20-row candidate list). A lazy checkpoint of
+      // the ≤k-row selection per round keeps the plan O(k); the next
+      // round's argmax is the action that materializes it.
+      sel.unionByName(pick).localCheckpoint(false)
     }
     picked.select(col(idCol), col(relCol), col("mmr_rank"),
       col("mmr_score"))
@@ -414,9 +422,17 @@ object Similarity {
     val bits = (0 until numPlanes).map { p =>
       val plane = array((0 until maxDim)
         .map(d => lit(planeComponent(table, p, d))): _*)
-      val dot = aggregate(
-        zip_with(vec, slice(plane, lit(1), size(vec)), (x, c) => x * c),
-        lit(0.0), _ + _)
+      // codegen'd left-to-right dot (VecMath.DotD) instead of the
+      // interpreted zip_with+aggregate higher-order fold — identical
+      // IEEE op sequence (the kernel's documented contract), so every
+      // hash-checked bucket is unchanged, but the per-row cost moves
+      // into whole-stage codegen: this expression runs numPlanes ×
+      // numTables times per corpus row in the LSH family. The slice
+      // keeps the equal-length contract (plane truncated to the data's
+      // dimension; a vec LONGER than maxDim nulls the dot exactly like
+      // the zip_with null-pad + null fold it replaces).
+      val dot = graft.functions.VecMath.dotD(
+        vec, slice(plane, lit(1), size(vec)))
       when(dot >= 0, lit(1L)).otherwise(lit(0L))
     }
     bits.foldLeft(lit(0L))((acc, b) => acc * 2 + b)

@@ -550,7 +550,15 @@ object TextAnalysis {
         explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
     val dfreq = docTerms.groupBy(col("term"))
       .agg(count(lit(1)).as("c"))
+    // the ≤vocabSize-row vocab is referenced THREE times below (the
+    // perDoc probe and the two lift joins), each as a distinct
+    // broadcast subtree — without truncation every broadcast re-runs
+    // the corpus tokenize+explode+groupBy(term) pipeline (4 corpus
+    // passes total; at 100 TB the model build IS the job). A lazy
+    // checkpoint of the tiny vocab bounds it to one pass; the first
+    // broadcast materializes it.
     val topV = dfreq.orderBy(col("c").desc, col("term")).limit(vocabSize)
+      .localCheckpoint(false)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val perDoc = docTerms
       .join(broadcast(topV.select(col("term"))), Seq("term"))

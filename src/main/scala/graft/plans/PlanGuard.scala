@@ -49,7 +49,14 @@ object PlanGuard {
     Set("t_vocab_topk", "s_hybrid_rrf", "t_pack_manifest",
       "p_rag", "q_sql_qualify_order",
       // tok-id assignment ranks the top-100 vocab slice (above LIMIT)
-      "t_tokenize_ids")
+      "t_tokenize_ids",
+      // DSIR's corpus totals: the window input is the hashed-unigram
+      // bucket model — a groupBy on pmod(h32(w), 1024), whose
+      // cardinality is bounded by the pmod DOMAIN (the literal bucket
+      // count), never the corpus. The window replaced a nested
+      // broadcast scalar that re-ran the tokenize pipeline (round-17
+      // optimization, OPTIMIZATION_r17.md §d_dsir).
+      "d_dsir")
 
   /** Queries allowed to plan a sort whose input is a SINGLE partition
     * of an unbounded relation. EMPTY since round 17: substring dedup's
