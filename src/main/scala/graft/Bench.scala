@@ -306,6 +306,18 @@ object Bench {
         graft.plans.PlanGuard
           .scaleWarnings(name, df.queryExecution.executedPlan)
           .foreach(tag => planWarnings += s"$name:$tag")
+      // inter-query hygiene, strictly AFTER the timestamps (same rule
+      // as the PlanGuard walk): iterative operators (star contraction,
+      // PageRank, Lloyd, MMR, model-table builds) localCheckpoint loop
+      // state, and Dataset.localCheckpoint has no public unpersist — a
+      // 189-query run otherwise accumulates every query's checkpoint
+      // blocks in executor storage for the rest of the run (the same
+      // class of cross-query contamination as the periodicGC note
+      // above). A finished query's checkpoint RDDs are never reused,
+      // so dropping them here is free for the query and removes the
+      // pressure on its successors.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       sec
     }
     // Drift sentinel 1: the same fixed TRIVIAL query (q_scan_project)

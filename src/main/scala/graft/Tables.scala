@@ -16,6 +16,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Schema cache per (session, file path): every `spark.read.parquet`
+  // without an explicit schema re-infers it — a driver-side footer
+  // read per call. A bench/verify run loads the same ten immutable
+  // test tables hundreds of times; supplying the once-inferred schema
+  // skips that repeated driver I/O (metadata only — never row data, so
+  // nothing about what a query computes changes; keyed by session so a
+  // restarted test session with a rewritten temp table cannot see a
+  // stale schema). The `events` normalization still inspects the RAW
+  // schema exactly as before.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.types.StructType]()
+
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    val schema = schemaCache.computeIfAbsent((spark, path),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // The driver's events.ts encoding has varied across rounds:
@@ -30,7 +48,7 @@ object Tables {
       // the rounds-1-5 values). Rewritten tables (e.g. the GenScale sf1
       // scale-up) store UTC-adjusted micros directly and pass through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val raw = readCached(spark, s"$dir/$name.parquet")
       val withTs = raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -41,7 +59,7 @@ object Tables {
       }
       withTs.select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else readCached(spark, s"$dir/$name.parquet")
 
   /** Register every table as a temp view named after the table, so SQL-text
     * entry points (`spark.sql`) resolve the same names the DuckDB oracle

@@ -80,9 +80,14 @@ object Sampling {
     }
     // BIGINT `div` throughout (Spark/DuckDB float `/` would round):
     // bit-exact cross-engine, no precision cliff at 2^53 rows·bp
+    // lazy checkpoint of the ≤|weightsBp|-row count table: `tmax` is a
+    // broadcast scalar nested under the thresholds broadcast, and
+    // nested broadcast stages defeat exchange reuse (the d_dsir
+    // finding) — unchecked, the corpus was aggregated twice
     val counts = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_dom"))
       .withColumn("w_bp", w).filter(col("w_bp").isNotNull)
+      .localCheckpoint(false)
     val tmax = counts
       .agg(min(expr("(n_dom * 10000) div w_bp")).as("t_max"))
     val thresholds = counts.crossJoin(broadcast(tmax))
@@ -110,8 +115,11 @@ object Sampling {
     * corpus shuffle at all. */
   def temperatureResample(df: DataFrame, keyCol: String,
       domainCol: String): DataFrame = {
+    // domain-cardinality rows; lazy-checkpointed for the same nested-
+    // broadcast reason as mixtureSample (nmin re-ran the corpus agg)
     val counts = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("domain_docs"))
+      .localCheckpoint(false)
     val nmin = counts.agg(min(col("domain_docs")).as("__nmin"))
     val thresholds = counts.crossJoin(broadcast(nmin))
       .select(col(domainCol), col("domain_docs"),

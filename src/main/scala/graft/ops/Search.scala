@@ -64,24 +64,29 @@ object Search {
       .select(col(idCol), col("dl"), col("e.term").as("term"),
         col("e.tf").as("tf"))
     val withTf = termRows.filter(col("tf") > 0)
-    // every document contributes exactly one pre-filter row per query
-    // term, so conditioning on the first term counts each doc once —
-    // exact integer aggregation, no second tokenize
-    val firstTerm = queryTerms.head
-    val stats = termRows.agg(
-      sum(when(col("term") === firstTerm, lit(1L)).otherwise(lit(0L)))
-        .as("n_docs"),
-      sum(when(col("term") === firstTerm, col("dl")).otherwise(lit(0L)))
-        .as("sum_dl"))
-    val dfreq = withTf.groupBy(col("term"))
-      .agg(count(lit(1)).as("dfreq"))
-      .crossJoin(broadcast(stats))
+    // ONE per-term aggregate produces the WHOLE model: every document
+    // contributes exactly one pre-filter row per query term, so each
+    // term's row count IS n_docs and each term's Σdl IS the corpus
+    // total — the same integers the old separate one-row `stats`
+    // aggregate computed (oracle-identical idf/avgdl). The previous
+    // shape hung `stats` as a broadcast nested inside the dfreq
+    // broadcast, which re-ran the tokenize pipeline (nested broadcast
+    // stages defeat exchange reuse — same finding as d_dsir); with the
+    // fused aggregate + a lazy checkpoint of the ≤|queryTerms|-row
+    // model, the corpus is tokenized twice total (model + probe)
+    // instead of three times.
+    val dfreq = termRows.groupBy(col("term"))
+      .agg(sum(when(col("tf") > 0, lit(1L)).otherwise(lit(0L)))
+          .as("dfreq"),
+        count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
       // idf quantized to 9 dp: the one non-IEEE-exact factor, one value
       // per query term
       .select(col("term"),
         round(log((col("n_docs") - col("dfreq") + lit(0.5)) /
           (col("dfreq") + lit(0.5)) + lit(1.0)), 9).as("idf"),
         (col("sum_dl").cast(DoubleType) / col("n_docs")).as("avgdl"))
+      .localCheckpoint(false)
     // round to 6 dp BEFORE the DECIMAL(18,6) cast so the cast is
     // lossless — cross-engine agreement no longer hinges on the two
     // engines' double→decimal conversions tying identically at 6 dp

@@ -385,7 +385,16 @@ object TextAnalysis {
         .filter(col("__i") < col("n_bigrams"))
         .select(extra ++ Seq(col("n_bigrams"), col("w1"),
           element_at(col("__t"), col("__i") + 2).as("w2")): _*)
+    // the reference corpus is the SMALL side by contract (a curated
+    // clean split standing in for the LM training set); its tokenized
+    // form feeds THREE separate model builds below (unigram counts,
+    // bigram counts, vocabulary size), each a distinct broadcast
+    // subtree — unchecked, the reference was re-read and re-tokenized
+    // three times (measured: 4 scans of documents in the final plan,
+    // 3 of them the reference). One lazy checkpoint bounds it to one
+    // tokenize pass; the blocks are reference-sized, the bounded side.
     val refToks = reference.select(tokens(col(textCol)).as("__t"))
+      .localCheckpoint(false)
     val uni = refToks.select(explode(col("__t")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val bi = bigramRows(refToks, Seq.empty)
@@ -479,7 +488,13 @@ object TextAnalysis {
             slice(col("__tk"), i * segTokens + 1, lit(segTokens)))))
           .as(Seq("seg_idx", "seg")))
       .withColumn("seg_hash", md5(col("seg")))
-    val domDocs = segs.select(col(domainCol), col(idCol)).distinct()
+    // per-domain doc counts straight from the doc table: a doc appears
+    // in `segs` iff it has ≥1 token, i.e. iff trim(text) is non-empty —
+    // same integers as the old distinct-over-the-explode, without
+    // paying the segment explode a second time (doc ids are unique, so
+    // the distinct was only undoing the explode's multiplication)
+    val domDocs = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .groupBy(col(domainCol)).agg(count(lit(1)).as("dom_docs"))
     val segDocs = segs.groupBy(col(domainCol), col("seg_hash"))
       .agg(countDistinct(col(idCol)).as("seg_docs"))
@@ -512,6 +527,13 @@ object TextAnalysis {
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // examined for exchange reuse between the idf build and the probe
+    // (round-17 optimization): the two (doc, term) aggregate subtrees
+    // stay canonically distinct under column pruning (probe keeps tf,
+    // idf build does not — forcing tf via count(tf) still left the
+    // partial aggregates different), so the model build keeps its own
+    // tokenize pass — 2 corpus passes total, the same shape as BM25's
+    // model+probe, inherent to building a vocab model you then join
     val dfreq = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val idf = dfreq.crossJoin(broadcast(nDocs))
