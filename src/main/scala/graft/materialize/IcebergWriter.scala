@@ -882,23 +882,38 @@ object IcebergWriter {
     }
     // the heavy DISTRIBUTED work happens outside the commit critical
     // section — data/tombstone parquet is keyed by commitId, so a
-    // refreshed sequence number never invalidates the written bytes
-    val dataFiles = newData.map(d =>
-      writeFiles(stampIds(d, wlayout.idOf), "snap", spec))
-    // equality-delete files carry only the key columns, unpartitioned
-    // (they apply table-wide by value)
-    val eqFiles = eqDelete.map { case (k, _) =>
-      writeFiles(stampIds(k, wlayout.idOf), "eqd", Nil) }
-    val tombFiles = tombstones.map { t =>
-      // tombstone paths are table-relative strings; store them
-      // re-anchored at the table location like every writer does
-      import org.apache.spark.sql.functions._
-      val abs = t.select(
-        concat(lit(base + "/"), col("file_path")).as("file_path"),
-        col("pos"))
-      // positional-delete physical columns carry the spec's RESERVED ids
-      writeFiles(stampIds(abs, Map("file_path" -> 2147483546,
-        "pos" -> 2147483545).get), "del", Nil)
+    // refreshed sequence number never invalidates the written bytes.
+    // The up-to-three write legs of one commit (data, equality-delete
+    // keys, positional tombstones) are INDEPENDENT Spark jobs into
+    // disjoint commit-keyed dirs: submit them concurrently so a keyed
+    // upsert's small eq-delete write rides the data write's task tail
+    // instead of serializing after it (guide §2.6 — actions are only
+    // sequential because the driver calls them sequentially). Job
+    // descriptions are thread-local, so concurrent legs stay labeled.
+    val (dataFiles, eqFiles, tombFiles) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fData = newData.map(d => Future(
+        writeFiles(stampIds(d, wlayout.idOf), "snap", spec)))
+      // equality-delete files carry only the key columns, unpartitioned
+      // (they apply table-wide by value)
+      val fEq = eqDelete.map { case (k, _) => Future(
+        writeFiles(stampIds(k, wlayout.idOf), "eqd", Nil)) }
+      val fTomb = tombstones.map { t => Future {
+        // tombstone paths are table-relative strings; store them
+        // re-anchored at the table location like every writer does
+        import org.apache.spark.sql.functions._
+        val abs = t.select(
+          concat(lit(base + "/"), col("file_path")).as("file_path"),
+          col("pos"))
+        // positional-delete physical columns carry the spec's RESERVED ids
+        writeFiles(stampIds(abs, Map("file_path" -> 2147483546,
+          "pos" -> 2147483545).get), "del", Nil)
+      } }
+      (fData.map(Await.result(_, Duration.Inf)),
+        fEq.map(Await.result(_, Duration.Inf)),
+        fTomb.map(Await.result(_, Duration.Inf)))
     }
     // append-only commits can REFRESH onto a concurrent commit and
     // retry (their inputs don't depend on the parent snapshot's
