@@ -253,18 +253,23 @@ object IcebergWriter {
   }
 
   /** Delete every live row matching `cond` via positional tombstones;
-    * returns the number of rows deleted (0 = no new snapshot). */
+    * returns the number of rows deleted (0 = no new snapshot).
+    *
+    * Single table pass: the tombstone scan runs ONCE, as the commit's
+    * write leg; the returned count comes from the written files'
+    * parquet footers (the same record counts the manifest records) and
+    * an empty result abandons the commit before any metadata is
+    * touched. The previous shape cached the tombstone set and ran a
+    * separate count() action first — two executions of the full-table
+    * liveness scan (or a corpus-sized cache) per delete. */
   def deleteWhere(spark: SparkSession, tableDir: String,
       cond: Column): Long = {
     val (md, prior) = state(tableDir)
-    val tomb = tombstonesOf(spark, tableDir, md, cond).cache()
-    val n = tomb.count()
-    if (n > 0)
-      commit(spark, new File(tableDir), md.schema, prior,
-        parent = md.currentSnapshot, newData = None,
-        tombstones = Some(tomb), operation = "delete")
-    tomb.unpersist()
-    n
+    val tomb = tombstonesOf(spark, tableDir, md, cond)
+    commit(spark, new File(tableDir), md.schema, prior,
+      parent = md.currentSnapshot, newData = None,
+      tombstones = Some(tomb), operation = "delete",
+      skipIfEmptyTombstones = true)
   }
 
   /** The reference's incremental delete+insert as ONE snapshot: rows
@@ -775,7 +780,8 @@ object IcebergWriter {
       newProps: Map[String, String] = Map.empty,
       partitionSpec: Seq[IcebergPartField] = Nil,
       schemaId: Int = -1,
-      eqDelete: Option[(DataFrame, Seq[String])] = None): Unit = {
+      eqDelete: Option[(DataFrame, Seq[String])] = None,
+      skipIfEmptyTombstones: Boolean = false): Long = {
     val md0 = if (parent.isDefined) Some(IcebergTable.loadMetadata(dir.getPath)) else None
     // the partition spec is a TABLE property: every commit — including
     // tombstone-only deletes that write no data files — must carry it
@@ -914,6 +920,23 @@ object IcebergWriter {
       (fData.map(Await.result(_, Duration.Inf)),
         fEq.map(Await.result(_, Duration.Inf)),
         fTomb.map(Await.result(_, Duration.Inf)))
+    }
+    // the tombstone row count (footer record counts of the leg's own
+    // files — the same numbers the manifest will record). deleteWhere's
+    // skip flag turns an empty match into a no-op BEFORE any metadata
+    // is touched: the table never gains an empty-delete snapshot, and
+    // the scan that found nothing ran exactly once.
+    val tombRows: Long = tombFiles
+      .map(_.iterator.map(f =>
+        parquetStats(f._1, withBounds = false).rows).sum)
+      .getOrElse(0L)
+    if (skipIfEmptyTombstones && tombRows == 0L) {
+      def rm(f: File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new File(dir, s"data/del-$commitId"))
+      return 0L
     }
     // append-only commits can REFRESH onto a concurrent commit and
     // retry (their inputs don't depend on the parent snapshot's
@@ -1068,6 +1091,7 @@ object IcebergWriter {
         }
       }
     }
+    tombRows
   }
 
   /** The current snapshot's manifest-list rows for `md` (refresh path

@@ -112,8 +112,13 @@ object Bpe {
     * whatever runs after training (measured on the incremental loop in
     * round 8: the follow-on segmentation pass paid for training's
     * leaked blocks). */
-  private final class Checkpointed(spark: SparkSession, df: DataFrame) {
-    val data: DataFrame = df.localCheckpoint()
+  private final class Checkpointed(spark: SparkSession, df: DataFrame,
+      eager: Boolean = true) {
+    // lazy (eager=false) checkpoints materialize as a side effect of
+    // the FIRST action over them — the recount loop uses this so each
+    // round's top-pair aggregate is the job that also persists the
+    // re-encoded dictionary (one dictionary pass per round, not two)
+    val data: DataFrame = df.localCheckpoint(eager)
     // Ownership comes from the returned Dataset's own plan: a
     // localCheckpoint'ed Dataset is backed by a LogicalRDD whose rdd IS
     // the persisted one. (A getPersistentRDDs keyset diff around the
@@ -158,11 +163,24 @@ object Bpe {
         col("pair_count"))
   }
 
-  /** Small-dictionary strategy: re-explode and re-count every round. */
+  /** Small-dictionary strategy: re-explode and re-count every round.
+    *
+    * ONE job per round: the re-encoded dictionary is a LAZY checkpoint,
+    * so round r+1's top-pair aggregate is the action that materializes
+    * it — the previous shape ran an eager dictionary checkpoint job AND
+    * a top job per round, two full dictionary passes where one
+    * suffices (guide §1.2/§2.4: fewer passes). The superseded
+    * dictionary's blocks are dropped only after its successor has
+    * materialized (a lazily-checkpointed relation reads its
+    * predecessor's blocks at materialization time — dropping earlier
+    * would compute over deallocated storage). */
   private def trainRecount(dict0: Checkpointed,
       rounds: Int): Seq[DataFrame] = {
     val spark = dict0.data.sparkSession
     var dict = dict0
+    // the predecessor whose blocks the CURRENT (possibly still lazy)
+    // dictionary reads when it materializes
+    var prev: Option[Checkpointed] = None
     var merges: Seq[DataFrame] = Nil
     for (r <- 1 to rounds) {
       val top = dict.data
@@ -171,19 +189,23 @@ object Bpe {
         .agg(sum(col("freq")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
         .limit(1)
-        .localCheckpoint()
+        .localCheckpoint() // eager: the round's ONE job; also
+                           // materializes `dict`'s pending lazy blocks
+      prev.foreach(_.drop()) // superseded and no longer read by anything
+      prev = None
       merges = merges :+ top.withColumn("merge_rank", lit(r))
       if (r < rounds) {
         val next = new Checkpointed(spark,
           dict.data.crossJoin(broadcast(top.select(col("lhs"), col("rhs"))))
             .select(applyMerge(col("enc"), col("lhs"), col("rhs"))
-              .as("enc"), col("freq")))
-        dict.drop()
+              .as("enc"), col("freq")), eager = false)
+        prev = Some(dict)
         dict = next
       }
     }
     // the final round's dictionary backs nothing in the returned merge
     // table (only the 1-row `top` checkpoints do) — release it too
+    prev.foreach(_.drop())
     dict.drop()
     merges
   }

@@ -39,22 +39,24 @@ object Graph {
     // rank checkpoint is its own job, and without this each round would
     // re-run the edge distinct, the degree aggregation, and the node
     // union from the source — the iterative-graph convention (cache the
-    // edge structure, iterate only the rank vector)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // edge structure, iterate only the rank vector).
+    // Out-degree is attached IN the same pass as the dedup: a window
+    // count over src (partitioned — never a global window) instead of
+    // the previous e ⋈ groupBy(e) self-join, which re-shuffled the edge
+    // list twice more (agg exchange + join) for the same integer. One
+    // distinct exchange + one src exchange, one checkpoint, no join
+    // (guide §2.4: two operations keyed the same way share the
+    // partitioning; the window count is duplicate-insensitive only
+    // AFTER distinct, so the order is load-bearing).
+    val eDeg = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst")))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .localCheckpoint(false)
+    val nodes = eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst")))
       .distinct()
-      .localCheckpoint()
-    // out-degree is attached to the edge set ONCE, outside the loop:
-    // the per-iteration shape used to re-run the e⋈outDeg join every
-    // round — a static join of two loop invariants (guide §2.4: remove
-    // shuffles outright; at graph scale that join re-shuffles the full
-    // edge list per iteration for an answer that never changes)
-    val eDeg = e.join(
-        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // N as a literal-free one-row table: the node count must come from
     // the data, and a broadcast scalar join keeps the program collect-free
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
@@ -63,10 +65,12 @@ object Graph {
     val teleport = nodes.crossJoin(broadcast(n))
       .select(col("node"),
         ((lit(1.0) - lit(damping)) / col("n_nodes")).as("tele"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // NOT checkpointed: r₀ is consumed exactly once (round 1's join),
+    // so an eager materialization job would buy nothing — the cheap
+    // map over the checkpointed node set computes inline there
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
-      .localCheckpoint()
     (1 to iterations).foreach { _ =>
       val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -75,11 +79,16 @@ object Graph {
         .groupBy(col("node"))
         .agg(sum(col("c").cast(DecimalType(38, 18))).cast(DoubleType)
           .as("inflow"))
+      // LAZY checkpoint: the round's exchanges still execute here (AQE
+      // materializes query stages at toRdd), but the separate persist
+      // pass over the rank table is deferred into the next round's (or
+      // the final consumer's) own computation — one full rank-table
+      // pass per round removed, plans stay flat either way
       ranks = teleport
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (col("tele") + coalesce(col("inflow"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -106,7 +115,10 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("lo"),
         greatest(col(srcCol), col(dstCol)).as("hi"))
       .distinct()
-      .localCheckpoint() // three self-references below — dedup once
+      // three self-references below — dedup once; LAZY so the dedup's
+      // result pass rides the triangle job itself instead of a separate
+      // persist job (blocks compute-once under block-manager locking)
+      .localCheckpoint(false)
     val e2 = und.select(col("lo").as("__b"), col("hi").as("__c"))
     val wedges = und.join(e2, col("hi") === col("__b"))
       .select(col("lo").as("ta"), col("hi").as("tb"), col("__c").as("tc"))
