@@ -205,7 +205,9 @@ object Similarity {
       .withColumn("code", row_number().over(
         Window.partitionBy(col("sub")).orderBy(col("cand_id"))) - 1)
       .select(col("sub"), col("code"), col("sv").as("cw"))
-      .localCheckpoint()
+      // LAZY: the next assign()'s broadcast build materializes the
+      // 32-row codebook — no separate persist job per round
+      .localCheckpoint(false)
 
     // L2 codeword assignment: argmax (sv·cw − cw·cw/2), code tie-break.
     // Shape note: the codebook collapses to ONE array row per subspace
@@ -254,7 +256,7 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("sub"), col("code"),
           transform(col("dm"), e => e.getField("m")).as("cw"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
 
     // encode + reconstruct: x̂ = concat of assigned codewords in sub order
@@ -571,8 +573,11 @@ object Similarity {
           transform(col("dm"), e => e.getField("m")).as("centroid"))
         // nCentroids rows; without this every downstream nearestCells
         // call (per iteration, plus cells+probed after the loop) would
-        // re-execute the whole Lloyd chain from the corpus scan up
-        .localCheckpoint()
+        // re-execute the whole Lloyd chain from the corpus scan up.
+        // LAZY: the iteration's corpus pass still runs here (AQE
+        // materializes stages at toRdd); only the tiny result-stage
+        // persist rides the next consumer instead of its own job
+        .localCheckpoint(false)
     }
     centroids
   }
