@@ -37,11 +37,26 @@ object Bench {
     // without anyone setting SPARK_GRAFT_SHUFFLE by hand.
     val initialPartitions = sys.env.getOrElse("SPARK_GRAFT_INITIAL",
       math.max(8 * cpus.toInt, shufflePartitions.toInt).toString)
+    // AQE coalescing floor: with parallelismFirst=true (default) AQE
+    // keeps ~defaultParallelism partitions for small shuffles — UNLESS
+    // minPartitionSize (default 1 MB) floors the count first. A
+    // CPU-dense small-byte stage then collapses to ONE task: measured
+    // (STAGES=1) t_pmi's scoring stage ran 1 task / 1.7 s over a 1 MB
+    // shuffle read on a 32-core session. 64 KB keeps such stages
+    // parallel; at cluster scale the floor only binds shuffles whose
+    // total bytes < cores × 1 MB (coordination/model tables), where
+    // task-count stays bounded by bytes/64 KB. A/B (same subset, same
+    // host window): t_pmi 1.96 → 1.33-1.47 s, e_anomaly 0.86 → 0.55 s,
+    // others a wash. Parameterised like the other scale knobs.
+    val minPartitionSize =
+      sys.env.getOrElse("SPARK_GRAFT_MINPART", "64k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         initialPartitions)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        minPartitionSize)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -60,6 +75,15 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_GC", "30min"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // dev-only A/B knob (the driver sets nothing): extra session confs
+    // as "k=v;k=v" — lets config experiments run through THE bench
+    // (same warmup, sentinels, methodology) instead of a side harness
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ =>
+      }
+    })
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: load codegen/parquet/shuffle machinery once
