@@ -21,6 +21,8 @@ object PlanDump {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (8 * cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MINPART", "64k"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
